@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+Query naming: ``*_1s`` variants run the reference's exact windowing
+constants (1 s session gap / 10 s tumbling — degenerate single-event
+sessions on the minutes-scale `events` fixture, see FIXTURES.md §2 caveat);
+``*_30m`` variants run the same operators at a 30 min gap / 6 h tumbling
+scale so multi-event sessions, the checkout latch, and the percent math get
+real coverage on the same data.
 """
 
 from __future__ import annotations
@@ -13,26 +19,87 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from flink_clickstream_processor_msk_spark import oracles
+from flink_clickstream_processor_msk_spark.operators.departments import (
+    department_counts,
+)
+from flink_clickstream_processor_msk_spark.operators.session_stats import (
+    session_stats,
+)
+from flink_clickstream_processor_msk_spark.operators.sessionize import (
+    buy_sessions,
+    drop_internal,
+    sessionize,
+)
+from flink_clickstream_processor_msk_spark.sources.clickevents import (
+    read_clickevents,
+    with_event_time,
+)
+
+_GAP_1S, _WIN_10S = "1 second", "10 seconds"
+_GAP_30M, _WIN_6H = "30 minutes", "6 hours"
+_GAP_1S_MS, _WIN_10S_MS = 1_000, 10_000
+_GAP_30M_MS, _WIN_6H_MS = 1_800_000, 21_600_000
+
+
+def _clickevents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_event_time(read_clickevents(spark, sf_dir))
+
+
+def _q1(gap: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return drop_internal(sessionize(_clickevents(spark, sf_dir), gap=gap))
+
+    return run
+
+
+def _q1_buy(gap: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return drop_internal(buy_sessions(sessionize(_clickevents(spark, sf_dir), gap=gap)))
+
+    return run
+
+
+def _q2(gap: str, window: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return session_stats(sessionize(_clickevents(spark, sf_dir), gap=gap), window=window)
+
+    return run
+
+
+def _q3(gap: str, window: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return department_counts(sessionize(_clickevents(spark, sf_dir), gap=gap), window=window)
+
+    return run
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: Q1 user sessionization on /root/testdata/sf0.001."""
+    return _q1(_GAP_1S)(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # reference-parity constants (CP:129,143,152)
+        "q1_user_sessions_1s": _q1(_GAP_1S),
+        "q2_session_stats_1s": _q2(_GAP_1S, _WIN_10S),
+        "q3_department_counts_1s": _q3(_GAP_1S, _WIN_10S),
+        # same operators, fixture-scaled windows (multi-event sessions)
+        "q1_user_sessions_30m": _q1(_GAP_30M),
+        "q1_buy_sessions_30m": _q1_buy(_GAP_30M),
+        "q2_session_stats_30m": _q2(_GAP_30M, _WIN_6H),
+        "q3_department_counts_30m": _q3(_GAP_30M, _WIN_6H),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_user_sessions_1s": oracles.q1_user_sessions(_GAP_1S_MS),
+        "q2_session_stats_1s": oracles.q2_session_stats(_GAP_1S_MS, _WIN_10S_MS),
+        "q3_department_counts_1s": oracles.q3_department_counts(_GAP_1S_MS, _WIN_10S_MS),
+        "q1_user_sessions_30m": oracles.q1_user_sessions(_GAP_30M_MS),
+        "q1_buy_sessions_30m": oracles.q1_buy_sessions(_GAP_30M_MS),
+        "q2_session_stats_30m": oracles.q2_session_stats(_GAP_30M_MS, _WIN_6H_MS),
+        "q3_department_counts_30m": oracles.q3_department_counts(_GAP_30M_MS, _WIN_6H_MS),
+    }

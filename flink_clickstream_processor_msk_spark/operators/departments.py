@@ -1,0 +1,48 @@
+"""Q3 — per-department session counts per 10 s tumbling window.
+
+Reference: ClickstreamProcessor.java:149-154 — Q1's output flat-mapped to
+``(department, 1)`` pairs (DepartmentsFlatMap.java:7-12), re-keyed by
+department, 10 s tumbling windows, incremental sum
+(DepartmentsAggReduceFunction.java:6-11), window-bounds decoration.
+
+Spark-first: ``explode(deptList)`` is the flatMap; ``groupBy(department,
+window(...)).count()`` is the keyed reduce — partial/final aggregation
+replaces the hand-written ReduceFunction, and the (dept, 1) pair never
+materializes.
+
+Scale notes: explode is narrow (no shuffle); the single shuffle is the
+groupBy on (department, bucket). Low-cardinality skewed departments get
+map-side combine (each upstream task emits ≤ |departments| rows per window)
+so the hot reducer receives pre-aggregated counts, not raw sessions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_clickstream_processor_msk_spark.operators.session_stats import (
+    DEFAULT_WINDOW,
+)
+
+
+def department_counts(
+    user_sessions: DataFrame, window: str = DEFAULT_WINDOW
+) -> DataFrame:
+    """UserIdSessionEvent rows (with `_session` col) → DepartmentsAggEvent."""
+    return (
+        user_sessions.select(
+            F.explode(F.col("deptList")).alias("departmentName"),
+            F.window_time("_session").alias("_wt"),
+        )
+        .groupBy(
+            "departmentName", F.window(F.col("_wt"), window).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("int").alias("departmentCount"))
+        .select(
+            "departmentName",
+            "departmentCount",
+            F.unix_millis(F.col("bucket.start")).alias("windowBeginTime"),
+            F.unix_millis(F.col("bucket.end")).alias("windowEndTime"),
+        )
+    )

@@ -1,0 +1,61 @@
+"""SparkSession factory.
+
+The reference configures its environment at ClickstreamProcessor.java:60-72
+(event-time mode, local parallelism, checkpoint interval). Spark needs none
+of that ceremony — event time is a column, parallelism is
+``spark.sql.shuffle.partitions``, checkpointing is per-query — but the
+session-level choices below matter at scale:
+
+- AQE on: runtime coalescing + skew-join handling replace hand-tuned
+  parallelism (the reference hard-codes parallelism 1, CP:68-69).
+- UTC session timezone: event time is epoch-millis; all window math must be
+  timezone-free so batch results hash-match the DuckDB oracle.
+- Arrow enabled: every Python-side exchange (pandas UDFs, toPandas) is
+  columnar.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "flink-clickstream-processor-msk-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    ``master``/``shuffle_partitions`` default from ``SPARK_GRAFT_CPUS`` so
+    local test runs match the driver harness; on a real cluster leave
+    ``master`` unset and size ``shuffle_partitions`` to ~2-3x total cores.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # the driver's events.parquet stores ts as TIMESTAMP(NANOS), which
+        # Spark's parquet reader rejects; read it as long (nanoseconds) and
+        # convert in the source shim (sources/clickevents.py)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,164 @@
+"""ClickEvent source layer.
+
+The reference consumes Avro ``ClickEvent`` records from Kafka
+(ClickstreamProcessor.java:114-119). This engine exposes the same record
+stream behind two readers:
+
+- :func:`read_clickevents` — batch: the driver ``events`` parquet table
+  mapped onto the ClickEvent schema (shim spec: /root/repo/FIXTURES.md §2).
+- :func:`stream_clickevents` / :func:`kafka_clickevents` — streaming: file
+  source for tests, Kafka + ``from_avro`` for production (needs the
+  spark-sql-kafka package on the classpath; gated).
+
+The shim is a plain Catalyst projection, so predicate pushdown and column
+pruning still reach the parquet scan underneath.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# events.event_type 'purchase' plays the reference's 'order_checkout'
+# (FIXTURES.md §2); 'view'/'click' double as the department names.
+_DEPARTMENT_EVENT_TYPES = ("view", "click")
+
+
+def clickevents_from_events(events: DataFrame) -> DataFrame:
+    """Map the driver `events` table onto the ClickEvent schema.
+
+    Column mapping per FIXTURES.md §2 — identical SQL lives in the DuckDB
+    oracle (see __spark_entry__._CLICKEVENTS_SQL), so every reference-parity
+    query is checked end-to-end through this same shim.
+
+    ``ts`` arrives either as a real timestamp or — because the test parquet
+    stores TIMESTAMP(NANOS) and the session reads nanos as long
+    (session.py) — as epoch nanoseconds; both truncate to epoch millis,
+    matching DuckDB's ns→µs→ms truncation chain.
+    """
+    from pyspark.sql.types import LongType
+
+    ts_type = events.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        # integer DIV, not `/`: epoch-nanos overflow double precision (2^53)
+        event_millis = F.expr("ts DIV 1000000")
+    else:
+        event_millis = F.unix_millis("ts")
+    return events.select(
+        F.lit("0.0.0.0").alias("ip"),
+        event_millis.alias("eventtimestamp"),
+        F.lit("desktop").alias("devicetype"),
+        F.when(F.col("event_type") == "purchase", F.lit("order_checkout"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        F.when(
+            F.col("event_type").isin(*_DEPARTMENT_EVENT_TYPES), F.col("event_type")
+        )
+        .otherwise(F.lit("N/A"))
+        .alias("product_type"),
+        F.col("user_id").alias("userid"),
+        F.col("event_id").alias("globalseq"),
+        (F.col("event_id") - F.lit(1)).alias("prevglobalseq"),
+    )
+
+
+def read_clickevents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ClickEvent stream from a test-data tier directory.
+
+    Works on any caller-provided SparkSession (the driver harness builds a
+    vanilla one): events.parquet stores TIMESTAMP(NANOS), which Spark only
+    reads with the nanosAsLong legacy conf, so set it here at runtime.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return clickevents_from_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def with_event_time(clickevents: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Attach the event-time column (+ optional watermark).
+
+    Mirrors S2 (ClickEventTimestampWatermarkGenerator.java:14-23): event
+    time is ``eventtimestamp`` epoch millis; the reference's max-seen
+    watermark with zero slack maps to ``withWatermark(ts, '0 seconds')``
+    (slightly more permissive intra-microbatch — SURVEY.md §2.3.6).
+    """
+    out = clickevents.withColumn("ts", F.timestamp_millis("eventtimestamp"))
+    if watermark is not None:
+        out = out.withWatermark("ts", watermark)
+    return out
+
+
+def stream_clickevents(
+    spark: SparkSession,
+    path: str,
+    watermark: str = "0 seconds",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming ClickEvent source from a parquet directory (test harness).
+
+    Stands in for the Kafka source in tests: same schema, same event-time
+    column, driven to completion with ``processAllAvailable()``.
+    """
+    from flink_clickstream_processor_msk_spark.schema import CLICK_EVENT
+
+    reader = spark.readStream.schema(CLICK_EVENT).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return with_event_time(reader.load(path), watermark=watermark)
+
+
+def kafka_clickevents(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str = "ExampleTopic",
+    avro_schema_json: str | None = None,
+    starting_offsets: str = "earliest",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Kafka ClickEvent source (S1 parity, ClickstreamProcessor.java:101-119).
+
+    Requires org.apache.spark:spark-sql-kafka-0-10 and spark-avro on the
+    classpath — not bundled in this environment, so this raises a clear
+    error locally and is exercised only through its (identical) plan in
+    tests via stream_clickevents.
+
+    The reference resolves the schema against AWS Glue Schema Registry
+    (CP:108-111); plain ``from_avro`` with the literal schema is the
+    engine-level equivalent (registry lookup is a deployment concern).
+    """
+    from pyspark.sql.avro.functions import from_avro
+
+    if avro_schema_json is None:
+        avro_schema_json = CLICK_EVENT_AVSC
+
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    decoded = raw.select(
+        from_avro(F.col("value"), avro_schema_json).alias("event")
+    ).select("event.*")
+    return with_event_time(decoded, watermark=watermark)
+
+
+# Literal copy of the reference's source-of-truth schema
+# (src/main/resources/avro/ClickEvent.avsc:1-15).
+CLICK_EVENT_AVSC = """
+{
+  "namespace": "samples.clickstream.avro",
+  "type": "record",
+  "name": "ClickEvent",
+  "fields": [
+    {"name": "ip", "type": "string"},
+    {"name": "eventtimestamp", "type": "long"},
+    {"name": "devicetype", "type": "string"},
+    {"name": "event_type", "type": ["string", "null"]},
+    {"name": "product_type", "type": ["string", "null"]},
+    {"name": "userid", "type": "int"},
+    {"name": "globalseq", "type": "long"},
+    {"name": "prevglobalseq", "type": "long", "default": 0}
+  ]
+}
+"""
