@@ -5,7 +5,9 @@ corresponding DataFrame operator computes — including the engine's chosen
 semantics for the reference's quirks (SURVEY.md §2.3):
 
 - sessionization = gap-and-islands (new session when the event-time delta
-  >= gap, matching Spark ``session_window``'s merge condition);
+  is STRICTLY GREATER than the gap — Spark ``session_window`` merges events
+  exactly ``gap`` apart, verified in tests/test_sessionize.py; Flink would
+  split there, a measure-zero divergence documented in SURVEY.md §2.3);
 - checkout latch = running product-event count at the LAST checkout
   (max of the running count over checkout rows — the count is nondecreasing);
 - tumbling buckets key on session end − 1 ms (Flink ``maxTimestamp``; equal
@@ -42,7 +44,7 @@ flagged AS (
     (product_type IS NOT NULL AND product_type NOT IN ('', 'N/A')) AS is_product,
     (event_type = 'order_checkout')                                AS is_checkout,
     CASE WHEN lag(eventtimestamp) OVER w IS NULL
-           OR eventtimestamp - lag(eventtimestamp) OVER w >= {gap_ms}
+           OR eventtimestamp - lag(eventtimestamp) OVER w > {gap_ms}
          THEN 1 ELSE 0 END                                         AS new_sess
   FROM clickevents
   WINDOW w AS (PARTITION BY userid ORDER BY eventtimestamp, globalseq)

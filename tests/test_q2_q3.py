@@ -1,0 +1,62 @@
+"""Q2 (global tumbling stats) and Q3 (department counts) on crafted data."""
+
+from __future__ import annotations
+
+from flink_clickstream_processor_msk_spark.operators.departments import (
+    department_counts,
+)
+from flink_clickstream_processor_msk_spark.operators.session_stats import (
+    session_stats,
+)
+from flink_clickstream_processor_msk_spark.operators.sessionize import sessionize
+from helpers import make_clickevents
+
+# align to a 10 s boundary so bucket assertions are readable
+T0 = 1_700_000_000_000 - (1_700_000_000_000 % 10_000)
+
+
+def _sessions(spark, events):
+    return sessionize(make_clickevents(spark, events))
+
+
+def test_q2_counts_and_truncated_percent(spark):
+    # three single-event sessions in one 10 s bucket; one is a buy session
+    events = [
+        {"ts": T0 + 0, "seq": 1, "userid": 1, "event_type": "view", "product_type": "a"},
+        {"ts": T0 + 100, "seq": 2, "userid": 1, "event_type": "order_checkout", "product_type": "N/A"},
+        {"ts": T0 + 2000, "seq": 3, "userid": 2, "event_type": "view", "product_type": "a"},
+        {"ts": T0 + 4000, "seq": 4, "userid": 3, "event_type": "view", "product_type": "b"},
+    ]
+    rows = session_stats(_sessions(spark, events)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["userSessionCount"] == 3
+    assert r["userSessionCountWithOrderCheckout"] == 1
+    # Java integer division: 1*100/3 = 33, stored as double (SURVEY.md §2.3.1)
+    assert r["percentSessionswithBuy"] == 33.0
+    assert r["windowBeginTime"] % 10_000 == 0
+    assert r["windowEndTime"] == r["windowBeginTime"] + 10_000
+
+
+def test_q2_buckets_on_session_end(spark):
+    # session ends (last ts + 1s gap) exactly on a bucket boundary ->
+    # window_time = end - 1ms-equivalent puts it in the EARLIER bucket
+    events = [
+        {"ts": T0 + 9_000, "seq": 1, "userid": 1, "event_type": "view", "product_type": "a"},
+    ]
+    rows = session_stats(_sessions(spark, events)).collect()
+    assert len(rows) == 1
+    assert rows[0]["windowBeginTime"] == T0
+    assert rows[0]["windowEndTime"] == T0 + 10_000
+
+
+def test_q3_department_counts(spark):
+    # two sessions visiting 'a' in one bucket, one visiting 'b'
+    events = [
+        {"ts": T0 + 0, "seq": 1, "userid": 1, "event_type": "view", "product_type": "a"},
+        {"ts": T0 + 100, "seq": 2, "userid": 1, "event_type": "view", "product_type": "b"},
+        {"ts": T0 + 3000, "seq": 3, "userid": 2, "event_type": "view", "product_type": "a"},
+    ]
+    rows = department_counts(_sessions(spark, events)).collect()
+    got = {(r["departmentName"], r["windowBeginTime"]): r["departmentCount"] for r in rows}
+    assert got == {("a", T0): 2, ("b", T0): 1}
