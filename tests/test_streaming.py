@@ -1,0 +1,149 @@
+"""Streaming-mode tests: the same operators under Structured Streaming.
+
+Replays crafted ClickEvents through a file source with a 0-second watermark
+(reference parity: max-seen watermark, zero slack) into memory sinks, then
+asserts equality with batch mode on the same data. A far-future sentinel
+event (separate user) advances the watermark so every real session/window
+finalizes — the reference needs the same trick to flush its last session
+windows on a finite stream (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_clickstream_processor_msk_spark.schema import CLICK_EVENT
+from flink_clickstream_processor_msk_spark.sources.clickevents import (
+    stream_clickevents,
+    with_event_time,
+)
+from flink_clickstream_processor_msk_spark.streaming.pipeline import build_streams
+from flink_clickstream_processor_msk_spark.streaming.sinks import memory_sink
+from helpers import BASE_TS, make_clickevents
+
+SENTINEL_USER = 999_999
+SENTINEL = {
+    "ts": BASE_TS + 10**9,  # ~11.5 days later: flushes every real window
+    "seq": 10**9,
+    "userid": SENTINEL_USER,
+    "event_type": "view",
+    "product_type": "sentinel",
+}
+
+EVENTS = [
+    # user 1, session A: view -> checkout (buy session)
+    {"ts": BASE_TS, "seq": 1, "userid": 1, "event_type": "view", "product_type": "books"},
+    {"ts": BASE_TS + 200, "seq": 2, "userid": 1, "event_type": "order_checkout", "product_type": "N/A"},
+    # user 1, session B (after >1s gap): plain browsing
+    {"ts": BASE_TS + 5_000, "seq": 3, "userid": 1, "event_type": "view", "product_type": "garden"},
+    # user 2, one session in a later 10s bucket
+    {"ts": BASE_TS + 20_000, "seq": 4, "userid": 2, "event_type": "view", "product_type": "books"},
+    SENTINEL,
+]
+
+
+@pytest.fixture(scope="module")
+def stream_results(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("stream-src"))
+    batch_df = make_clickevents(spark, EVENTS)
+    batch_df.select(*[f.name for f in CLICK_EVENT.fields]).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    streams = build_streams(stream_clickevents(spark, src, watermark="0 seconds"))
+    queries = [
+        memory_sink(streams.user_sessions, "s_user_sessions"),
+        memory_sink(streams.buy_sessions, "s_buy_sessions"),
+        memory_sink(streams.session_stats, "s_session_stats"),
+        memory_sink(streams.department_counts, "s_department_counts"),
+    ]
+    for q in queries:
+        q.processAllAvailable()
+    for q in queries:
+        q.stop()
+
+    batch = build_streams(with_event_time(batch_df))
+    yield spark, batch
+
+
+def _rows(spark, table_or_df, drop_sentinel_key):
+    df = (
+        spark.sql(f"SELECT * FROM {table_or_df}")
+        if isinstance(table_or_df, str)
+        else table_or_df
+    )
+    rows = [r.asDict() for r in df.collect()]
+    rows = [r for r in rows if not drop_sentinel_key(r)]
+    return sorted(
+        [tuple(sorted(r.items(), key=lambda kv: kv[0])) for r in rows],
+        key=lambda t: tuple(str(x) for x in t),
+    )
+
+
+def _canon(rows):
+    return [
+        tuple((k, tuple(v) if isinstance(v, list) else v) for k, v in r) for r in rows
+    ]
+
+
+@pytest.mark.parametrize(
+    "table, attr, is_sentinel",
+    [
+        ("s_user_sessions", "user_sessions", lambda r: r["userId"] == SENTINEL_USER),
+        ("s_buy_sessions", "buy_sessions", lambda r: r["userId"] == SENTINEL_USER),
+        (
+            "s_session_stats",
+            "session_stats",
+            lambda r: r["windowBeginTime"] > BASE_TS + 10**8,
+        ),
+        (
+            "s_department_counts",
+            "department_counts",
+            lambda r: r["departmentName"] == "sentinel",
+        ),
+    ],
+)
+def test_streaming_matches_batch(stream_results, table, attr, is_sentinel):
+    spark, batch = stream_results
+    got = _canon(_rows(spark, table, is_sentinel))
+    want = _canon(_rows(spark, getattr(batch, attr), is_sentinel))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_late_event_dropped_at_zero_watermark(spark, tmp_path_factory):
+    """An event behind the watermark must be dropped (zero-slack parity).
+
+    Two files replayed in order: the second contains an event whose session
+    window was already finalized by the first file's watermark — the
+    reference drops it (allowedLateness=0); so must we.
+    """
+    src = str(tmp_path_factory.mktemp("late-src"))
+    cols = [f.name for f in CLICK_EVENT.fields]
+    first = [
+        {"ts": BASE_TS, "seq": 1, "userid": 1, "event_type": "view", "product_type": "a"},
+        {"ts": BASE_TS + 60_000, "seq": 2, "userid": 2, "event_type": "view", "product_type": "b"},
+    ]
+    late = [
+        # lands inside user 1's already-closed session
+        {"ts": BASE_TS + 100, "seq": 3, "userid": 1, "event_type": "view", "product_type": "LATE"},
+        SENTINEL,
+    ]
+    make_clickevents(spark, first).select(*cols).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = stream_clickevents(spark, src, watermark="0 seconds", max_files_per_trigger=1)
+    sessions = build_streams(stream).user_sessions
+    q = memory_sink(sessions, "late_sessions")
+    q.processAllAvailable()
+    make_clickevents(spark, late).select(*cols).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    rows = [r.asDict() for r in spark.sql("SELECT * FROM late_sessions").collect()]
+    depts = {d for r in rows for d in r["deptList"]}
+    assert "LATE" not in depts  # late event silently dropped
+    assert {r["userId"] for r in rows} >= {1, 2}
