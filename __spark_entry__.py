@@ -19,7 +19,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from flink_clickstream_processor_msk_spark import oracles
+from flink_clickstream_processor_msk_spark import oracles, oracles_beyond
+from flink_clickstream_processor_msk_spark.operators import dedup, similarity, text
 from flink_clickstream_processor_msk_spark.operators.departments import (
     department_counts,
 )
@@ -74,6 +75,16 @@ def _q3(gap: str, window: str):
     return run
 
 
+def _on_table(table: str, op):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return op(spark.read.parquet(f"{sf_dir}/{table}.parquet"))
+
+    return run
+
+
+_QUERY_VEC_ID, _TOPK = 0, 10
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: Q1 user sessionization on /root/testdata/sf0.001."""
     return _q1(_GAP_1S)(spark, "/root/testdata/sf0.001")
@@ -90,6 +101,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_buy_sessions_30m": _q1_buy(_GAP_30M),
         "q2_session_stats_30m": _q2(_GAP_30M, _WIN_6H),
         "q3_department_counts_30m": _q3(_GAP_30M, _WIN_6H),
+        # text analysis (documents)
+        "text_stats": _on_table("documents", text.text_stats),
+        "language_id": _on_table("documents", text.language_id),
+        "fingerprints": _on_table("documents", text.fingerprints),
+        # dedup suite
+        "dedup_exact": _on_table("documents", dedup.exact_duplicates),
+        "dedup_minhash_jaccard": _on_table("documents", dedup.minhash_near_duplicates),
+        "dedup_simhash": _on_table("documents", dedup.simhash_near_duplicates),
+        "dedup_embedding_cosine": _on_table(
+            "embeddings", dedup.embedding_near_duplicates
+        ),
+        # similarity search (embeddings)
+        "sim_cosine_topk": _on_table(
+            "embeddings", lambda df: similarity.cosine_topk(df, _QUERY_VEC_ID, _TOPK)
+        ),
+        "sim_ann_lsh_topk": _on_table(
+            "embeddings", lambda df: similarity.ann_lsh_topk(df, _QUERY_VEC_ID, _TOPK)
+        ),
     }
 
 
@@ -102,4 +131,13 @@ def oracle_sql() -> dict[str, str]:
         "q1_buy_sessions_30m": oracles.q1_buy_sessions(_GAP_30M_MS),
         "q2_session_stats_30m": oracles.q2_session_stats(_GAP_30M_MS, _WIN_6H_MS),
         "q3_department_counts_30m": oracles.q3_department_counts(_GAP_30M_MS, _WIN_6H_MS),
+        "text_stats": oracles_beyond.text_stats(),
+        "language_id": oracles_beyond.language_id(),
+        "fingerprints": oracles_beyond.fingerprints(),
+        "dedup_exact": oracles_beyond.exact_duplicates(),
+        "dedup_minhash_jaccard": oracles_beyond.minhash_near_duplicates(),
+        "dedup_simhash": oracles_beyond.simhash_near_duplicates(),
+        "dedup_embedding_cosine": oracles_beyond.embedding_near_duplicates(),
+        "sim_cosine_topk": oracles_beyond.cosine_topk(_QUERY_VEC_ID, _TOPK),
+        "sim_ann_lsh_topk": oracles_beyond.ann_lsh_topk(_QUERY_VEC_ID, _TOPK),
     }

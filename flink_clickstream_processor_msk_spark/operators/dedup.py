@@ -1,0 +1,299 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §7.1 M6).
+
+Four families, each with the scale-path shape it needs at 100 TB:
+
+- exact: content-hash groupBy — one shuffle on a 60-bit hash, no text
+  comparison; map-side combine keeps the exchange tiny.
+- MinHash + LSH: shingle → signature → band buckets; the only shuffle keys
+  are (band, band_key), so candidate generation never compares all pairs
+  (O(n·bands) exploded rows, not O(n²)); exact Jaccard runs only on
+  band-collision candidates.
+- SimHash: 32-bit fingerprint, banded into 4 bytes — Hamming-distance
+  candidates via byte-equality buckets (same no-cross-join property).
+- embedding cosine: deterministic random-hyperplane LSH buckets, exact
+  cosine verification within buckets only.
+
+Every operator is pure Catalyst (no Python in the hot path) and every
+formula has an exact SQL twin in oracles_beyond.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_clickstream_processor_msk_spark.functions.hashing import (
+    H28_MOD,
+    MOD_P,
+    h28,
+    h60,
+    minhash_perm,
+    perm_coefficients,
+)
+from flink_clickstream_processor_msk_spark.operators.text import (
+    tokens,
+    word_shingles,
+)
+
+N_PERMS = 16
+N_BANDS = 4  # rows per band = N_PERMS // N_BANDS = 4
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 8 bits per band -> Hamming candidates
+JACCARD_THRESHOLD = 0.5
+COSINE_THRESHOLD = 0.30
+N_PLANES = 8
+
+
+# --- exact -----------------------------------------------------------------
+
+def exact_duplicates(documents: DataFrame) -> DataFrame:
+    """Exact dedup: keep the lowest doc_id per identical text.
+
+    Output: one row per distinct content (doc_id = representative,
+    group_size = #copies). ``group_size > 1`` rows are the duplicates.
+    """
+    return (
+        documents.groupBy(h60(F.col("text")).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).cast("int").alias("group_size"),
+        )
+        .select("doc_id", "content_hash", "group_size")
+    )
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+def shingle_hashes(documents: DataFrame) -> DataFrame:
+    """(doc_id, distinct shingle-hash array) — basis for MinHash & Jaccard."""
+    sh = word_shingles(tokens(F.col("text")))
+    return documents.select(
+        "doc_id",
+        F.array_distinct(F.transform(sh, lambda s: h28(s))).alias("shingles"),
+    )
+
+
+def minhash_signatures(documents: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
+    """MinHash signature per doc: for each affine permutation, the min over
+    the doc's shingle hashes. Computed as array expressions — no explode,
+    no shuffle."""
+    coeffs = perm_coefficients(n_perms)
+
+    def perm_fn(a: int, b: int):
+        return lambda h: minhash_perm(h, a, b)
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("shingles"), perm_fn(a, b)))
+            for a, b in coeffs
+        ]
+    )
+    return shingle_hashes(documents).select("doc_id", "shingles", sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_bands: int = N_BANDS, n_perms: int = N_PERMS
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs per band collision.
+
+    The shuffle key is (band_idx, band_key): docs only meet if an entire
+    band of their signatures agrees — the classic S-curve knob.
+    """
+    rows = n_perms // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.concat_ws(
+                    "-", *[F.col("signature")[i * rows + j] for j in range(rows)]
+                ).alias("band_key"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    banded = signatures.select(
+        "doc_id", F.explode(bands).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays."""
+    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+
+
+def minhash_near_duplicates(
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    n_perms: int = N_PERMS,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Full fuzzy-dedup pipeline: LSH candidates → exact-Jaccard verify."""
+    sigs = minhash_signatures(documents, n_perms)
+    pairs = lsh_candidate_pairs(sigs, n_bands, n_perms)
+    sets_ = sigs.select("doc_id", "shingles")
+    return (
+        pairs.join(sets_.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
+        .join(sets_.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, threshold: float = 0.0
+) -> DataFrame:
+    """Exact n-gram Jaccard over LSH candidates (threshold 0 = report all
+    candidate similarities — the audit view of the dedup decision)."""
+    return minhash_near_duplicates(documents, threshold=threshold)
+
+
+# --- SimHash ---------------------------------------------------------------
+
+def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash: sign of per-bit sums of token-hash contributions
+    (+1 when the token hash has the bit set, −1 otherwise), token
+    multiplicity included. Pure aggregate — one shuffle on doc_id... except
+    we don't even need that: the whole fold runs as array expressions."""
+    toks = tokens(F.col("text"))
+    word_h = F.transform(toks, lambda w: h60(w))
+
+    def vote_fn(i: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    bit_votes = [F.aggregate(word_h, F.lit(0), vote_fn(i)) for i in range(bits)]
+    fingerprint = None
+    for i, vote in enumerate(bit_votes):
+        term = F.when(vote > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return documents.select("doc_id", fingerprint.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    documents: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """Hamming-distance near-dups via byte-band buckets: a pair within
+    Hamming ≤ 3 of a 32-bit fingerprint must agree on ≥1 of 4 bytes
+    (pigeonhole), so banding loses nothing and avoids the cross join."""
+    sh = simhash(documents, bits)
+    band_width = bits // SIMHASH_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftright(F.col("simhash"), i * band_width)
+                .bitwiseAND(F.lit((1 << band_width) - 1))
+                .alias("band_val"),
+            )
+            for i in range(SIMHASH_BANDS)
+        ]
+    )
+    banded = sh.select("doc_id", "simhash", F.explode(bands).alias("band")).select(
+        "doc_id", "simhash", "band.band_idx", "band.band_val"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- embedding cosine ------------------------------------------------------
+
+def hyperplanes(n_planes: int = N_PLANES, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes, derivable by any engine:
+    component (p, d) = ((md5-hash60("plane:p:d") mod 2001) − 1000)/1000."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:15], 16)
+            row.append(((h % 2001) - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def _dot(vec: Column, lits: list[float]) -> Column:
+    arr = F.array(*[F.lit(x) for x in lits])
+    return F.aggregate(
+        F.zip_with(vec, arr, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def embedding_lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit p = (vec · plane_p >= 0)."""
+    bucket = None
+    for p, plane in enumerate(planes):
+        bit = F.when(_dot(vec, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
+def cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = COSINE_THRESHOLD,
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """Embedding near-dup pairs: same LSH bucket AND exact cosine ≥ t.
+
+    The bucket join is the scale path (vectors only meet within their
+    2^n_planes-way partition); cosine verification is exact, in doubles,
+    bit-identical to the SQL oracle.
+    """
+    planes = hyperplanes(n_planes, dim=64)
+    vec = F.col("embedding").cast("array<double>")
+    with_bucket = embeddings.select(
+        "vec_id", vec.alias("v"), embedding_lsh_bucket(vec, planes).alias("bucket")
+    )
+    a, b = with_bucket.alias("a"), with_bucket.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,117 @@
+"""Text analysis operators for training-data pipelines (SURVEY.md §7.1 M6).
+
+All pure Catalyst expressions (no UDFs): tokenization, quality scoring,
+language identification, and document fingerprinting run inside
+whole-stage codegen and scale linearly — no shuffle at all (per-row maps),
+so 100 TB is just more partitions.
+
+Operates on the ``documents`` table (doc_id, text, lang, source, n_chars).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_clickstream_processor_msk_spark.functions.hashing import h60
+
+#: whitespace tokenizer shared by every operator (empty tokens filtered so
+#: leading/trailing whitespace can't fabricate tokens)
+def tokens(text: Column) -> Column:
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+#: BPE-ish word/number/punctuation pieces (token-count proxy when no real
+#: tokenizer is available)
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: stopword profiles for language ID, priority order breaks score ties
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "los", "las", "y", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+SHINGLE_K = 3
+
+
+def word_shingles(words: Column, k: int = SHINGLE_K) -> Column:
+    """k-gram shingles of a token array (fewer than k tokens → the whole
+    text as one shingle)."""
+    n = F.size(words)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(words, i, k), " "),
+    )
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Token counts + quality features per document.
+
+    quality_score is a deterministic [0,1]-ish composite of stopword ratio,
+    alphabetic ratio and a length signal — the standard cheap pre-filter in
+    web-scale corpus cleaning (C4-style heuristics).
+    """
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_chars = F.length("text")
+    stop = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*LANG_PROFILES["en"]))
+    )
+    alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
+    return documents.select(
+        "doc_id",
+        n_tok.cast("int").alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
+        .cast("int")
+        .alias("bpe_tokens"),
+        n_chars.cast("int").alias("n_chars"),
+        (n_chars / n_tok).alias("avg_token_len"),
+        (stop / n_tok).alias("stopword_ratio"),
+        (alpha / n_chars).alias("alpha_ratio"),
+        (
+            (stop / n_tok) * 0.4
+            + (alpha / n_chars) * 0.4
+            + F.least(n_tok / F.lit(64.0), F.lit(1.0)) * 0.2
+        ).alias("quality_score"),
+    )
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Stopword-profile language ID (n-gram heuristic).
+
+    Scores each language profile by stopword hits; argmax wins, ties broken
+    by profile priority order; zero hits → 'und' (BCP-47 undetermined).
+    """
+    toks = tokens(F.lower(F.col("text")))
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*words)))
+        for lang, words in LANG_PROFILES.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # build the CASE chain in reverse priority so earlier langs win ties
+    for lang in reversed(list(LANG_PROFILES)):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    out = documents.select(
+        "doc_id",
+        *[scores[lang].cast("int").alias(f"score_{lang}") for lang in LANG_PROFILES],
+        pred.alias("predicted_lang"),
+    )
+    return out
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Rolling-hash document fingerprint: min/max 60-bit hash over word
+    3-gram shingles plus a whole-text content hash. Equal fingerprints ≈
+    heavily overlapping shingle sets (MinHash with one permutation)."""
+    sh = word_shingles(tokens(F.col("text")))
+    hashes = F.transform(sh, lambda s: h60(s))
+    return documents.select(
+        "doc_id",
+        F.array_min(hashes).alias("min_shingle_hash"),
+        F.array_max(hashes).alias("max_shingle_hash"),
+        h60(F.col("text")).alias("content_hash"),
+    )

@@ -1,0 +1,282 @@
+"""DuckDB SQL twins for the beyond-reference operators.
+
+Generated with the SAME literal constants (permutation coefficients,
+hyperplanes, stopword profiles) as the Spark operators import, so both
+sides evaluate identical formulas — md5-derived hashing and sequential
+double folds make the results bit-identical, not just approximately equal.
+"""
+
+from __future__ import annotations
+
+from flink_clickstream_processor_msk_spark.functions.hashing import (
+    H28_MOD,
+    MOD_P,
+    perm_coefficients,
+)
+from flink_clickstream_processor_msk_spark.operators.dedup import (
+    COSINE_THRESHOLD,
+    JACCARD_THRESHOLD,
+    N_BANDS,
+    N_PERMS,
+    N_PLANES,
+    SIMHASH_BANDS,
+    SIMHASH_BITS,
+    hyperplanes,
+)
+from flink_clickstream_processor_msk_spark.operators.text import (
+    BPE_ISH_PATTERN,
+    LANG_PROFILES,
+    SHINGLE_K,
+)
+
+_H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+_TOKENS = r"list_filter(regexp_split_to_array({x}, '\s+'), t -> t != '')"
+
+
+def _h60(x: str) -> str:
+    return _H60.format(x=x)
+
+
+def _shingles(words: str, k: int = SHINGLE_K) -> str:
+    return (
+        f"[array_to_string({words}[i:i+{k - 1}], ' ') "
+        f"for i in range(1, greatest(len({words}) - {k - 1}, 1) + 1)]"
+    )
+
+
+def text_stats() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
+    return f"""
+WITH toks AS (
+  SELECT doc_id, text, {_TOKENS.format(x="text")} AS w FROM documents
+)
+SELECT doc_id,
+  CAST(len(w) AS INTEGER)                                   AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS INTEGER) AS bpe_tokens,
+  CAST(length(text) AS INTEGER)                             AS n_chars,
+  length(text) / len(w)                                     AS avg_token_len,
+  len(list_filter(w, t -> lower(t) IN ({stop_list}))) / len(w) AS stopword_ratio,
+  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text) AS alpha_ratio,
+  (len(list_filter(w, t -> lower(t) IN ({stop_list}))) / len(w)) * 0.4
+   + (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text)) * 0.4
+   + least(len(w) / 64.0, 1.0) * 0.2                        AS quality_score
+FROM toks
+"""
+
+
+def language_id() -> str:
+    scores = {
+        lang: f"len(list_filter(w, t -> t IN ({', '.join(repr(x) for x in words)})))"
+        for lang, words in LANG_PROFILES.items()
+    }
+    score_cols = ",\n  ".join(
+        f"CAST({expr} AS INTEGER) AS score_{lang}" for lang, expr in scores.items()
+    )
+    langs = list(LANG_PROFILES)
+    best = f"greatest({', '.join('score_' + lang for lang in langs)})"
+    whens = " ".join(f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS.format(x="lower(text)")} AS w FROM documents
+),
+scored AS (
+  SELECT doc_id,
+  {score_cols}
+  FROM toks
+)
+SELECT doc_id, {', '.join('score_' + lang for lang in langs)},
+  CASE WHEN {best} = 0 THEN 'und' {whens} END AS predicted_lang
+FROM scored
+"""
+
+
+def fingerprints() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, text, {_TOKENS.format(x="text")} AS w FROM documents
+),
+sh AS (
+  SELECT doc_id, text, {_shingles("w")} AS shingles FROM toks
+)
+SELECT doc_id,
+  list_min(list_transform(shingles, s -> {_h60("s")})) AS min_shingle_hash,
+  list_max(list_transform(shingles, s -> {_h60("s")})) AS max_shingle_hash,
+  {_h60("text")} AS content_hash
+FROM sh
+"""
+
+
+def exact_duplicates() -> str:
+    return f"""
+SELECT min(doc_id) AS doc_id, content_hash, CAST(count(*) AS INTEGER) AS group_size
+FROM (SELECT doc_id, {_h60("text")} AS content_hash FROM documents)
+GROUP BY content_hash
+"""
+
+
+def _signature_sql() -> tuple[str, str]:
+    """CTEs computing (doc_id, shingles28 list, s0..s15 signature cols)."""
+    coeffs = perm_coefficients(N_PERMS)
+    sig_cols = ",\n  ".join(
+        f"list_min(list_transform(shingles, h -> ({a} * h + {b}) % {MOD_P})) AS s{j}"
+        for j, (a, b) in enumerate(coeffs)
+    )
+    ctes = f"""
+toks AS (
+  SELECT doc_id, {_TOKENS.format(x="text")} AS w FROM documents
+),
+shset AS (
+  SELECT doc_id,
+    list_distinct(list_transform({_shingles("w")},
+                                 s -> {_h60("s")} % {H28_MOD})) AS shingles
+  FROM toks
+),
+sigs AS (
+  SELECT doc_id, shingles,
+  {sig_cols}
+  FROM shset
+)"""
+    return ctes, "sigs"
+
+
+def _banded_sql() -> str:
+    rows = N_PERMS // N_BANDS
+    selects = []
+    for i in range(N_BANDS):
+        cols = ", ".join(f"s{i * rows + j}" for j in range(rows))
+        selects.append(
+            f"SELECT doc_id, {i} AS band_idx, concat_ws('-', {cols}) AS band_key FROM sigs"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+def minhash_near_duplicates(threshold: float = JACCARD_THRESHOLD) -> str:
+    ctes, _ = _signature_sql()
+    return f"""
+WITH {ctes.strip()},
+banded AS (
+  {_banded_sql()}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+  len(list_intersect(sa.shingles, sb.shingles))
+    / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+FROM pairs
+JOIN sigs sa ON sa.doc_id = doc_a
+JOIN sigs sb ON sb.doc_id = doc_b
+WHERE len(list_intersect(sa.shingles, sb.shingles))
+    / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= {threshold}
+"""
+
+
+def simhash_near_duplicates(max_hamming: int = 3) -> str:
+    votes = ",\n  ".join(
+        f"list_sum(list_transform(wh, h -> CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) AS v{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(SIMHASH_BITS)
+    )
+    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {i} AS band_idx, "
+        f"(simhash >> {i * band_width}) & {(1 << band_width) - 1} AS band_val FROM fp"
+        for i in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_transform({_TOKENS.format(x="text")}, t -> {_h60("t")}) AS wh
+  FROM documents
+),
+votes AS (
+  SELECT doc_id,
+  {votes}
+  FROM toks
+),
+fp AS (
+  SELECT doc_id, {fp} AS simhash FROM votes
+),
+banded AS (
+  {bands}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM banded a JOIN banded b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+def _plane_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+def _bucket_expr(vec: str, planes: list[list[float]]) -> str:
+    terms = []
+    for p, plane in enumerate(planes):
+        dot = (
+            f"list_sum(list_transform(range(1, {len(plane)} + 1), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({_plane_literal(plane)})[i]))"
+        )
+        terms.append(f"CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS INTEGER)"
+
+
+_COS = (
+    "list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+
+def embedding_near_duplicates(threshold: float = COSINE_THRESHOLD) -> str:
+    planes = hyperplanes(N_PLANES, dim=64)
+    cos = _COS.format(a="a.embedding", b="b.embedding")
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_bucket_expr("embedding", planes)} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}
+"""
+
+
+def cosine_topk(query_vec_id: int, k: int) -> str:
+    cos = _COS.format(a="e.embedding", b="q.embedding")
+    return f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = {query_vec_id})
+SELECT e.vec_id, {cos} AS cosine
+FROM embeddings e, q
+WHERE e.vec_id != {query_vec_id}
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT {k}
+"""
+
+
+def ann_lsh_topk(query_vec_id: int, k: int, probe_hamming: int = 1) -> str:
+    planes = hyperplanes(N_PLANES, dim=64)
+    cos = _COS.format(a="e.embedding", b="q.embedding")
+    return f"""
+WITH q AS (
+  SELECT embedding, {_bucket_expr("embedding", planes)} AS bucket
+  FROM embeddings WHERE vec_id = {query_vec_id}
+),
+bucketed AS (
+  SELECT vec_id, embedding, {_bucket_expr("embedding", planes)} AS bucket
+  FROM embeddings WHERE vec_id != {query_vec_id}
+)
+SELECT e.vec_id, {cos} AS cosine
+FROM bucketed e, q
+WHERE bit_count(xor(CAST(e.bucket AS BIGINT), CAST(q.bucket AS BIGINT))) <= {probe_hamming}
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT {k}
+"""

@@ -1,0 +1,116 @@
+"""Crafted-input tests for the training-data-pipeline operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_clickstream_processor_msk_spark.operators import dedup, similarity, text
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_exact_duplicates_groups_identical_texts(spark):
+    df = _docs(spark, ["alpha beta gamma", "other text", "alpha beta gamma"])
+    rows = {r["doc_id"]: r["group_size"] for r in dedup.exact_duplicates(df).collect()}
+    assert rows == {0: 2, 1: 1}  # doc 2 deduped into doc 0's group
+
+
+def test_minhash_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    near = base.replace("lazy", "sleepy", 1)  # one-word edit -> high jaccard
+    far = "completely different content about spark query engines at scale"
+    df = _docs(spark, [base, near, far])
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_near_duplicates(df).collect()
+    }
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)] > 0.5
+    assert all(2 not in p for p in pairs)
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    df = _docs(spark, ["spark and flink process streams", "spark and flink process streams"])
+    rows = dedup.simhash_near_duplicates(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["hamming"] == 0
+
+
+def test_simhash_value_deterministic(spark):
+    df = _docs(spark, ["hello world"])
+    v1 = dedup.simhash(df).first()["simhash"]
+    v2 = dedup.simhash(df).first()["simhash"]
+    assert v1 == v2
+    assert 0 <= v1 < 2**32
+
+
+def _embeddings(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    d = 64
+    q = [1.0] + [0.0] * (d - 1)
+    close = [0.9, 0.1] + [0.0] * (d - 2)
+    orth = [0.0, 1.0] + [0.0] * (d - 2)
+    anti = [-1.0] + [0.0] * (d - 1)
+    df = _embeddings(spark, [q, close, orth, anti])
+    rows = similarity.cosine_topk(df, query_vec_id=0, k=3).collect()
+    assert [r["vec_id"] for r in rows] == [1, 2, 3]
+    assert rows[0]["cosine"] > 0.99 * (0.9 / (0.81 + 0.01) ** 0.5)
+    assert abs(rows[1]["cosine"]) < 1e-12
+    assert rows[2]["cosine"] == -1.0
+
+
+def test_ann_probes_subset_of_exact(spark):
+    """ANN results must be a subset of brute-force scores (same scoring)."""
+    import random
+
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-0.5, 0.5) for _ in range(64)] for _ in range(50)]
+    df = _embeddings(spark, vecs)
+    exact = {r["vec_id"]: r["cosine"] for r in similarity.cosine_topk(df, 0, k=49).collect()}
+    ann = similarity.ann_lsh_topk(df, 0, k=10).collect()
+    assert len(ann) > 0
+    for r in ann:
+        assert r["cosine"] == exact[r["vec_id"]]
+
+
+def test_text_stats_values(spark):
+    df = _docs(spark, ["The quick fox. A lazy dog!"])
+    r = text.text_stats(df).first()
+    assert r["ws_tokens"] == 6
+    # words: The|quick|fox|.|A|lazy|dog|! -> 6 alpha pieces + 2 punct
+    assert r["bpe_tokens"] == 8
+    assert r["stopword_ratio"] == 2 / 6  # 'The', 'A'
+    assert 0 < r["quality_score"] < 1
+
+
+def test_language_id_profiles(spark):
+    df = _docs(
+        spark,
+        [
+            "the cat and the hat is a story",
+            "der hund und die katze ist hier",
+            "le chat et la maison est grande",
+            "xyzzy plugh qwerty",
+        ],
+    )
+    rows = {r["doc_id"]: r["predicted_lang"] for r in text.language_id(df).collect()}
+    assert rows == {0: "en", 1: "de", 2: "fr", 3: "und"}
+
+
+def test_fingerprint_stable_and_content_sensitive(spark):
+    df = _docs(spark, ["one two three four", "one two three four", "five six seven eight"])
+    rows = {r["doc_id"]: r for r in text.fingerprints(df).collect()}
+    assert rows[0]["content_hash"] == rows[1]["content_hash"]
+    assert rows[0]["min_shingle_hash"] == rows[1]["min_shingle_hash"]
+    assert rows[0]["content_hash"] != rows[2]["content_hash"]
