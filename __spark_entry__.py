@@ -20,7 +20,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_clickstream_processor_msk_spark import oracles, oracles_beyond
-from flink_clickstream_processor_msk_spark.operators import dedup, similarity, text
+from flink_clickstream_processor_msk_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
 from flink_clickstream_processor_msk_spark.operators.departments import (
     department_counts,
 )
@@ -119,6 +124,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh_topk": _on_table(
             "embeddings", lambda df: similarity.ann_lsh_topk(df, _QUERY_VEC_ID, _TOPK)
         ),
+        # multimodal columns (binary payloads + pandas-UDF compute)
+        "multimodal_byte_stats": _on_table(
+            "documents", lambda df: multimodal.byte_stats(multimodal.attach_media(df))
+        ),
+        "multimodal_features_ann": _on_table(
+            "documents",
+            lambda df: similarity.cosine_topk(
+                multimodal.media_features(multimodal.attach_media(df)),
+                _QUERY_VEC_ID,
+                _TOPK,
+            ),
+        ),
     }
 
 
@@ -140,4 +157,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": oracles_beyond.embedding_near_duplicates(),
         "sim_cosine_topk": oracles_beyond.cosine_topk(_QUERY_VEC_ID, _TOPK),
         "sim_ann_lsh_topk": oracles_beyond.ann_lsh_topk(_QUERY_VEC_ID, _TOPK),
+        "multimodal_byte_stats": oracles_beyond.multimodal_byte_stats(),
+        "multimodal_features_ann": oracles_beyond.multimodal_features_ann(
+            _QUERY_VEC_ID, _TOPK
+        ),
     }

@@ -1,0 +1,183 @@
+"""Multimodal (image/audio/video) column support (SURVEY.md §7.1 M6).
+
+Design for 100 TB: media travels as an opaque ``binary`` payload column plus
+a typed metadata struct; all per-item compute is Arrow-batched Python
+(``mapInPandas`` / pandas UDFs) so payload bytes never round-trip through
+row-at-a-time pickling, and nothing ever collects to the driver. Partition
+sizing is the only knob that matters: payloads are large, so operators here
+should run after ``repartition`` sized to keep a batch's payload bytes in
+executor memory.
+
+The container has no image/audio codecs, so the *decode* step is stubbed:
+:func:`decode_image` raises ``NotImplementedError`` unless a real decoder
+(PIL) is importable, and :func:`fake_decode_meta` provides a deterministic
+stand-in so the full pipeline (schema → batches → features → ANN) is
+testable end-to-end. The Spark-side plumbing — schemas, batch shapes, UDF
+signatures — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: metadata struct carried alongside every payload
+MEDIA_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("meta", MEDIA_META, False),
+    ]
+)
+
+N_FEATURES = 16
+
+
+def attach_media(documents: DataFrame, media_type: str = "image") -> DataFrame:
+    """Derive an opaque media table from ``documents`` (payload = UTF-8
+    bytes of the text — a deterministic stand-in for real image bytes; in
+    production this column comes from the object store)."""
+    return documents.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit("raw").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def byte_stats(media: DataFrame) -> DataFrame:
+    """Per-payload stats via mapInPandas (Arrow-batched; the payload column
+    reaches Python as bytes objects inside a pandas batch)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len),
+                    "n_distinct_bytes": payloads.map(lambda b: len(set(b))),
+                    "payload_md5": payloads.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                }
+            )
+
+    return media.mapInPandas(
+        stats,
+        schema="doc_id long, n_bytes int, n_distinct_bytes int, payload_md5 string",
+    )
+
+
+def media_features(media: DataFrame, n_features: int = N_FEATURES) -> DataFrame:
+    """Feature extraction: normalized byte-histogram embedding (the
+    deterministic stand-in for a real vision/audio encoder). Output plugs
+    straight into operators.similarity / operators.dedup."""
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def featurize(payloads: pd.Series) -> pd.Series:
+        def vec(b: bytes) -> list[float]:
+            counts = [0] * n_features
+            for byte in bytes(b):
+                counts[byte % n_features] += 1
+            total = float(len(b)) or 1.0
+            return [c / total for c in counts]
+
+        return payloads.map(vec)
+
+    return media.select(
+        F.col("doc_id").alias("vec_id"),
+        featurize("payload").alias("embedding"),
+        F.lit(0).alias("label"),
+    )
+
+
+def fake_decode_meta(media: DataFrame) -> DataFrame:
+    """Deterministic fake decode: fills width/height from the payload hash
+    (stands in for a real decoder so downstream schema contracts are
+    exercised)."""
+    h = F.conv(F.substring(F.md5("payload"), 1, 8), 16, 10).cast("long")
+    return media.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.media_type"),
+            F.col("meta.format"),
+            (h % 1920 + 1).cast("int").alias("width"),
+            (F.shiftright(h, 8) % 1080 + 1).cast("int").alias("height"),
+            F.col("meta.sample_rate"),
+            F.col("meta.duration_ms"),
+        ),
+    )
+
+
+def decode_image(media: DataFrame) -> DataFrame:
+    """Real image decode — requires an image codec, which this environment
+    does not ship. Raises unless PIL is importable; see fake_decode_meta
+    for the deterministic test stand-in."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "image decoding requires PIL/pillow, not available in this "
+            "environment; use fake_decode_meta for pipeline testing"
+        ) from exc
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+        import io
+
+        import PIL.Image as Image
+
+        for pdf in batches:
+            sizes = pdf["payload"].map(lambda b: Image.open(io.BytesIO(b)).size)
+            out = pdf[["doc_id"]].copy()
+            out["width"] = sizes.map(lambda s: s[0])
+            out["height"] = sizes.map(lambda s: s[1])
+            yield out
+
+    return media.mapInPandas(decode, schema="doc_id long, width int, height int")
+
+
+def frame_sample(media: DataFrame, frame_bytes: int = 64, every_n: int = 4) -> DataFrame:
+    """Video-ish frame sampling: split each payload into fixed-size chunks
+    ("frames") and keep every n-th — demonstrates the 1→N batch shape
+    (mapInPandas emitting multiple rows per input row)."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                frames = [
+                    raw[i : i + frame_bytes]
+                    for i in range(0, len(raw), frame_bytes)
+                ]
+                for idx in range(0, len(frames), every_n):
+                    rows.append((doc_id, idx, frames[idx]))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame"])
+
+    return media.mapInPandas(
+        sample, schema="doc_id long, frame_idx int, frame binary"
+    )

@@ -250,6 +250,42 @@ WHERE {cos} >= {threshold}
 """
 
 
+def multimodal_byte_stats() -> str:
+    """Oracle for operators.multimodal.byte_stats over attach_media(documents).
+
+    The corpus is ASCII, so bytes == characters: md5(text) equals the md5 of
+    the UTF-8 payload and per-character distinct counts equal distinct bytes.
+    """
+    return """
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+  CAST(len(list_distinct([text[i] for i in range(1, length(text) + 1)]))
+       AS INTEGER)                            AS n_distinct_bytes,
+  md5(text)                                   AS payload_md5
+FROM documents
+"""
+
+
+def multimodal_features_ann(query_doc_id: int, k: int, n_features: int = 16) -> str:
+    """Oracle for the media pipeline: byte-histogram features → cosine top-k."""
+    feat = (
+        f"[len(list_filter([unicode(text[i]) for i in range(1, length(text) + 1)], "
+        f"c -> c % {n_features} = k)) / length(text) for k in range(0, {n_features})]"
+    )
+    cos = _COS.format(a="e.f", b="q.f").replace("range(1, 65)", f"range(1, {n_features + 1})")
+    return f"""
+WITH feats AS (
+  SELECT doc_id AS vec_id, {feat} AS f FROM documents
+),
+q AS (SELECT f FROM feats WHERE vec_id = {query_doc_id})
+SELECT e.vec_id, {cos} AS cosine
+FROM feats e, q
+WHERE e.vec_id != {query_doc_id}
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT {k}
+"""
+
+
 def cosine_topk(query_vec_id: int, k: int) -> str:
     cos = _COS.format(a="e.embedding", b="q.embedding")
     return f"""
