@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup suite
         "dedup_exact": _on_table("documents", dedup.exact_duplicates),
         "dedup_minhash_jaccard": _on_table("documents", dedup.minhash_near_duplicates),
+        "dedup_ngram_jaccard": _on_table("documents", dedup.ngram_jaccard_near_duplicates),
         "dedup_simhash": _on_table("documents", dedup.simhash_near_duplicates),
         "dedup_embedding_cosine": _on_table(
             "embeddings", dedup.embedding_near_duplicates
@@ -153,6 +154,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": oracles_beyond.fingerprints(),
         "dedup_exact": oracles_beyond.exact_duplicates(),
         "dedup_minhash_jaccard": oracles_beyond.minhash_near_duplicates(),
+        "dedup_ngram_jaccard": oracles_beyond.ngram_jaccard_near_duplicates(),
         "dedup_simhash": oracles_beyond.simhash_near_duplicates(),
         "dedup_embedding_cosine": oracles_beyond.embedding_near_duplicates(),
         "sim_cosine_topk": oracles_beyond.cosine_topk(_QUERY_VEC_ID, _TOPK),

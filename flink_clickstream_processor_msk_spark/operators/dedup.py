@@ -23,6 +23,7 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from flink_clickstream_processor_msk_spark.functions.hashing import (
     H28_MOD,
@@ -44,6 +45,18 @@ SIMHASH_BANDS = 4  # 8 bits per band -> Hamming candidates
 JACCARD_THRESHOLD = 0.5
 COSINE_THRESHOLD = 0.30
 N_PLANES = 8
+
+
+def _materialized(df: DataFrame) -> DataFrame:
+    """Mark a derived table for reuse across join branches.
+
+    Candidate-pair self-joins and verification joins reference the
+    signature/fingerprint table 2–4×; without materialization Spark
+    recomputes the full hash pipeline from the scan per branch (broadcast
+    joins leave no exchange to reuse). At 100 TB the equivalent step is
+    writing the signature table to storage between the two passes; within
+    one job, a spillable persist is that materialization."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 # --- exact -----------------------------------------------------------------
@@ -75,10 +88,13 @@ def shingle_hashes(documents: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(documents: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
-    """MinHash signature per doc: for each affine permutation, the min over
-    the doc's shingle hashes. Computed as array expressions — no explode,
-    no shuffle."""
+def _signatures_from_sets(
+    sets_: DataFrame, feats_col: str = "shingles", n_perms: int = N_PERMS
+) -> DataFrame:
+    """MinHash signature per doc over any distinct-hash feature array
+    (word shingles, char n-grams, …): for each affine permutation, the min
+    over the doc's feature hashes. Computed as array expressions — no
+    explode, no shuffle."""
     coeffs = perm_coefficients(n_perms)
 
     def perm_fn(a: int, b: int):
@@ -86,11 +102,16 @@ def minhash_signatures(documents: DataFrame, n_perms: int = N_PERMS) -> DataFram
 
     sig = F.array(
         *[
-            F.array_min(F.transform(F.col("shingles"), perm_fn(a, b)))
+            F.array_min(F.transform(F.col(feats_col), perm_fn(a, b)))
             for a, b in coeffs
         ]
     )
-    return shingle_hashes(documents).select("doc_id", "shingles", sig.alias("signature"))
+    return sets_.select("doc_id", feats_col, sig.alias("signature"))
+
+
+def minhash_signatures(documents: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
+    """MinHash signatures over word-3-gram shingle sets."""
+    return _signatures_from_sets(shingle_hashes(documents), "shingles", n_perms)
 
 
 def lsh_candidate_pairs(
@@ -141,27 +162,66 @@ def minhash_near_duplicates(
     n_bands: int = N_BANDS,
 ) -> DataFrame:
     """Full fuzzy-dedup pipeline: LSH candidates → exact-Jaccard verify."""
-    sigs = minhash_signatures(documents, n_perms)
-    pairs = lsh_candidate_pairs(sigs, n_bands, n_perms)
-    sets_ = sigs.select("doc_id", "shingles")
-    return (
-        pairs.join(sets_.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
-        .join(sets_.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    return _lsh_verified_pairs(
+        shingle_hashes(documents), "jaccard", threshold, n_perms, n_bands
     )
 
 
-def ngram_jaccard_pairs(
-    documents: DataFrame, threshold: float = 0.0
+def _lsh_verified_pairs(
+    sets_: DataFrame,
+    sim_col: str,
+    threshold: float,
+    n_perms: int = N_PERMS,
+    n_bands: int = N_BANDS,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over LSH candidates (threshold 0 = report all
-    candidate similarities — the audit view of the dedup decision)."""
-    return minhash_near_duplicates(documents, threshold=threshold)
+    """Shared fuzzy-dedup scaffold: MinHash-LSH candidates over a
+    (doc_id, shingles) feature-set frame, then exact-Jaccard verification
+    of candidates only. At 100 TB the only shuffles are the band-bucket
+    join and the two feature-set joins — never an all-pairs compare."""
+    sigs = _materialized(_signatures_from_sets(sets_, "shingles", n_perms))
+    pairs = lsh_candidate_pairs(sigs, n_bands, n_perms)
+    feats = sigs.select("doc_id", "shingles")
+    return (
+        pairs.join(feats.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
+        .join(feats.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            jaccard(F.col("sh_a"), F.col("sh_b")).alias(sim_col),
+        )
+        .filter(F.col(sim_col) >= threshold)
+    )
+
+
+NGRAM_N = 5
+NGRAM_JACCARD_THRESHOLD = 0.35
+
+
+def char_ngram_hashes(documents: DataFrame, n: int = NGRAM_N) -> DataFrame:
+    """(doc_id, distinct char-n-gram 28-bit hash array). Character n-grams
+    are the tokenizer-free dedup feature space — robust to whitespace and
+    punctuation edits that break word shingles."""
+    txt = F.col("text")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(txt) - F.lit(n - 1), F.lit(1))),
+        lambda i: txt.substr(i, F.lit(n)),
+    )
+    return documents.select(
+        "doc_id",
+        F.array_distinct(F.transform(grams, lambda g: h28(g))).alias("shingles"),
+    )
+
+
+def ngram_jaccard_near_duplicates(
+    documents: DataFrame,
+    n: int = NGRAM_N,
+    threshold: float = NGRAM_JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Char-n-gram Jaccard near-dups: MinHash-LSH candidates over the
+    n-gram sets, exact n-gram Jaccard verification."""
+    return _lsh_verified_pairs(
+        char_ngram_hashes(documents, n), "ngram_jaccard", threshold
+    )
 
 
 # --- SimHash ---------------------------------------------------------------
@@ -169,22 +229,41 @@ def ngram_jaccard_pairs(
 def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """Per-doc SimHash: sign of per-bit sums of token-hash contributions
     (+1 when the token hash has the bit set, −1 otherwise), token
-    multiplicity included. Pure aggregate — one shuffle on doc_id... except
-    we don't even need that: the whole fold runs as array expressions."""
+    multiplicity included.
+
+    Single fold over the token-hash array with an array-of-bit-counts
+    accumulator (vote_i > 0 ⇔ 2·count_i > n_tokens), so each token is
+    hashed once and the array is traversed once — not once per bit.
+    Pure codegen expressions, zero shuffle."""
     toks = tokens(F.col("text"))
     word_h = F.transform(toks, lambda w: h60(w))
+    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
 
-    def vote_fn(i: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    bit_votes = [F.aggregate(word_h, F.lit(0), vote_fn(i)) for i in range(bits)]
-    fingerprint = None
-    for i, vote in enumerate(bit_votes):
-        term = F.when(vote > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
-        fingerprint = term if fingerprint is None else fingerprint + term
-    return documents.select("doc_id", fingerprint.alias("simhash"))
+    counts = F.aggregate(
+        word_h,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda c, m: c
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(0)),
+        ),
+    )
+    staged = documents.select(
+        "doc_id", F.size(toks).alias("n_toks"), counts.alias("bit_counts")
+    )
+    fingerprint = F.aggregate(
+        F.zip_with(
+            F.col("bit_counts"),
+            masks,
+            lambda c, m: F.when(c * 2 > F.col("n_toks"), m).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return staged.select("doc_id", fingerprint.alias("simhash"))
 
 
 def simhash_near_duplicates(
@@ -193,7 +272,7 @@ def simhash_near_duplicates(
     """Hamming-distance near-dups via byte-band buckets: a pair within
     Hamming ≤ 3 of a 32-bit fingerprint must agree on ≥1 of 4 bytes
     (pigeonhole), so banding loses nothing and avoids the cross join."""
-    sh = simhash(documents, bits)
+    sh = _materialized(simhash(documents, bits))
     band_width = bits // SIMHASH_BANDS
     bands = F.array(
         *[
@@ -280,8 +359,10 @@ def embedding_near_duplicates(
     """
     planes = hyperplanes(n_planes, dim=64)
     vec = F.col("embedding").cast("array<double>")
-    with_bucket = embeddings.select(
-        "vec_id", vec.alias("v"), embedding_lsh_bucket(vec, planes).alias("bucket")
+    with_bucket = _materialized(
+        embeddings.select(
+            "vec_id", vec.alias("v"), embedding_lsh_bucket(vec, planes).alias("bucket")
+        )
     )
     a, b = with_bucket.alias("a"), with_bucket.alias("b")
     return (

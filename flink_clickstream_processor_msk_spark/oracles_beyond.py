@@ -19,6 +19,8 @@ from flink_clickstream_processor_msk_spark.operators.dedup import (
     N_BANDS,
     N_PERMS,
     N_PLANES,
+    NGRAM_JACCARD_THRESHOLD,
+    NGRAM_N,
     SIMHASH_BANDS,
     SIMHASH_BITS,
     hyperplanes,
@@ -114,14 +116,9 @@ GROUP BY content_hash
 """
 
 
-def _signature_sql() -> tuple[str, str]:
-    """CTEs computing (doc_id, shingles28 list, s0..s15 signature cols)."""
-    coeffs = perm_coefficients(N_PERMS)
-    sig_cols = ",\n  ".join(
-        f"list_min(list_transform(shingles, h -> ({a} * h + {b}) % {MOD_P})) AS s{j}"
-        for j, (a, b) in enumerate(coeffs)
-    )
-    ctes = f"""
+def _word_shingle_shset_cte() -> str:
+    """CTEs ending in shset(doc_id, shingles): word-3-gram 28-bit hash sets."""
+    return f"""
 toks AS (
   SELECT doc_id, {_TOKENS.format(x="text")} AS w FROM documents
 ),
@@ -130,7 +127,31 @@ shset AS (
     list_distinct(list_transform({_shingles("w")},
                                  s -> {_h60("s")} % {H28_MOD})) AS shingles
   FROM toks
-),
+)"""
+
+
+def _char_ngram_shset_cte(n: int) -> str:
+    """CTEs ending in shset(doc_id, shingles): char-n-gram 28-bit hash sets."""
+    grams = f"[substr(text, i, {n}) for i in range(1, greatest(length(text) - {n - 1}, 1) + 1)]"
+    return f"""
+shset AS (
+  SELECT doc_id,
+    list_distinct(list_transform({grams}, g -> {_h60("g")} % {H28_MOD})) AS shingles
+  FROM documents
+)"""
+
+
+def _signature_sql(shset_ctes: str | None = None) -> tuple[str, str]:
+    """CTEs computing (doc_id, shingles28 list, s0..s15 signature cols)."""
+    coeffs = perm_coefficients(N_PERMS)
+    sig_cols = ",\n  ".join(
+        f"list_min(list_transform(shingles, h -> ({a} * h + {b}) % {MOD_P})) AS s{j}"
+        for j, (a, b) in enumerate(coeffs)
+    )
+    if shset_ctes is None:
+        shset_ctes = _word_shingle_shset_cte()
+    ctes = f"""
+{shset_ctes.strip()},
 sigs AS (
   SELECT doc_id, shingles,
   {sig_cols}
@@ -150,8 +171,14 @@ def _banded_sql() -> str:
     return "\nUNION ALL\n".join(selects)
 
 
-def minhash_near_duplicates(threshold: float = JACCARD_THRESHOLD) -> str:
-    ctes, _ = _signature_sql()
+def _lsh_verified_sql(shset_ctes: str, sim_name: str, threshold: float) -> str:
+    """Shared SQL twin of dedup._lsh_verified_pairs: band-bucket candidate
+    pairs over any shset(doc_id, shingles) CTE chain, exact-Jaccard verify."""
+    ctes, _ = _signature_sql(shset_ctes)
+    jac = (
+        "len(list_intersect(sa.shingles, sb.shingles))"
+        " / len(list_distinct(list_concat(sa.shingles, sb.shingles)))"
+    )
     return f"""
 WITH {ctes.strip()},
 banded AS (
@@ -164,14 +191,22 @@ pairs AS (
    AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b,
-  len(list_intersect(sa.shingles, sb.shingles))
-    / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+  {jac} AS {sim_name}
 FROM pairs
 JOIN sigs sa ON sa.doc_id = doc_a
 JOIN sigs sb ON sb.doc_id = doc_b
-WHERE len(list_intersect(sa.shingles, sb.shingles))
-    / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= {threshold}
+WHERE {jac} >= {threshold}
 """
+
+
+def minhash_near_duplicates(threshold: float = JACCARD_THRESHOLD) -> str:
+    return _lsh_verified_sql(_word_shingle_shset_cte(), "jaccard", threshold)
+
+
+def ngram_jaccard_near_duplicates(
+    n: int = NGRAM_N, threshold: float = NGRAM_JACCARD_THRESHOLD
+) -> str:
+    return _lsh_verified_sql(_char_ngram_shset_cte(n), "ngram_jaccard", threshold)
 
 
 def simhash_near_duplicates(max_hamming: int = 3) -> str:

@@ -34,6 +34,29 @@ def test_minhash_finds_near_duplicates(spark):
     assert all(2 not in p for p in pairs)
 
 
+def test_ngram_jaccard_robust_to_whitespace_edits(spark):
+    # word shingles break when spacing/punctuation shifts; char n-grams don't
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    respaced = base.replace(" lazy ", "  lazy ", 1)
+    far = "completely different content about spark query engines at scale"
+    df = _docs(spark, [base, respaced, far])
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["ngram_jaccard"]
+        for r in dedup.ngram_jaccard_near_duplicates(df).collect()
+    }
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)] > 0.8
+    assert all(2 not in p for p in pairs)
+
+
+def test_char_ngram_hashes_distinct_and_nonempty(spark):
+    df = _docs(spark, ["abcdefg", "ab"])  # shorter than n -> whole text
+    rows = {r["doc_id"]: r["shingles"] for r in dedup.char_ngram_hashes(df).collect()}
+    assert len(rows[0]) == 3  # abcde, bcdef, cdefg
+    assert len(set(rows[0])) == len(rows[0])
+    assert len(rows[1]) == 1
+
+
 def test_simhash_identical_docs_distance_zero(spark):
     df = _docs(spark, ["spark and flink process streams", "spark and flink process streams"])
     rows = dedup.simhash_near_duplicates(df).collect()
