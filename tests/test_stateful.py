@@ -1,0 +1,140 @@
+"""applyInPandasWithState sessionizer vs the built-in session_window path.
+
+Both implement the Q1 semantics (UserAggregate.java:17-38); replaying the
+same events through each must give identical UserIdSessionEvent rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_clickstream_processor_msk_spark.operators.sessionize import (
+    drop_internal,
+    sessionize,
+)
+from flink_clickstream_processor_msk_spark.schema import CLICK_EVENT
+from flink_clickstream_processor_msk_spark.sources.clickevents import (
+    stream_clickevents,
+    with_event_time,
+)
+from flink_clickstream_processor_msk_spark.streaming.sinks import memory_sink
+from flink_clickstream_processor_msk_spark.streaming.stateful import (
+    gap_to_millis,
+    sessionize_with_state,
+)
+from helpers import BASE_TS, make_clickevents
+
+SENTINEL_USER = 999_999
+SENTINEL = {
+    "ts": BASE_TS + 10**9,
+    "seq": 10**9,
+    "userid": SENTINEL_USER,
+    "event_type": "view",
+    "product_type": "sentinel",
+}
+
+EVENTS = [
+    # user 1, session A: product views, checkout mid-session, more views
+    {"ts": BASE_TS, "seq": 1, "userid": 1, "event_type": "view", "product_type": "books"},
+    {"ts": BASE_TS + 100, "seq": 2, "userid": 1, "event_type": "view", "product_type": "toys"},
+    {"ts": BASE_TS + 200, "seq": 3, "userid": 1, "event_type": "order_checkout", "product_type": "N/A"},
+    {"ts": BASE_TS + 300, "seq": 4, "userid": 1, "event_type": "view", "product_type": "garden"},
+    # user 1: exactly at the gap boundary -> touching windows MERGE (Flink
+    # TimeWindow.intersects is inclusive; Spark session_window matches)
+    {"ts": BASE_TS + 1_300, "seq": 5, "userid": 1, "event_type": "view", "product_type": "books"},
+    # user 1, session B: strictly past the gap -> new session
+    {"ts": BASE_TS + 3_000, "seq": 8, "userid": 1, "event_type": "view", "product_type": "music"},
+    # user 2: checkout-only session (latch counts the checkout's own dept)
+    {"ts": BASE_TS + 50, "seq": 6, "userid": 2, "event_type": "order_checkout", "product_type": "electronics"},
+    # user 3: no products at all -> empty deptList, zero counts
+    {"ts": BASE_TS + 80, "seq": 7, "userid": 3, "event_type": "login", "product_type": ""},
+    SENTINEL,
+]
+
+
+def _canon(rows):
+    return sorted(
+        (
+            r["userId"],
+            r["windowBeginTime"],
+            r["windowEndTime"],
+            r["eventCount"],
+            r["orderCheckoutEventCount"],
+            tuple(r["deptList"]),
+            r["eventKey"],
+        )
+        for r in (x.asDict() for x in rows)
+        if r["userId"] != SENTINEL_USER
+    )
+
+
+def _run_stream(spark, src, table, max_files_per_trigger=None):
+    stream = stream_clickevents(
+        spark, src, watermark="0 seconds", max_files_per_trigger=max_files_per_trigger
+    )
+    q = memory_sink(sessionize_with_state(stream), table)
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {table}").collect()
+
+
+@pytest.fixture(scope="module")
+def batch_expected(spark):
+    batch = make_clickevents(spark, EVENTS)
+    return _canon(drop_internal(sessionize(with_event_time(batch))).collect())
+
+
+def test_stateful_matches_builtin_single_batch(spark, tmp_path_factory, batch_expected):
+    src = str(tmp_path_factory.mktemp("stateful-src"))
+    cols = [f.name for f in CLICK_EVENT.fields]
+    make_clickevents(spark, EVENTS).select(*cols).write.mode("overwrite").parquet(src)
+    got = _canon(_run_stream(spark, src, "stateful_sessions"))
+    assert got == batch_expected
+    assert len(got) == 4  # 2 sessions for user 1, one each for users 2, 3
+
+
+def test_stateful_matches_builtin_multi_batch(spark, tmp_path_factory, batch_expected):
+    """File-at-a-time replay in event-time order (no late data): sessions
+    span micro-batches — user 1's first session stays open across three
+    batches and merges an exactly-at-gap event from a later batch — and the
+    watermark advance closes sessions via event-time timeout."""
+    src = str(tmp_path_factory.mktemp("stateful-multi-src"))
+    cols = [f.name for f in CLICK_EVENT.fields]
+    by_time = sorted(EVENTS, key=lambda e: e["ts"])
+    for chunk in (by_time[:3], by_time[3:6], by_time[6:8], by_time[8:]):
+        make_clickevents(spark, chunk).select(*cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    got = _canon(_run_stream(spark, src, "stateful_sessions_mb", max_files_per_trigger=1))
+    assert got == batch_expected
+
+
+def test_stateful_drops_late_events(spark, tmp_path_factory):
+    """Zero-slack parity: an event behind the watermark is silently dropped
+    (reference: max-seen watermark + allowedLateness(0))."""
+    src = str(tmp_path_factory.mktemp("stateful-late-src"))
+    cols = [f.name for f in CLICK_EVENT.fields]
+    first = [
+        {"ts": BASE_TS, "seq": 1, "userid": 1, "event_type": "view", "product_type": "a"},
+        {"ts": BASE_TS + 60_000, "seq": 2, "userid": 2, "event_type": "view", "product_type": "b"},
+    ]
+    late = [
+        {"ts": BASE_TS + 100, "seq": 3, "userid": 1, "event_type": "view", "product_type": "LATE"},
+        SENTINEL,
+    ]
+    for chunk in (first, late):
+        make_clickevents(spark, chunk).select(*cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    rows = _run_stream(spark, src, "stateful_late", max_files_per_trigger=1)
+    depts = {d for r in rows for d in r["deptList"]}
+    assert "LATE" not in depts
+    assert {r["userId"] for r in rows} >= {1, 2}
+
+
+def test_gap_to_millis():
+    assert gap_to_millis("1 second") == 1_000
+    assert gap_to_millis("30 minutes") == 1_800_000
+    assert gap_to_millis("2 hours") == 7_200_000
+    with pytest.raises(ValueError):
+        gap_to_millis("3 fortnights")
