@@ -125,6 +125,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh_topk": _on_table(
             "embeddings", lambda df: similarity.ann_lsh_topk(df, _QUERY_VEC_ID, _TOPK)
         ),
+        "sim_ann_ivf_topk": _on_table(
+            "embeddings", lambda df: similarity.ann_ivf_topk(df, _QUERY_VEC_ID, _TOPK)
+        ),
         # multimodal columns (binary payloads + pandas-UDF compute)
         "multimodal_byte_stats": _on_table(
             "documents", lambda df: multimodal.byte_stats(multimodal.attach_media(df))
@@ -159,6 +162,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": oracles_beyond.embedding_near_duplicates(),
         "sim_cosine_topk": oracles_beyond.cosine_topk(_QUERY_VEC_ID, _TOPK),
         "sim_ann_lsh_topk": oracles_beyond.ann_lsh_topk(_QUERY_VEC_ID, _TOPK),
+        "sim_ann_ivf_topk": oracles_beyond.ann_ivf_topk(_QUERY_VEC_ID, _TOPK),
         "multimodal_byte_stats": oracles_beyond.multimodal_byte_stats(),
         "multimodal_features_ann": oracles_beyond.multimodal_features_ann(
             _QUERY_VEC_ID, _TOPK

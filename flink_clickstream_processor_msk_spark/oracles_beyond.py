@@ -321,6 +321,41 @@ LIMIT {k}
 """
 
 
+def ann_ivf_topk(
+    query_vec_id: int, k: int, n_centroids: int = 16, n_probe: int = 4
+) -> str:
+    """SQL twin of similarity.ann_ivf_topk: same deterministic centroids
+    (n smallest vec_ids, cell = rank), same argmax assignment (cosine desc,
+    first centroid wins ties), same n_probe routing."""
+    cos_ec = _COS.format(a="e.embedding", b="c.cvec")
+    cos_qc = _COS.format(a="q.embedding", b="c.cvec")
+    cos_eq = _COS.format(a="e.embedding", b="q.embedding")
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_centroids})
+),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = {query_vec_id}),
+probe AS (
+  SELECT cidx FROM cents c, q ORDER BY {cos_qc} DESC, cidx ASC LIMIT {n_probe}
+),
+assigned AS (
+  SELECT vec_id, embedding, cidx FROM (
+    SELECT e.vec_id, e.embedding, c.cidx,
+      row_number() OVER (
+        PARTITION BY e.vec_id ORDER BY {cos_ec} DESC, c.cidx ASC
+      ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+)
+SELECT e.vec_id, {cos_eq} AS cosine
+FROM assigned e, q
+WHERE e.cidx IN (SELECT cidx FROM probe) AND e.vec_id != {query_vec_id}
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT {k}
+"""
+
+
 def cosine_topk(query_vec_id: int, k: int) -> str:
     cos = _COS.format(a="e.embedding", b="q.embedding")
     return f"""

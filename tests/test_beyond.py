@@ -107,6 +107,24 @@ def test_ann_probes_subset_of_exact(spark):
         assert r["cosine"] == exact[r["vec_id"]]
 
 
+def test_ivf_scores_match_exact_and_routing_finds_neighbor(spark):
+    """IVF scores equal brute-force scores, and a vector near the query's
+    centroid survives the probe routing."""
+    import random
+
+    rng = random.Random(11)
+    vecs = [[rng.uniform(-0.5, 0.5) for _ in range(64)] for _ in range(40)]
+    vecs.append([x * 0.95 for x in vecs[0]])  # vec 40: same direction as query
+    df = _embeddings(spark, vecs)
+    exact = {r["vec_id"]: r["cosine"] for r in similarity.cosine_topk(df, 0, k=40).collect()}
+    ivf = similarity.ann_ivf_topk(df, 0, k=10, n_centroids=8, n_probe=2).collect()
+    assert len(ivf) > 0
+    for r in ivf:
+        assert r["cosine"] == exact[r["vec_id"]]
+    assert ivf[0]["vec_id"] == 40  # scaled copy: cosine 1 with the query
+    assert abs(ivf[0]["cosine"] - 1.0) < 1e-9
+
+
 def test_text_stats_values(spark):
     df = _docs(spark, ["The quick fox. A lazy dog!"])
     r = text.text_stats(df).first()
