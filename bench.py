@@ -28,6 +28,14 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
 
+    # JVM/codegen warmup so the first timed query isn't charged for it
+    spark.range(10_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    spark.read.parquet(f"{sf_dir}/events.parquet").limit(1000).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
         df = fn(spark, sf_dir)
