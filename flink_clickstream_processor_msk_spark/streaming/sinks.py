@@ -32,6 +32,16 @@ def json_value(df: DataFrame) -> DataFrame:
     return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
 
 
+def kafka_records(df: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
+    """Kafka message encoding (K1-K3): value = JSON of the whole row; key =
+    JSON of ``key_cols`` (Kafka then hash-partitions by it, CP:211-215) or
+    absent for round-robin (CP:231-251)."""
+    cols = [F.to_json(F.struct(*df.columns)).alias("value")]
+    if key_cols:
+        cols.insert(0, F.to_json(F.struct(*key_cols)).alias("key"))
+    return df.select(*cols)
+
+
 def kafka_json_sink(
     df: DataFrame,
     bootstrap_servers: str,
@@ -43,15 +53,11 @@ def kafka_json_sink(
     """K1-K3 parity: JSON-valued Kafka sink, keyed (hash-partitioned) when
     ``key_cols`` is given, round-robin otherwise.
 
-    Requires spark-sql-kafka on the classpath (not bundled here; the plan is
-    validated through json/memory sinks in tests).
+    Requires spark-sql-kafka on the classpath (not bundled here; the
+    message encoding is tested in batch via :func:`kafka_records`).
     """
-    cols = [F.to_json(F.struct(*df.columns)).alias("value")]
-    if key_cols:
-        # reference: key = JSON of the key fields (CP:211-215)
-        cols.insert(0, F.to_json(F.struct(*key_cols)).alias("key"))
     return (
-        df.select(*cols)
+        kafka_records(df, key_cols)
         .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)

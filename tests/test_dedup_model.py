@@ -1,0 +1,115 @@
+"""Property tests: Spark dedup pipelines vs pure-Python executable models.
+
+The MinHash-LSH pipeline and the SimHash fingerprint are replicated
+step-for-step in plain Python (same md5-derived hashes, same permutation
+coefficients, same banding); hypothesis drives random documents through
+both and the results must match exactly — the same discipline the latch
+gets in test_latch.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import given, settings, strategies as st
+
+from flink_clickstream_processor_msk_spark.functions.hashing import (
+    H28_MOD,
+    MOD_P,
+    perm_coefficients,
+)
+from flink_clickstream_processor_msk_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    N_BANDS,
+    N_PERMS,
+    SIMHASH_BITS,
+    minhash_near_duplicates,
+    simhash,
+)
+
+VOCAB = ["spark", "flink", "stream", "batch", "query", "engine", "scale", "data"]
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in text.split() if t]
+
+
+def _shingles(words: list[str], k: int = 3) -> list[str]:
+    n = max(len(words) - k + 1, 1)
+    return [" ".join(words[i : i + k]) for i in range(n)]
+
+
+def _model_minhash_pairs(texts: list[str]) -> dict[tuple[int, int], float]:
+    coeffs = perm_coefficients(N_PERMS)
+    rows = N_PERMS // N_BANDS
+    shsets = {
+        i: {_h60(s) % H28_MOD for s in _shingles(_tokens(t))}
+        for i, t in enumerate(texts)
+    }
+    sigs = {
+        i: [min((a * h + b) % MOD_P for h in sh) for a, b in coeffs]
+        for i, sh in shsets.items()
+    }
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for i, sig in sigs.items():
+        for b in range(N_BANDS):
+            key = "-".join(str(x) for x in sig[b * rows : (b + 1) * rows])
+            buckets.setdefault((b, key), []).append(i)
+    pairs = set()
+    for members in buckets.values():
+        for a in members:
+            for b in members:
+                if a < b:
+                    pairs.add((a, b))
+    out = {}
+    for a, b in pairs:
+        sa, sb = shsets[a], shsets[b]
+        j = len(sa & sb) / len(sa | sb)
+        if j >= JACCARD_THRESHOLD:
+            out[(a, b)] = j
+    return out
+
+
+def _model_simhash(text: str) -> int:
+    hashes = [_h60(t) for t in _tokens(text)]
+    fp = 0
+    for i in range(SIMHASH_BITS):
+        votes = sum(1 if (h >> i) & 1 else -1 for h in hashes)
+        if votes > 0:
+            fp |= 1 << i
+    return fp
+
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=1, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=6,
+)
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+@settings(max_examples=5, deadline=None)
+@given(docs_strategy)
+def test_minhash_pipeline_matches_model(spark, texts):
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_near_duplicates(_docs_df(spark, texts)).collect()
+    }
+    assert got == _model_minhash_pairs(texts)
+
+
+@settings(max_examples=5, deadline=None)
+@given(docs_strategy)
+def test_simhash_matches_model(spark, texts):
+    got = {r["doc_id"]: r["simhash"] for r in simhash(_docs_df(spark, texts)).collect()}
+    assert got == {i: _model_simhash(t) for i, t in enumerate(texts)}

@@ -1,0 +1,96 @@
+"""Sink-layer tests: Kafka message encoding, file sinks, foreachBatch bulk.
+
+The Kafka broker itself isn't available here; what IS testable — and what
+the reference hand-rolls (CP:208-251) — is the message encoding (JSON
+value, optional JSON key) and the file/bulk delivery paths.
+"""
+
+from __future__ import annotations
+
+import json
+
+from flink_clickstream_processor_msk_spark.operators.sessionize import (
+    drop_internal,
+    sessionize,
+)
+from flink_clickstream_processor_msk_spark.schema import CLICK_EVENT
+from flink_clickstream_processor_msk_spark.sources.clickevents import (
+    stream_clickevents,
+    with_event_time,
+)
+from flink_clickstream_processor_msk_spark.streaming.sinks import (
+    bulk_foreach_batch_sink,
+    file_sink,
+    json_value,
+    kafka_records,
+)
+from helpers import BASE_TS, make_clickevents
+
+EVENTS = [
+    {"ts": BASE_TS, "seq": 1, "userid": 1, "event_type": "view", "product_type": "books"},
+    {"ts": BASE_TS + 200, "seq": 2, "userid": 1, "event_type": "order_checkout", "product_type": "N/A"},
+    {"ts": BASE_TS + 10**9, "seq": 3, "userid": 999_999, "event_type": "view", "product_type": "sentinel"},
+]
+
+
+def _sessions(spark):
+    return drop_internal(sessionize(with_event_time(make_clickevents(spark, EVENTS))))
+
+
+def test_kafka_records_keyed(spark):
+    recs = kafka_records(_sessions(spark), key_cols=["userId"]).collect()
+    assert set(recs[0].asDict()) == {"key", "value"}
+    for r in recs:
+        key, value = json.loads(r["key"]), json.loads(r["value"])
+        assert set(key) == {"userId"}
+        assert key["userId"] == value["userId"]
+        assert {"userId", "eventCount", "orderCheckoutEventCount", "deptList",
+                "eventKey", "windowBeginTime", "windowEndTime"} <= set(value)
+
+
+def test_kafka_records_keyless_round_robin(spark):
+    recs = kafka_records(_sessions(spark))
+    assert recs.columns == ["value"]  # no key column -> Kafka round-robins
+
+
+def test_json_value_encodes_all_columns(spark):
+    row = json.loads(json_value(_sessions(spark)).first()["value"])
+    assert {"userId", "eventCount", "deptList"} <= set(row)
+
+
+def test_file_sink_json_roundtrip(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("sink-src"))
+    out = str(tmp_path_factory.mktemp("sink-out"))
+    ckpt = str(tmp_path_factory.mktemp("sink-ckpt"))
+    cols = [f.name for f in CLICK_EVENT.fields]
+    make_clickevents(spark, EVENTS).select(*cols).write.mode("overwrite").parquet(src)
+
+    sessions = drop_internal(sessionize(stream_clickevents(spark, src)))
+    q = file_sink(sessions, out, ckpt, fmt="json")
+    q.processAllAvailable()
+    q.stop()
+
+    back = spark.read.json(out)
+    got = {(r["userId"], r["eventCount"], r["orderCheckoutEventCount"])
+           for r in back.collect() if r["userId"] != 999_999}
+    want = {(r["userId"], r["eventCount"], r["orderCheckoutEventCount"])
+            for r in _sessions(spark).collect() if r["userId"] != 999_999}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_bulk_foreach_batch_sink_delivers_batches(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("bulk-src"))
+    ckpt = str(tmp_path_factory.mktemp("bulk-ckpt"))
+    cols = [f.name for f in CLICK_EVENT.fields]
+    make_clickevents(spark, EVENTS).select(*cols).write.mode("overwrite").parquet(src)
+
+    seen: list[tuple[int, int]] = []  # (epoch_id, row_count)
+    sessions = drop_internal(sessionize(stream_clickevents(spark, src)))
+    q = bulk_foreach_batch_sink(
+        sessions, lambda batch, epoch: seen.append((epoch, batch.count())), ckpt
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert sum(n for _, n in seen) >= 1  # the closed session reached the bulk writer
