@@ -115,12 +115,23 @@ def minhash_signatures(documents: DataFrame, n_perms: int = N_PERMS) -> DataFram
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, n_bands: int = N_BANDS, n_perms: int = N_PERMS
+    signatures: DataFrame,
+    n_bands: int = N_BANDS,
+    n_perms: int = N_PERMS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs per band collision.
 
     The shuffle key is (band_idx, band_key): docs only meet if an entire
     band of their signatures agrees — the classic S-curve knob.
+
+    ``max_bucket_size`` is the 100 TB skew guard: a family of m mutual
+    duplicates puts m docs in one bucket and emits m·(m-1)/2 pairs — a
+    single giant family (common in web corpora: boilerplate pages) turns
+    one reducer quadratic. Capping keeps the ``max_bucket_size`` lowest
+    doc_ids per bucket; duplicates still chain to their family's
+    representatives through the surviving members. Default None preserves
+    exact candidate generation (the oracle-checked configuration).
     """
     rows = n_perms // n_bands
     bands = F.array(
@@ -137,6 +148,17 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         "doc_id", F.explode(bands).alias("band")
     ).select("doc_id", "band.band_idx", "band.band_key")
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        rank = F.row_number().over(
+            Window.partitionBy("band_idx", "band_key").orderBy("doc_id")
+        )
+        banded = (
+            banded.withColumn("_rank", rank)
+            .filter(F.col("_rank") <= max_bucket_size)
+            .drop("_rank")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -57,6 +57,19 @@ def test_char_ngram_hashes_distinct_and_nonempty(spark):
     assert len(rows[1]) == 1
 
 
+def test_lsh_bucket_cap_bounds_candidates(spark):
+    """A family of m identical docs produces m(m-1)/2 candidate pairs
+    uncapped; max_bucket_size caps it at c(c-1)/2 while keeping the lowest
+    doc_ids as family representatives."""
+    family = ["the same boilerplate page content repeated verbatim " * 2] * 10
+    df = _docs(spark, family)
+    sigs = dedup.minhash_signatures(df)
+    assert dedup.lsh_candidate_pairs(sigs).count() == 45  # 10*9/2
+    capped = dedup.lsh_candidate_pairs(sigs, max_bucket_size=3)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert got == {(0, 1), (0, 2), (1, 2)}  # lowest ids survive
+
+
 def test_simhash_identical_docs_distance_zero(spark):
     df = _docs(spark, ["spark and flink process streams", "spark and flink process streams"])
     rows = dedup.simhash_near_duplicates(df).collect()
