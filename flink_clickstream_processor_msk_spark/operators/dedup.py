@@ -33,8 +33,8 @@ from pyspark.storagelevel import StorageLevel
 
 from flink_clickstream_processor_msk_spark.functions.hashing import (
     H28_MOD,
+    MOD_P,
     h60,
-    minhash_perm,
     perm_coefficients,
 )
 from flink_clickstream_processor_msk_spark.operators.text import SHINGLE_K
@@ -113,20 +113,28 @@ def _signatures_from_sets(
 ) -> DataFrame:
     """MinHash signature per doc over any distinct-hash feature array
     (word shingles, char n-grams, …): for each affine permutation, the min
-    over the doc's feature hashes. Computed as array expressions — no
-    explode, no shuffle."""
+    over the doc's feature hashes. No explode, no shuffle.
+
+    Vectorized with numpy inside a pandas UDF: the equivalent
+    ``array_min(transform(...))`` per permutation runs n_perms interpreted
+    passes over each feature array. Broadcasting ``(a·h + b) mod P`` over
+    (n_feats × n_perms) and taking the column min stays in C. Values are
+    exact (int64: a < 2^30, h < 2^28 ⇒ a·h + b < 2^59)."""
+    import numpy as np
+
     coeffs = perm_coefficients(n_perms)
+    a_vec = np.array([a for a, _ in coeffs], dtype=np.int64)
+    b_vec = np.array([b for _, b in coeffs], dtype=np.int64)
 
-    def perm_fn(a: int, b: int):
-        return lambda h: minhash_perm(h, a, b)
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(feats: pd.Series) -> pd.Series:
+        def go(hs) -> list[int]:
+            h = np.asarray(hs, dtype=np.int64)[:, None]
+            return ((h * a_vec + b_vec) % MOD_P).min(axis=0).tolist()
 
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col(feats_col), perm_fn(a, b)))
-            for a, b in coeffs
-        ]
-    )
-    return sets_.select("doc_id", feats_col, sig.alias("signature"))
+        return feats.map(go)
+
+    return sets_.select("doc_id", feats_col, sig(feats_col).alias("signature"))
 
 
 def minhash_signatures(documents: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
