@@ -9,8 +9,10 @@ oracle-checked results.
 - ``h60(col)``: first 15 hex chars of md5 → 60-bit bigint.
 - ``h28(col)``: ``h60 % 2^28`` — small enough that ``a*h28 + b`` stays
   under 2^63 for 31-bit coefficients (overflow-safe affine permutations).
-- ``minhash_perm(h, a, b)``: universal-hash permutation ``(a*h + b) mod P``
-  with P = 1e9+7.
+- ``perm_coefficients(n)``: deterministic (a, b) pairs for the
+  universal-hash permutations ``(a*h + b) mod P`` with P = 1e9+7 — the
+  formula itself is applied in dedup._signatures_from_sets (numpy) and
+  inlined into the SQL oracle.
 
 SQL twins live in oracles_beyond.py; keep formulas in lockstep.
 """
@@ -32,11 +34,6 @@ def h60(col: Column) -> Column:
 def h28(col: Column) -> Column:
     """28-bit hash (overflow-safe for affine permutations)."""
     return h60(col) % F.lit(H28_MOD)
-
-
-def minhash_perm(h: Column, a: int, b: int) -> Column:
-    """Affine universal-hash permutation of a 28-bit hash value."""
-    return (F.lit(a) * h + F.lit(b)) % F.lit(MOD_P)
 
 
 def perm_coefficients(n: int, seed: int = 42) -> list[tuple[int, int]]:

@@ -13,9 +13,10 @@ Four families, each with the scale-path shape it needs at 100 TB:
 - embedding cosine: deterministic random-hyperplane LSH buckets, exact
   cosine verification within buckets only.
 
-Joins, banding, and verification are pure Catalyst; the md5-heavy feature
-extraction (shingle/n-gram/token hashing) runs as Arrow-batched pandas
-UDFs — measured ~5× faster than the equivalent `transform`-lambda
+Joins, banding, and verification are pure Catalyst; per-document array
+compute — md5 feature extraction (shingle/n-gram/token hashing) and the
+MinHash signature matrix — runs as Arrow-batched pandas UDFs (hashlib +
+numpy), measured 2-5× faster than the equivalent `transform`-lambda
 expressions, whose per-element HOF lambdas run interpreted. Every formula
 has an exact SQL twin in oracles_beyond.py.
 """
@@ -128,7 +129,11 @@ def _signatures_from_sets(
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(feats: pd.Series) -> pd.Series:
-        def go(hs) -> list[int]:
+        def go(hs) -> list[int] | None:
+            # parity with array_min(transform(...)): NULL/empty feature
+            # arrays degrade to NULL signature entries, not a job kill
+            if hs is None or len(hs) == 0:
+                return [None] * len(a_vec)
             h = np.asarray(hs, dtype=np.int64)[:, None]
             return ((h * a_vec + b_vec) % MOD_P).min(axis=0).tolist()
 
