@@ -42,6 +42,9 @@ def main() -> None:
         start = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
+        # dedup operators persist signature tables for their self-joins;
+        # drop them between queries so the cache doesn't accumulate
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -52,19 +52,24 @@ def main() -> None:
         streams.session_stats,
         streams.department_counts,
     ]
+    # fresh checkpoint dirs per run (a reused dir would resume finished
+    # offsets/state and corrupt the measurement); all cleaned up below
+    ckpts = [tempfile.mkdtemp(prefix=f"bench-streaming-ckpt-{i}-") for i in range(len(outputs))]
     start = time.perf_counter()
     queries = [
         df.writeStream.format("noop")
-        .option("checkpointLocation", f"/tmp/bench-streaming-ckpt-{i}-{os.getpid()}")
+        .option("checkpointLocation", ckpt)
         .outputMode("append")
         .start()
-        for i, df in enumerate(outputs)
+        for df, ckpt in zip(outputs, ckpts)
     ]
     for q in queries:
         q.processAllAvailable()
     for q in queries:
         q.stop()
     wall = time.perf_counter() - start
+    for path in [src, *ckpts]:
+        shutil.rmtree(path, ignore_errors=True)
 
     # four concurrent queries each consume the full stream (multi-query
     # fan-out re-reads a replayable source); events/s is pipeline-level:

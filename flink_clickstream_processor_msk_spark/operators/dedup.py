@@ -94,9 +94,13 @@ def shingle_hashes(documents: DataFrame) -> DataFrame:
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sh28(texts: pd.Series) -> pd.Series:
-        ws = _re.compile(r"\s+")
+        # re.ASCII: match the JVM/SQL tokenizers' ASCII-only \s, not
+        # Python's Unicode-aware one (lockstep rule, CLAUDE.md)
+        ws = _re.compile(r"\s+", _re.ASCII)
 
-        def go(text: str) -> list[int]:
+        def go(text: str | None) -> list[int] | None:
+            if text is None:
+                return None  # NULL propagation, as the Catalyst form had
             words = [w for w in ws.split(text) if w]
             n = max(len(words) - (SHINGLE_K - 1), 1)
             grams = {" ".join(words[i : i + SHINGLE_K]) for i in range(n)}
@@ -261,7 +265,9 @@ def char_ngram_hashes(documents: DataFrame, n: int = NGRAM_N) -> DataFrame:
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def ng28(texts: pd.Series) -> pd.Series:
-        def go(text: str) -> list[int]:
+        def go(text: str | None) -> list[int] | None:
+            if text is None:
+                return None
             m = max(len(text) - (n - 1), 1)
             grams = {text[i : i + n] for i in range(m)}
             return sorted(
@@ -300,9 +306,11 @@ def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 
     @F.pandas_udf(T.LongType())
     def fp(texts: pd.Series) -> pd.Series:
-        ws = _re.compile(r"\s+")
+        ws = _re.compile(r"\s+", _re.ASCII)
 
-        def go(text: str) -> int:
+        def go(text: str | None) -> int | None:
+            if text is None:
+                return None
             hashes = [
                 int(_hl.md5(w.encode()).hexdigest()[:15], 16)
                 for w in ws.split(text)

@@ -35,17 +35,11 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
     "fr": ("le", "la", "les", "et", "est"),
 }
 
+# word-shingle definition (shared constant): k-grams of the whitespace
+# token array, fewer than k tokens → the whole text as one shingle.
+# Implemented in the pandas UDFs (dedup.shingle_hashes, fingerprints) and
+# mirrored in SQL by oracles_beyond._shingles — keep all three in lockstep.
 SHINGLE_K = 3
-
-
-def word_shingles(words: Column, k: int = SHINGLE_K) -> Column:
-    """k-gram shingles of a token array (fewer than k tokens → the whole
-    text as one shingle)."""
-    n = F.size(words)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(words, i, k), " "),
-    )
 
 
 def text_stats(documents: DataFrame) -> DataFrame:
@@ -119,9 +113,11 @@ def fingerprints(documents: DataFrame) -> DataFrame:
 
     @F.pandas_udf("min_shingle_hash long, max_shingle_hash long")
     def minmax(texts: pd.Series) -> pd.DataFrame:
-        ws = _re.compile(r"\s+")
+        ws = _re.compile(r"\s+", _re.ASCII)
 
-        def go(text: str) -> tuple[int, int]:
+        def go(text: str | None) -> tuple[int | None, int | None]:
+            if text is None:
+                return None, None
             words = [w for w in ws.split(text) if w]
             n = max(len(words) - (SHINGLE_K - 1), 1)
             hashes = [

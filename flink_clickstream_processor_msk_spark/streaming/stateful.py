@@ -143,14 +143,19 @@ def sessionize_with_state(clickevents: DataFrame, gap: str = "1 second") -> Data
                 latch = cnt
 
         if start is not None:
-            if last + gap_ms <= wm:
-                # already closeable (multi-batch replay): emit now — a
-                # timeout at last+gap would be behind the watermark
+            # the built-in path finalizes a session once wm >= end
+            # (= last + gap); Spark's event-time timeout only fires when
+            # the watermark advances STRICTLY past the set timestamp, so
+            # arm it at end − 1 ms or the session is silently lost when
+            # the final watermark lands exactly on the session end
+            if last + gap_ms - 1 <= wm:
+                # already closeable (or within 1 ms of it — a timer could
+                # not legally be set at/behind the watermark): emit now
                 out.append(_session_row(userid, start, last, cnt, latch, depts, gap_ms))
                 state.remove()
             else:
                 state.update((start, last, cnt, latch, sorted(depts)))
-                state.setTimeoutTimestamp(last + gap_ms)
+                state.setTimeoutTimestamp(last + gap_ms - 1)
         elif state.exists:
             state.remove()
 

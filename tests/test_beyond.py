@@ -49,6 +49,23 @@ def test_ngram_jaccard_robust_to_whitespace_edits(spark):
     assert all(2 not in p for p in pairs)
 
 
+def test_null_text_propagates_instead_of_crashing(spark):
+    """NULL text rows flow through the pandas-UDF hashers as NULLs (the
+    Catalyst-expression behavior they replaced), not task failures."""
+    df = spark.createDataFrame(
+        [(0, "real text here", "en", "s", 14), (1, None, "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sh = {r["doc_id"]: r["shingles"] for r in dedup.shingle_hashes(df).collect()}
+    assert sh[1] is None and sh[0]
+    ng = {r["doc_id"]: r["shingles"] for r in dedup.char_ngram_hashes(df).collect()}
+    assert ng[1] is None and ng[0]
+    sim = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    assert sim[1] is None and sim[0] is not None
+    fp = {r["doc_id"]: r.asDict() for r in text.fingerprints(df).collect()}
+    assert fp[1]["min_shingle_hash"] is None and fp[0]["min_shingle_hash"] is not None
+
+
 def test_char_ngram_hashes_distinct_and_nonempty(spark):
     df = _docs(spark, ["abcdefg", "ab"])  # shorter than n -> whole text
     rows = {r["doc_id"]: r["shingles"] for r in dedup.char_ngram_hashes(df).collect()}

@@ -132,6 +132,25 @@ def test_stateful_drops_late_events(spark, tmp_path_factory):
     assert {r["userId"] for r in rows} >= {1, 2}
 
 
+def test_session_emitted_when_watermark_stops_exactly_at_session_end(
+    spark, tmp_path_factory
+):
+    """Regression: the stream's final watermark lands exactly on user 1's
+    session end (another user's event at T+gap). Spark's event-time timeout
+    fires only when the watermark advances strictly past the armed
+    timestamp, so a timer at last+gap never fires — the session must still
+    be emitted (the built-in path finalizes at end <= watermark)."""
+    src = str(tmp_path_factory.mktemp("boundary-src"))
+    cols = [f.name for f in CLICK_EVENT.fields]
+    events = [
+        {"ts": BASE_TS, "seq": 1, "userid": 1, "event_type": "view", "product_type": "books"},
+        {"ts": BASE_TS + 1_000, "seq": 2, "userid": 2, "event_type": "view", "product_type": "toys"},
+    ]
+    make_clickevents(spark, events).select(*cols).write.mode("overwrite").parquet(src)
+    got = _canon(_run_stream(spark, src, "boundary_sessions"))
+    assert (1, BASE_TS, BASE_TS + 1_000, 1, 0, ("books",), 1) in got
+
+
 def test_gap_to_millis():
     assert gap_to_millis("1 second") == 1_000
     assert gap_to_millis("30 minutes") == 1_800_000
