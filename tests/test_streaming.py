@@ -111,6 +111,39 @@ def test_streaming_matches_batch(stream_results, table, attr, is_sentinel):
     assert len(got) > 0
 
 
+def test_chained_stateful_multi_batch_matches_batch(spark, tmp_path_factory):
+    """Q2/Q3 chain a tumbling window after the session window; replaying
+    file-at-a-time (watermark advancing between micro-batches) must agree
+    with batch mode — the Spark >= 3.4 chained-stateful semantics this
+    engine depends on."""
+    src = str(tmp_path_factory.mktemp("chain-src"))
+    cols = [f.name for f in CLICK_EVENT.fields]
+    by_time = sorted(EVENTS, key=lambda e: e["ts"])
+    for chunk in (by_time[:2], by_time[2:4], by_time[4:]):
+        make_clickevents(spark, chunk).select(*cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = stream_clickevents(spark, src, watermark="0 seconds", max_files_per_trigger=1)
+    streams = build_streams(stream)
+    q2 = memory_sink(streams.session_stats, "chain_q2")
+    q3 = memory_sink(streams.department_counts, "chain_q3")
+    for q in (q2, q3):
+        q.processAllAvailable()
+    for q in (q2, q3):
+        q.stop()
+
+    batch = build_streams(with_event_time(make_clickevents(spark, EVENTS)))
+    sentinel_q2 = lambda r: r["windowBeginTime"] > BASE_TS + 10**8  # noqa: E731
+    sentinel_q3 = lambda r: r["departmentName"] == "sentinel"  # noqa: E731
+    assert _canon(_rows(spark, "chain_q2", sentinel_q2)) == _canon(
+        _rows(spark, batch.session_stats, sentinel_q2)
+    )
+    assert _canon(_rows(spark, "chain_q3", sentinel_q3)) == _canon(
+        _rows(spark, batch.department_counts, sentinel_q3)
+    )
+
+
 def test_late_event_dropped_at_zero_watermark(spark, tmp_path_factory):
     """An event behind the watermark must be dropped (zero-slack parity).
 
