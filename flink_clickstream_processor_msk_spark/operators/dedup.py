@@ -32,6 +32,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
+from flink_clickstream_processor_msk_spark.functions.parallel import (
+    parallelized as _parallelized,
+)
 from flink_clickstream_processor_msk_spark.functions.hashing import (
     H28_MOD,
     MOD_P,
@@ -110,7 +113,7 @@ def shingle_hashes(documents: DataFrame) -> DataFrame:
 
         return texts.map(go)
 
-    return documents.select("doc_id", sh28("text").alias("shingles"))
+    return _parallelized(documents).select("doc_id", sh28("text").alias("shingles"))
 
 
 def _signatures_from_sets(
@@ -276,7 +279,7 @@ def char_ngram_hashes(documents: DataFrame, n: int = NGRAM_N) -> DataFrame:
 
         return texts.map(go)
 
-    return documents.select("doc_id", ng28("text").alias("shingles"))
+    return _parallelized(documents).select("doc_id", ng28("text").alias("shingles"))
 
 
 def ngram_jaccard_near_duplicates(
@@ -327,7 +330,7 @@ def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 
         return texts.map(go)
 
-    return documents.select("doc_id", fp("text").alias("simhash"))
+    return _parallelized(documents).select("doc_id", fp("text").alias("simhash"))
 
 
 def simhash_near_duplicates(

@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from flink_clickstream_processor_msk_spark.functions.hashing import h60
+from flink_clickstream_processor_msk_spark.functions.parallel import parallelized
 
 #: whitespace tokenizer shared by every operator (empty tokens filtered so
 #: leading/trailing whitespace can't fabricate tokens)
@@ -134,6 +135,6 @@ def fingerprints(documents: DataFrame) -> DataFrame:
             }
         )
 
-    return documents.select(
+    return parallelized(documents).select(
         "doc_id", minmax("text").alias("mm"), h60(F.col("text")).alias("content_hash")
     ).select("doc_id", "mm.min_shingle_hash", "mm.max_shingle_hash", "content_hash")
