@@ -23,38 +23,34 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def _run_pipeline(spark, src: str, schema) -> float:
+    """One full pass of the reference-parity pipeline over the staged source
+    directory; returns wall seconds from query start to all-processed.
 
-    from flink_clickstream_processor_msk_spark import get_spark
+    Sink set matches the reference job graph (CP:227,240,251 — and the same
+    three streams again at the ES sinks, CP:265-267): buy-filtered sessions,
+    Q2, Q3. The unfiltered Q1 stream is never sunk by the reference.
+    """
     from flink_clickstream_processor_msk_spark.sources.clickevents import (
         clickevents_from_events,
         with_event_time,
     )
     from flink_clickstream_processor_msk_spark.streaming.pipeline import build_streams
 
-    spark = get_spark(app_name="bench-streaming")
-    src_file = f"{sf_dir}/events.parquet"
-    n_events = spark.read.parquet(src_file).count()  # doubles as JVM warmup
-    schema = spark.read.parquet(src_file).schema
-
-    # the file stream source wants a directory; stage the table into one
-    src = tempfile.mkdtemp(prefix="bench-streaming-src-")
-    shutil.copy(src_file, os.path.join(src, "events.parquet"))
-
     raw = spark.readStream.schema(schema).parquet(src)
     clickevents = with_event_time(clickevents_from_events(raw), watermark="0 seconds")
     streams = build_streams(clickevents)  # reference constants: 1 s gap, 10 s windows
-
     outputs = [
-        streams.user_sessions,
         streams.buy_sessions,
         streams.session_stats,
         streams.department_counts,
     ]
     # fresh checkpoint dirs per run (a reused dir would resume finished
-    # offsets/state and corrupt the measurement); all cleaned up below
-    ckpts = [tempfile.mkdtemp(prefix=f"bench-streaming-ckpt-{i}-") for i in range(len(outputs))]
+    # offsets/state and corrupt the measurement)
+    ckpts = [
+        tempfile.mkdtemp(prefix=f"bench-streaming-ckpt-{i}-")
+        for i in range(len(outputs))
+    ]
     start = time.perf_counter()
     queries = [
         df.writeStream.format("noop")
@@ -68,12 +64,39 @@ def main() -> None:
     for q in queries:
         q.stop()
     wall = time.perf_counter() - start
-    for path in [src, *ckpts]:
+    for path in ckpts:
         shutil.rmtree(path, ignore_errors=True)
+    return wall
 
-    # four concurrent queries each consume the full stream (multi-query
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from flink_clickstream_processor_msk_spark import get_spark
+
+    spark = get_spark(app_name="bench-streaming")
+    src_file = f"{sf_dir}/events.parquet"
+    n_events = spark.read.parquet(src_file).count()  # doubles as JVM warmup
+    schema = spark.read.parquet(src_file).schema
+
+    # the file stream source wants a directory; stage the table into one
+    src = tempfile.mkdtemp(prefix="bench-streaming-src-")
+    shutil.copy(src_file, os.path.join(src, "events.parquet"))
+
+    # warmup: one untimed pass of the same three-query pipeline over a small
+    # slice, so the timed run measures steady-state throughput rather than
+    # streaming-plan codegen/JIT (measured ~1.5x on the cold first pass)
+    warm_src = tempfile.mkdtemp(prefix="bench-streaming-warm-")
+    spark.read.parquet(src_file).limit(5000).write.mode("overwrite").parquet(warm_src)
+    _run_pipeline(spark, warm_src, schema)
+    shutil.rmtree(warm_src, ignore_errors=True)
+
+    wall = _run_pipeline(spark, src, schema)
+    shutil.rmtree(src, ignore_errors=True)
+
+    # three concurrent queries each consume the full stream (multi-query
     # fan-out re-reads a replayable source); events/s is pipeline-level:
-    # source events fully processed through all four outputs per second
+    # source events fully processed through all three outputs per second
     print(
         json.dumps(
             {
