@@ -59,15 +59,23 @@ def main() -> None:
         F.count("*"), F.collect_set("k")
     ).write.format("noop").mode("overwrite").save()
 
+    # best-of-2 per query: even with the generic warmup above, the first
+    # execution of a specific plan still pays its own whole-stage-codegen
+    # compile (~2x measured on Q1); the second run is steady state, which is
+    # what an engine-throughput comparison should measure
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
-        df = fn(spark, sf_dir)
-        start = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
-        # dedup operators persist signature tables for their self-joins;
-        # drop them between queries so the cache doesn't accumulate
-        spark.catalog.clearCache()
+        runs = []
+        for _ in range(2):
+            df = fn(spark, sf_dir)
+            start = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - start)
+            # dedup operators persist signature tables for their self-joins;
+            # drop them between runs so the cache doesn't accumulate or leak
+            # a materialized result into the next timing
+            spark.catalog.clearCache()
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
