@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _on_table(
             "embeddings", dedup.embedding_near_duplicates
         ),
+        "dedup_families": _on_table("documents", dedup.minhash_duplicate_families),
         # similarity search (embeddings)
         "sim_cosine_topk": _on_table(
             "embeddings", lambda df: similarity.cosine_topk(df, _QUERY_VEC_ID, _TOPK)
@@ -160,6 +161,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": oracles_beyond.ngram_jaccard_near_duplicates(),
         "dedup_simhash": oracles_beyond.simhash_near_duplicates(),
         "dedup_embedding_cosine": oracles_beyond.embedding_near_duplicates(),
+        "dedup_families": oracles_beyond.minhash_duplicate_families(),
         "sim_cosine_topk": oracles_beyond.cosine_topk(_QUERY_VEC_ID, _TOPK),
         "sim_ann_lsh_topk": oracles_beyond.ann_lsh_topk(_QUERY_VEC_ID, _TOPK),
         "sim_ann_ivf_topk": oracles_beyond.ann_ivf_topk(_QUERY_VEC_ID, _TOPK),

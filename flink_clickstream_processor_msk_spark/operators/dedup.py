@@ -311,6 +311,112 @@ def ngram_jaccard_near_duplicates(
     )
 
 
+# --- duplicate families (connected components) -----------------------------
+
+def connected_components(
+    edges: DataFrame, src: str, dst: str, max_iterations: int = 50
+) -> DataFrame:
+    """(id, component) for every vertex of an undirected pair graph, where
+    component = the minimum vertex id in the connected component.
+
+    Dedup pipelines need this step to go from near-dup PAIRS to "keep one
+    document per duplicate FAMILY": pairs chain (A~B, B~C => A,B,C are one
+    family) and the family representative must be consistent across chains.
+
+    Distributed min-label propagation: every vertex starts labeled with its
+    own id; each round takes the min of its label and its neighbors' labels;
+    fixpoint in O(component diameter) rounds. Each round is one join + one
+    groupBy on the (small) pair graph — never materializes components on the
+    driver, so a 100 TB corpus with millions of dup pairs runs the same
+    plan. Labels only decrease, so sum(labels) is a monotone convergence
+    metric: one scalar action per round. Deterministic output (min id),
+    independent of iteration count — hash-comparable against the DuckDB
+    recursive-CTE oracle.
+    """
+    spark = edges.sparkSession
+    raw = _materialized(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+    )
+    n_edges = raw.count()
+    if n_edges == 0:
+        return raw.select(F.col("a").alias("id"), F.col("b").alias("lbl"))
+
+    # size-adaptive execution: the pair graph is usually tiny relative to
+    # the corpus (only near-duplicates appear), and per-iteration scheduling
+    # dominates small graphs. Small graph -> one partition and AQE off for
+    # the loop (nothing to re-plan; AQE's per-stage re-optimization measured
+    # ~40% of iteration wall time). Big graph -> default parallelism, AQE
+    # (incl. skew splitting) stays on.
+    parallelism = spark.sparkContext.defaultParallelism
+    parts = max(1, min(parallelism, n_edges // 500_000 + 1))
+    small = parts < parallelism
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    if small:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # self-loops make "min over neighbors" include the vertex's own
+        # label: one join + one groupBy per round, no second (left) join
+        vertices = raw.select(F.col("a").alias("id")).distinct()
+        sym = _materialized(
+            raw.union(vertices.select(F.col("id").alias("a"), F.col("id").alias("b")))
+            .repartition(parts, "b")
+        )
+        sym.count()
+        raw.unpersist()
+        labels = _materialized(vertices.select("id", F.col("id").alias("lbl")))
+        prev_total = labels.agg(F.sum("lbl")).collect()[0][0]
+        for _ in range(max_iterations):
+            new_labels = _materialized(
+                sym.join(labels.withColumnRenamed("id", "b"), "b")
+                .select(F.col("a").alias("id"), "lbl")
+                .groupBy("id")
+                .agg(F.min("lbl").alias("lbl"))
+            )
+            total = new_labels.agg(F.sum("lbl")).collect()[0][0]
+            old = labels
+            labels = new_labels
+            old.unpersist()
+            if total == prev_total:
+                sym.unpersist()
+                return labels
+            prev_total = total
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds"
+    )
+
+
+def minhash_duplicate_families(
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    n_perms: int = N_PERMS,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Near-dup pairs (MinHash-LSH + exact Jaccard) resolved into duplicate
+    families: one row per document that has at least one near-duplicate,
+    labeled with its family representative (min doc_id in the family) and
+    the family size. Downstream "keep one per family" is then a filter
+    (``doc_id == family_rep``)."""
+    from pyspark.sql import Window
+
+    # materialized: connected_components reads the pair table twice (the
+    # symmetric union), which would re-run the LSH verify join per branch
+    pairs = _materialized(minhash_near_duplicates(documents, threshold, n_perms, n_bands))
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    w = Window.partitionBy("family_rep")
+    return (
+        cc.select(F.col("id").alias("doc_id"), F.col("lbl").alias("family_rep"))
+        .select(
+            "doc_id",
+            "family_rep",
+            F.count(F.lit(1)).over(w).cast("int").alias("family_size"),
+        )
+    )
+
+
 # --- SimHash ---------------------------------------------------------------
 
 def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
@@ -414,20 +520,37 @@ def hyperplanes(n_planes: int = N_PLANES, dim: int = 64) -> list[list[float]]:
     return planes
 
 
-def _dot(vec: Column, lits: list[float]) -> Column:
-    arr = F.array(*[F.lit(x) for x in lits])
-    return F.aggregate(
-        F.zip_with(vec, arr, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+def double_array_literal(xs: list[float]) -> Column:
+    """array<double> literal built as ONE parsed SQL expression.
+
+    ``F.array(*[F.lit(x) ...])`` costs a py4j round-trip per element and
+    ``F.lit(list)`` pays per-element list conversion (~38 ms for 64 doubles);
+    parsing a literal string is ~100× cheaper and plan-identical. ``repr``
+    emits shortest-round-trip decimals, so the parsed doubles are
+    bit-identical to the Python values."""
+    return F.expr("array(" + ",".join(repr(float(x)) + "D" for x in xs) + ")")
+
+
+def embedding_lsh_bucket(vec_sql: str, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit p = (vec · plane_p >= 0).
+
+    ``vec_sql`` is the SQL text of the vector expression; the whole bucket
+    (n_planes dot-product folds + bit sum) is built as ONE parsed
+    expression — the per-plane py4j construction it replaces measured
+    ~0.1 s per call at 8 planes."""
+
+    def dot(plane: list[float]) -> str:
+        arr = "array(" + ",".join(repr(float(x)) + "D" for x in plane) + ")"
+        return (
+            f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> x * y),"
+            " 0.0D, (acc, x) -> acc + x)"
+        )
+
+    bits = " + ".join(
+        f"(CASE WHEN {dot(plane)} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
     )
-
-
-def embedding_lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane signature: bit p = (vec · plane_p >= 0)."""
-    bucket = None
-    for p, plane in enumerate(planes):
-        bit = F.when(_dot(vec, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return bucket.cast("int")
+    return F.expr(f"cast(({bits}) as int)")
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -452,7 +575,11 @@ def embedding_near_duplicates(
     vec = F.col("embedding").cast("array<double>")
     with_bucket = _materialized(
         embeddings.select(
-            "vec_id", vec.alias("v"), embedding_lsh_bucket(vec, planes).alias("bucket")
+            "vec_id",
+            vec.alias("v"),
+            embedding_lsh_bucket("cast(embedding as array<double>)", planes).alias(
+                "bucket"
+            ),
         )
     )
     a, b = with_bucket.alias("a"), with_bucket.alias("b")

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from flink_clickstream_processor_msk_spark.operators.dedup import (
     N_PLANES,
     cosine,
+    double_array_literal,
     embedding_lsh_bucket,
     hyperplanes,
 )
@@ -47,7 +48,7 @@ def cosine_topk(
     """Exact top-k by cosine against the embedding of ``query_vec_id``
     (query row excluded; ties broken by vec_id)."""
     q = _query_vector(embeddings, query_vec_id)
-    qlit = F.array(*[F.lit(x) for x in q]).cast("array<double>")
+    qlit = double_array_literal(q)
     vec = F.col("embedding").cast("array<double>")
     return (
         embeddings.filter(F.col("vec_id") != query_vec_id)
@@ -90,16 +91,30 @@ def ivf_centroids(embeddings: DataFrame, n_centroids: int = N_CENTROIDS) -> list
     return [[float(x) for x in r["embedding"]] for r in rows]
 
 
+def _array_sql(xs: list[float]) -> str:
+    return "array(" + ",".join(repr(float(x)) + "D" for x in xs) + ")"
+
+
+def _cosine_sql(vec_sql: str, lit: list[float]) -> str:
+    """SQL text of dedup.cosine(vec, literal) — same sequential IEEE-double
+    folds, built as one parseable string instead of ~10 py4j expression
+    calls per centroid (construction measured ~1s for 16 centroids)."""
+    arr = _array_sql(lit)
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+        f" / (sqrt(aggregate(transform({vec_sql}, x -> x * x), 0.0D, (acc, x) -> acc + x))"
+        f" * sqrt(aggregate(transform({arr}, x -> x * x), 0.0D, (acc, x) -> acc + x)))"
+    )
+
+
 def ivf_cells(embeddings: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """Assign every vector to its nearest centroid (max cosine, first index
     wins ties) — the build side of the inverted file. At scale this is the
     one full pass that writes the partitioned index table."""
     vec = F.col("embedding").cast("array<double>")
-    scores = F.array(
-        *[
-            cosine(vec, F.array(*[F.lit(x) for x in c]).cast("array<double>"))
-            for c in centroids
-        ]
+    vec_sql = "cast(embedding as array<double>)"
+    scores = F.expr(
+        "array(" + ",".join(_cosine_sql(vec_sql, c) for c in centroids) + ")"
     )
     cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
     return embeddings.select("vec_id", vec.alias("v"), cell.alias("cell"))
@@ -119,7 +134,7 @@ def ann_ivf_topk(
     probes = sorted(
         range(len(cents)), key=lambda i: (-_py_cosine(cents[i], q), i)
     )[:n_probe]
-    qlit = F.array(*[F.lit(x) for x in q]).cast("array<double>")
+    qlit = double_array_literal(q)
     return (
         ivf_cells(embeddings, cents)
         .filter(F.col("cell").isin(probes) & (F.col("vec_id") != query_vec_id))
@@ -140,7 +155,7 @@ def ann_lsh_topk(
     ``probe_hamming`` bits of the query's bucket (multi-probe LSH)."""
     planes = hyperplanes(n_planes, dim=64)
     q = _query_vector(embeddings, query_vec_id)
-    qlit = F.array(*[F.lit(x) for x in q]).cast("array<double>")
+    qlit = double_array_literal(q)
     vec = F.col("embedding").cast("array<double>")
 
     # query bucket computed the same deterministic way as the data buckets
@@ -149,7 +164,7 @@ def ann_lsh_topk(
         if sum(x * y for x, y in zip(q, plane)) >= 0:
             q_bucket |= 1 << p
 
-    bucket = embedding_lsh_bucket(vec, planes)
+    bucket = embedding_lsh_bucket("cast(embedding as array<double>)", planes)
     return (
         embeddings.filter(F.col("vec_id") != query_vec_id)
         .select("vec_id", vec.alias("v"), bucket.alias("bucket"))

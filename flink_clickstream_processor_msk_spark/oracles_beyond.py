@@ -386,3 +386,30 @@ WHERE bit_count(xor(CAST(e.bucket AS BIGINT), CAST(q.bucket AS BIGINT))) <= {pro
 ORDER BY cosine DESC, e.vec_id ASC
 LIMIT {k}
 """
+
+
+def minhash_duplicate_families(threshold: float = JACCARD_THRESHOLD) -> str:
+    """SQL twin of dedup.minhash_duplicate_families: the verified MinHash
+    near-dup pairs resolved into connected components by a recursive CTE
+    (walk(id, lbl) holds every (vertex, reachable-vertex) pair of the
+    symmetric pair graph; min over reachable = family representative —
+    the same fixpoint the Spark min-label propagation converges to)."""
+    return f"""
+WITH RECURSIVE vp AS (
+  SELECT doc_a, doc_b FROM ({minhash_near_duplicates(threshold)}) t
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM vp
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM vp
+),
+walk(id, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.id
+),
+lab AS (SELECT id AS doc_id, min(lbl) AS family_rep FROM walk GROUP BY id)
+SELECT doc_id, family_rep,
+  CAST(count(*) OVER (PARTITION BY family_rep) AS INTEGER) AS family_size
+FROM lab
+"""

@@ -113,3 +113,69 @@ def test_minhash_pipeline_matches_model(spark, texts):
 def test_simhash_matches_model(spark, texts):
     got = {r["doc_id"]: r["simhash"] for r in simhash(_docs_df(spark, texts)).collect()}
     assert got == {i: _model_simhash(t) for i, t in enumerate(texts)}
+
+
+# --- connected components / duplicate families -----------------------------
+
+def _model_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find over the pair graph; label = min id per component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda p: p[0] != p[1]),
+    min_size=0,
+    max_size=20,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(edges_strategy)
+def test_connected_components_match_union_find(spark, edges):
+    from flink_clickstream_processor_msk_spark.operators.dedup import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "doc_a long, doc_b long"
+    )
+    if not edges:
+        df = df.limit(0)
+    got = {
+        r["id"]: r["lbl"] for r in connected_components(df, "doc_a", "doc_b").collect()
+    }
+    assert got == _model_components(edges)
+    spark.catalog.clearCache()
+
+
+def test_duplicate_families_chain(spark):
+    """A~B and B~C near-dups must land in ONE family labeled min(doc_id)."""
+    from flink_clickstream_processor_msk_spark.operators.dedup import (
+        minhash_duplicate_families,
+    )
+
+    base = "spark flink stream batch query engine scale data " * 4
+    texts = [
+        base + "alpha beta gamma delta",      # 0: near 1
+        base + "alpha beta gamma epsilon",    # 1: near 0 and 2
+        base + "alpha beta zeta epsilon",     # 2: near 1
+        "totally different words entirely unrelated content here",  # 3: alone
+    ]
+    rows = minhash_duplicate_families(_docs_df(spark, texts)).collect()
+    fam = {r["doc_id"]: (r["family_rep"], r["family_size"]) for r in rows}
+    assert fam == {0: (0, 3), 1: (0, 3), 2: (0, 3)}
+    spark.catalog.clearCache()
