@@ -38,10 +38,16 @@ def get_spark(
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = cpus
+    # local mode runs executors inside the driver JVM, whose default heap is
+    # 1g regardless of machine size — 32 executor threads starve and
+    # broadcast builds fail well below memory capacity. Must be set before
+    # the JVM launches (no-op via conf on a running gateway).
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
 
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
