@@ -115,16 +115,23 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     @F.pandas_udf("min_shingle_hash long, max_shingle_hash long")
     def minmax(texts: pd.Series) -> pd.DataFrame:
         ws = _re.compile(r"\s+", _re.ASCII)
+        # shingles repeat across documents: one md5 per distinct shingle
+        # per Arrow batch (same measured win as dedup.shingle_hashes)
+        cache: dict[str, int] = {}
 
         def go(text: str | None) -> tuple[int | None, int | None]:
             if text is None:
                 return None, None
             words = [w for w in ws.split(text) if w]
             n = max(len(words) - (SHINGLE_K - 1), 1)
-            hashes = [
-                int(_hl.md5(" ".join(words[i : i + SHINGLE_K]).encode()).hexdigest()[:15], 16)
-                for i in range(n)
-            ]
+            hashes = []
+            for i in range(n):
+                g = " ".join(words[i : i + SHINGLE_K])
+                h = cache.get(g)
+                if h is None:
+                    h = int(_hl.md5(g.encode()).hexdigest()[:15], 16)
+                    cache[g] = h
+                hashes.append(h)
             return min(hashes), max(hashes)
 
         pairs = texts.map(go)
