@@ -353,8 +353,13 @@ def connected_components(
     parts = max(1, min(parallelism, n_edges // 500_000 + 1))
     small = parts < parallelism
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions", "200")
     if small:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # with AQE off, every loop shuffle (distinct, join-groupBy) would
+        # otherwise use the session shuffle.partitions (200 on a vanilla
+        # session): hundreds of empty tasks per round on a tiny pair graph
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:
         # self-loops make "min over neighbors" include the vertex's own
         # label: one join + one groupBy per round, no second (left) join
@@ -384,6 +389,7 @@ def connected_components(
             prev_total = total
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds"
     )
