@@ -34,7 +34,7 @@ from flink_clickstream_processor_msk_spark.operators.session_stats import (
 )
 from flink_clickstream_processor_msk_spark.operators.sessionize import (
     buy_sessions,
-    drop_internal,
+    driver_output,
     sessionize,
 )
 from flink_clickstream_processor_msk_spark.sources.clickevents import (
@@ -54,14 +54,14 @@ def _clickevents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q1(gap: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return drop_internal(sessionize(_clickevents(spark, sf_dir), gap=gap))
+        return driver_output(sessionize(_clickevents(spark, sf_dir), gap=gap))
 
     return run
 
 
 def _q1_buy(gap: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return drop_internal(buy_sessions(sessionize(_clickevents(spark, sf_dir), gap=gap)))
+        return driver_output(buy_sessions(sessionize(_clickevents(spark, sf_dir), gap=gap)))
 
     return run
 

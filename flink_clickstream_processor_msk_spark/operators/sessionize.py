@@ -96,6 +96,22 @@ def drop_internal(df: DataFrame) -> DataFrame:
     return df.drop(*[c for c in df.columns if c.startswith("_")])
 
 
+def driver_output(df: DataFrame) -> DataFrame:
+    """Driver-facing UserIdSessionEvent projection.
+
+    The correctness harness canonicalizes rows with pandas ``sort_values``,
+    which cannot sort/hash array cells — so ``deptList`` (already sorted by
+    ``session_aggregates``) is emitted as a comma-joined string here. The
+    array form stays internal (Q3's explode and the streaming JSON sinks,
+    where an array mirrors the reference's HashSet serialization —
+    pkg/UserIdSessionEvent.java:5-12).
+    """
+    out = drop_internal(df)
+    if "deptList" in out.columns:
+        out = out.withColumn("deptList", F.array_join(F.col("deptList"), ","))
+    return out
+
+
 def buy_sessions(user_sessions: DataFrame) -> DataFrame:
     """F1 — sessions containing a checkout (ClickstreamProcessor.java:133-134)."""
     return user_sessions.filter(F.col("orderCheckoutEventCount") != 0)

@@ -79,11 +79,19 @@ sessions AS (
 """
 
 
+# Driver-facing deptList is a comma-joined string (the harness canonicalizer
+# cannot sort array cells); the sessions CTE keeps the array for Q3's unnest.
+# coalesce: DuckDB array_to_string([]) is NULL, Spark array_join([]) is ''.
+_DEPTLIST_AS_STRING = (
+    "* REPLACE (coalesce(array_to_string(deptList, ','), '') AS deptList)"
+)
+
+
 def q1_user_sessions(gap_ms: int) -> str:
     return f"""
 WITH {CLICKEVENTS_CTE.strip()},
 {sessions_cte(gap_ms).strip()}
-SELECT * FROM sessions
+SELECT {_DEPTLIST_AS_STRING} FROM sessions
 """
 
 
@@ -91,7 +99,8 @@ def q1_buy_sessions(gap_ms: int) -> str:
     return f"""
 WITH {CLICKEVENTS_CTE.strip()},
 {sessions_cte(gap_ms).strip()}
-SELECT * FROM sessions WHERE orderCheckoutEventCount != 0
+SELECT {_DEPTLIST_AS_STRING} FROM sessions
+WHERE orderCheckoutEventCount != 0
 """
 
 

@@ -69,8 +69,25 @@ def canonical_hash(df: pd.DataFrame) -> str:
     return hashlib.sha256("\n".join(rows).encode()).hexdigest()
 
 
+def _reject_array_cells(pdf: pd.DataFrame, side: str) -> None:
+    """The driver's canonicalizer sorts rows with pandas ``sort_values``,
+    which raises ``TypeError: unhashable type: 'list'`` on array cells
+    (round-1 q1_* failures). Fail local-side the same way the driver would,
+    so local green predicts driver green."""
+    for c in pdf.columns:
+        for v in pdf[c].head(100):
+            if isinstance(v, (list, tuple, np.ndarray, dict)):
+                raise TypeError(
+                    f"{side} column {c!r} contains array/struct cells — the "
+                    "driver canonicalizer cannot sort them; emit a "
+                    "deterministic scalar (e.g. comma-joined string) instead"
+                )
+
+
 def compare(spark_df, oracle_pdf: pd.DataFrame) -> dict:
     spark_pdf = spark_df.toPandas()
+    _reject_array_cells(spark_pdf, "spark")
+    _reject_array_cells(oracle_pdf, "oracle")
     result = {
         "spark_rows": len(spark_pdf),
         "oracle_rows": len(oracle_pdf),

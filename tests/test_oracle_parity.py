@@ -35,3 +35,18 @@ def test_query_matches_oracle(spark, con, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
+def test_no_array_columns_in_driver_output(spark, name):
+    """The driver canonicalizer can't sort array/struct cells (round-1 q1_*
+    red rows) — every driver-facing schema must be scalar-only."""
+    from pyspark.sql import types as T
+
+    schema = entry_mod.queries()[name](spark, SF_SMOKE).schema
+    complex_cols = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not complex_cols, f"{name} exposes non-scalar columns: {complex_cols}"
