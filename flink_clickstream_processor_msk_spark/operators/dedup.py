@@ -313,8 +313,41 @@ def ngram_jaccard_near_duplicates(
 
 # --- duplicate families (connected components) -----------------------------
 
+# Below this many (directed) edge rows the whole pair graph is collected and
+# solved on the driver: each distributed label-propagation round costs a
+# join + groupBy + scalar action, pure scheduler overhead for a graph that
+# fits in a few MB. 1M rows of two longs ≈ 16 MB — safely bounded.
+SMALL_GRAPH_EDGE_ROWS = 1_000_000
+
+
+def _union_find_min_labels(edge_rows) -> dict:
+    """Union-find with path compression and union-by-min: the root of every
+    set is always the minimum id it contains, so find(v) after all unions is
+    exactly the distributed min-label fixpoint (same contract as the DuckDB
+    recursive-CTE oracle and tests/test_dedup_model.py:_model_components)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
 def connected_components(
-    edges: DataFrame, src: str, dst: str, max_iterations: int = 50
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iterations: int = 50,
+    small_graph_edge_rows: int = SMALL_GRAPH_EDGE_ROWS,
 ) -> DataFrame:
     """(id, component) for every vertex of an undirected pair graph, where
     component = the minimum vertex id in the connected component.
@@ -323,15 +356,18 @@ def connected_components(
     document per duplicate FAMILY": pairs chain (A~B, B~C => A,B,C are one
     family) and the family representative must be consistent across chains.
 
-    Distributed min-label propagation: every vertex starts labeled with its
+    Size-adaptive: the pair graph is the set of NEAR-DUPLICATE pairs, which
+    is tiny relative to the corpus in the common case — below
+    ``small_graph_edge_rows`` the (already counted, bounded) edge list is
+    collected and solved with driver-side union-find in one job. Above it,
+    distributed min-label propagation: every vertex starts labeled with its
     own id; each round takes the min of its label and its neighbors' labels;
-    fixpoint in O(component diameter) rounds. Each round is one join + one
-    groupBy on the (small) pair graph — never materializes components on the
-    driver, so a 100 TB corpus with millions of dup pairs runs the same
-    plan. Labels only decrease, so sum(labels) is a monotone convergence
-    metric: one scalar action per round. Deterministic output (min id),
-    independent of iteration count — hash-comparable against the DuckDB
-    recursive-CTE oracle.
+    fixpoint in O(component diameter) rounds, one join + one groupBy per
+    round, never materializing components on the driver — a 100 TB corpus
+    with hundreds of millions of dup pairs runs that plan. Labels only
+    decrease, so sum(labels) is a monotone convergence metric: one scalar
+    action per round. Both paths produce the same deterministic output
+    (min id) — hash-comparable against the DuckDB recursive-CTE oracle.
     """
     spark = edges.sparkSession
     raw = _materialized(
@@ -339,57 +375,48 @@ def connected_components(
             edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
         )
     )
-    n_edges = raw.count()
-    if n_edges == 0:
+    n_rows = raw.count()
+    if n_rows == 0:
         return raw.select(F.col("a").alias("id"), F.col("b").alias("lbl"))
 
-    # size-adaptive execution: the pair graph is usually tiny relative to
-    # the corpus (only near-duplicates appear), and per-iteration scheduling
-    # dominates small graphs. Small graph -> one partition and AQE off for
-    # the loop (nothing to re-plan; AQE's per-stage re-optimization measured
-    # ~40% of iteration wall time). Big graph -> default parallelism, AQE
-    # (incl. skew splitting) stays on.
-    parallelism = spark.sparkContext.defaultParallelism
-    parts = max(1, min(parallelism, n_edges // 500_000 + 1))
-    small = parts < parallelism
-    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    if small:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        # with AQE off, every loop shuffle (distinct, join-groupBy) would
-        # otherwise use the session shuffle.partitions (200 on a vanilla
-        # session): hundreds of empty tasks per round on a tiny pair graph
-        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    try:
-        # self-loops make "min over neighbors" include the vertex's own
-        # label: one join + one groupBy per round, no second (left) join
-        vertices = raw.select(F.col("a").alias("id")).distinct()
-        sym = _materialized(
-            raw.union(vertices.select(F.col("id").alias("a"), F.col("id").alias("b")))
-            .repartition(parts, "b")
+    id_type = edges.schema[src].dataType
+    if n_rows <= small_graph_edge_rows:
+        labels = _union_find_min_labels(
+            (r["a"], r["b"]) for r in raw.collect()
         )
-        sym.count()
         raw.unpersist()
-        labels = _materialized(vertices.select("id", F.col("id").alias("lbl")))
-        prev_total = labels.agg(F.sum("lbl")).collect()[0][0]
-        for _ in range(max_iterations):
-            new_labels = _materialized(
-                sym.join(labels.withColumnRenamed("id", "b"), "b")
-                .select(F.col("a").alias("id"), "lbl")
-                .groupBy("id")
-                .agg(F.min("lbl").alias("lbl"))
-            )
-            total = new_labels.agg(F.sum("lbl")).collect()[0][0]
-            old = labels
-            labels = new_labels
-            old.unpersist()
-            if total == prev_total:
-                sym.unpersist()
-                return labels
-            prev_total = total
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        schema = T.StructType(
+            [T.StructField("id", id_type), T.StructField("lbl", id_type)]
+        )
+        return spark.createDataFrame(sorted(labels.items()), schema)
+
+    parallelism = spark.sparkContext.defaultParallelism
+    # self-loops make "min over neighbors" include the vertex's own
+    # label: one join + one groupBy per round, no second (left) join
+    vertices = raw.select(F.col("a").alias("id")).distinct()
+    sym = _materialized(
+        raw.union(vertices.select(F.col("id").alias("a"), F.col("id").alias("b")))
+        .repartition(parallelism, "b")
+    )
+    sym.count()
+    raw.unpersist()
+    labels = _materialized(vertices.select("id", F.col("id").alias("lbl")))
+    prev_total = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_iterations):
+        new_labels = _materialized(
+            sym.join(labels.withColumnRenamed("id", "b"), "b")
+            .select(F.col("a").alias("id"), "lbl")
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        total = new_labels.agg(F.sum("lbl")).collect()[0][0]
+        old = labels
+        labels = new_labels
+        old.unpersist()
+        if total == prev_total:
+            sym.unpersist()
+            return labels
+        prev_total = total
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds"
     )

@@ -162,6 +162,36 @@ def test_connected_components_match_union_find(spark, edges):
     spark.catalog.clearCache()
 
 
+@settings(max_examples=6, deadline=None)
+@given(edges_strategy)
+def test_connected_components_branches_agree(spark, edges):
+    """Driver-side union-find (small-graph branch) and distributed min-label
+    propagation must produce identical labels either side of the cut-over."""
+    from flink_clickstream_processor_msk_spark.operators.dedup import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "doc_a long, doc_b long"
+    )
+    if not edges:
+        df = df.limit(0)
+    small = {
+        r["id"]: r["lbl"]
+        for r in connected_components(
+            df, "doc_a", "doc_b", small_graph_edge_rows=10**9
+        ).collect()
+    }
+    distributed = {
+        r["id"]: r["lbl"]
+        for r in connected_components(
+            df, "doc_a", "doc_b", small_graph_edge_rows=0
+        ).collect()
+    }
+    assert small == distributed == _model_components(edges)
+    spark.catalog.clearCache()
+
+
 def test_duplicate_families_chain(spark):
     """A~B and B~C near-dups must land in ONE family labeled min(doc_id)."""
     from flink_clickstream_processor_msk_spark.operators.dedup import (
