@@ -51,6 +51,15 @@ JACCARD_THRESHOLD = 0.5
 COSINE_THRESHOLD = 0.30
 N_PLANES = 8
 
+# Production default for the LSH bucket skew cap: a giant duplicate family
+# (boilerplate pages in a web corpus) of m members emits m·(m-1)/2 pairs in
+# ONE bucket — the 10× scaling run (PLANS.md "Dedup") showed pair-count, not
+# corpus size, drives cost, so the cap is on by default at library entry
+# points. 512 members → ≤130 k pairs per bucket, comfortably sub-quadratic;
+# the oracle-checked configurations pass ``max_bucket_size=None`` explicitly
+# to keep candidate generation exact.
+MAX_BUCKET_SIZE_DEFAULT = 512
+
 
 def _materialized(df: DataFrame) -> DataFrame:
     """Mark a derived table for reuse across join branches.
@@ -230,10 +239,16 @@ def minhash_near_duplicates(
     threshold: float = JACCARD_THRESHOLD,
     n_perms: int = N_PERMS,
     n_bands: int = N_BANDS,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE_DEFAULT,
 ) -> DataFrame:
-    """Full fuzzy-dedup pipeline: LSH candidates → exact-Jaccard verify."""
+    """Full fuzzy-dedup pipeline: LSH candidates → exact-Jaccard verify.
+
+    ``max_bucket_size`` defaults to the production skew cap
+    (``MAX_BUCKET_SIZE_DEFAULT``); pass ``None`` for exact candidate
+    generation (the oracle-checked configuration)."""
     return _lsh_verified_pairs(
-        shingle_hashes(documents), "jaccard", threshold, n_perms, n_bands
+        shingle_hashes(documents), "jaccard", threshold, n_perms, n_bands,
+        max_bucket_size,
     )
 
 
@@ -243,13 +258,14 @@ def _lsh_verified_pairs(
     threshold: float,
     n_perms: int = N_PERMS,
     n_bands: int = N_BANDS,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE_DEFAULT,
 ) -> DataFrame:
     """Shared fuzzy-dedup scaffold: MinHash-LSH candidates over a
     (doc_id, shingles) feature-set frame, then exact-Jaccard verification
     of candidates only. At 100 TB the only shuffles are the band-bucket
     join and the two feature-set joins — never an all-pairs compare."""
     sigs = _materialized(_signatures_from_sets(sets_, "shingles", n_perms))
-    pairs = lsh_candidate_pairs(sigs, n_bands, n_perms)
+    pairs = lsh_candidate_pairs(sigs, n_bands, n_perms, max_bucket_size)
     feats = sigs.select("doc_id", "shingles")
     return (
         pairs.join(feats.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
@@ -303,11 +319,14 @@ def ngram_jaccard_near_duplicates(
     documents: DataFrame,
     n: int = NGRAM_N,
     threshold: float = NGRAM_JACCARD_THRESHOLD,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE_DEFAULT,
 ) -> DataFrame:
     """Char-n-gram Jaccard near-dups: MinHash-LSH candidates over the
-    n-gram sets, exact n-gram Jaccard verification."""
+    n-gram sets, exact n-gram Jaccard verification. ``max_bucket_size``
+    as in :func:`minhash_near_duplicates`."""
     return _lsh_verified_pairs(
-        char_ngram_hashes(documents, n), "ngram_jaccard", threshold
+        char_ngram_hashes(documents, n), "ngram_jaccard", threshold,
+        max_bucket_size=max_bucket_size,
     )
 
 
@@ -427,6 +446,7 @@ def minhash_duplicate_families(
     threshold: float = JACCARD_THRESHOLD,
     n_perms: int = N_PERMS,
     n_bands: int = N_BANDS,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE_DEFAULT,
 ) -> DataFrame:
     """Near-dup pairs (MinHash-LSH + exact Jaccard) resolved into duplicate
     families: one row per document that has at least one near-duplicate,
@@ -437,7 +457,9 @@ def minhash_duplicate_families(
 
     # materialized: connected_components reads the pair table twice (the
     # symmetric union), which would re-run the LSH verify join per branch
-    pairs = _materialized(minhash_near_duplicates(documents, threshold, n_perms, n_bands))
+    pairs = _materialized(
+        minhash_near_duplicates(documents, threshold, n_perms, n_bands, max_bucket_size)
+    )
     cc = connected_components(pairs, "doc_a", "doc_b")
     w = Window.partitionBy("family_rep")
     return (
@@ -593,28 +615,75 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+# Dots within this margin of the sign boundary are recomputed with the
+# sequential fold: numpy matmul sums pairwise, the oracle folds sequentially,
+# and the two differ only in low-order bits (≤ ~1e-12 absolute for 64 terms
+# of O(1)) — so outside the margin the SIGN is provably identical.
+_SIGN_EPS = 1e-6
+
+
+def _seq_dot(a, b) -> float:
+    """Sequential IEEE-double fold — same order as :func:`cosine` /
+    the DuckDB oracle's aggregate fold."""
+    d = 0.0
+    for x, y in zip(a, b):
+        d += x * y
+    return d
+
+
+def build_lsh_index(
+    embeddings: DataFrame, n_planes: int = N_PLANES, dim: int = 64
+) -> DataFrame:
+    """The build side of the embedding-LSH index: ``(vec_id, v, bucket)``,
+    persisted for reuse across probes (at cluster scale: written out as a
+    table partitioned by ``bucket``, so a probe reads a handful of buckets
+    instead of scanning the corpus).
+
+    Buckets are bit-identical to :func:`embedding_lsh_bucket` (the Catalyst
+    per-row fold) and the SQL oracle, but computed as one numpy matmul per
+    Arrow batch — the per-row HOF folds run interpreted and measured ~5×
+    slower than brute-force scoring, defeating the index. Sign-boundary
+    dots fall back to the sequential fold (see ``_SIGN_EPS``).
+    """
+    planes = hyperplanes(n_planes, dim)
+
+    @F.pandas_udf("integer")
+    def bucket_udf(emb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
+        P = np.asarray(planes, dtype=np.float64)
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in emb.to_numpy()])
+        dots = M @ P.T
+        for i, j in zip(*np.nonzero(np.abs(dots) < _SIGN_EPS)):
+            dots[i, j] = _seq_dot(M[i], P[j])
+        bits = (dots >= 0).astype(np.int64) << np.arange(P.shape[0], dtype=np.int64)
+        return pd.Series(bits.sum(axis=1).astype(np.int32))
+
+    return _materialized(
+        embeddings.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+            bucket_udf("embedding").alias("bucket"),
+        )
+    )
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = COSINE_THRESHOLD,
     n_planes: int = N_PLANES,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: same LSH bucket AND exact cosine ≥ t.
 
     The bucket join is the scale path (vectors only meet within their
     2^n_planes-way partition); cosine verification is exact, in doubles,
-    bit-identical to the SQL oracle.
+    bit-identical to the SQL oracle. Pass ``index=build_lsh_index(...)``
+    to reuse an already-built bucket table.
     """
-    planes = hyperplanes(n_planes, dim=64)
-    vec = F.col("embedding").cast("array<double>")
-    with_bucket = _materialized(
-        embeddings.select(
-            "vec_id",
-            vec.alias("v"),
-            embedding_lsh_bucket("cast(embedding as array<double>)", planes).alias(
-                "bucket"
-            ),
-        )
-    )
+    with_bucket = index if index is not None else build_lsh_index(embeddings, n_planes)
     a, b = with_bucket.alias("a"), with_bucket.alias("b")
     return (
         a.join(

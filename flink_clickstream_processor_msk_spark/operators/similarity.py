@@ -24,8 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+import pandas as pd
+
 from flink_clickstream_processor_msk_spark.operators.dedup import (
     N_PLANES,
+    _materialized,
+    build_lsh_index,
     cosine,
     double_array_literal,
     embedding_lsh_bucket,
@@ -108,9 +112,12 @@ def _cosine_sql(vec_sql: str, lit: list[float]) -> str:
 
 
 def ivf_cells(embeddings: DataFrame, centroids: list[list[float]]) -> DataFrame:
-    """Assign every vector to its nearest centroid (max cosine, first index
-    wins ties) — the build side of the inverted file. At scale this is the
-    one full pass that writes the partitioned index table."""
+    """Per-row Catalyst cell assignment (max cosine, first index wins ties).
+
+    Semantic reference only: :func:`build_ivf_index` computes the identical
+    assignment with a batched numpy matmul (the HOF folds here run
+    interpreted per row — fine for a spec, wrong for an index build);
+    tests assert the two agree."""
     vec = F.col("embedding").cast("array<double>")
     vec_sql = "cast(embedding as array<double>)"
     scores = F.expr(
@@ -120,28 +127,93 @@ def ivf_cells(embeddings: DataFrame, centroids: list[list[float]]) -> DataFrame:
     return embeddings.select("vec_id", vec.alias("v"), cell.alias("cell"))
 
 
+# When the best and runner-up centroid cosines are closer than this, the
+# assignment is recomputed with the oracle's sequential folds — outside the
+# margin, pairwise (numpy) vs sequential summation noise (≤ ~1e-12 for
+# 64-dim O(1) values) provably cannot flip the argmax.
+_GAP_EPS = 1e-6
+
+
+def build_ivf_index(
+    embeddings: DataFrame, n_centroids: int = N_CENTROIDS
+) -> tuple[list[list[float]], DataFrame]:
+    """The build side of the IVF-flat index: (centroids, cell table).
+
+    The cell table ``(vec_id, v, cell)`` is persisted for reuse across
+    probes — at cluster scale it is written out partitioned by ``cell``, so
+    a query's ``n_probe`` cells are read via partition pruning and the rest
+    of the corpus is never touched. Assignment runs as one numpy matmul per
+    Arrow batch; near-tie rows fall back to the sequential-fold cosine so
+    the assignment stays bit-identical to :func:`ivf_cells` and the SQL
+    oracle (cosine desc, first centroid wins ties).
+    """
+    cents = ivf_centroids(embeddings, n_centroids)
+
+    @F.pandas_udf("integer")
+    def cell_udf(emb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
+        C = np.asarray(cents, dtype=np.float64)
+        cnorm = np.sqrt(np.einsum("ij,ij->i", C, C))
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in emb.to_numpy()])
+        mnorm = np.sqrt(np.einsum("ij,ij->i", M, M))
+        cos = (M @ C.T) / (mnorm[:, None] * cnorm[None, :])
+        best = np.argmax(cos, axis=1)
+        rows = np.arange(len(M))
+        runner = cos.copy()
+        runner[rows, best] = -np.inf
+        margin = cos[rows, best] - runner.max(axis=1)
+        for i in np.nonzero(margin < _GAP_EPS)[0]:
+            exact = [_py_cosine(list(M[i]), c) for c in cents]
+            best[i] = max(range(len(cents)), key=lambda j: (exact[j], -j))
+        return pd.Series(best.astype(np.int32))
+
+    index = _materialized(
+        embeddings.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+            cell_udf("embedding").alias("cell"),
+        )
+    )
+    return cents, index
+
+
 def ann_ivf_topk(
     embeddings: DataFrame,
     query_vec_id: int,
     k: int = DEFAULT_K,
     n_centroids: int = N_CENTROIDS,
     n_probe: int = N_PROBE,
+    index: tuple[list[list[float]], DataFrame] | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: route the query to its ``n_probe``
-    nearest cells, exact cosine only within them."""
-    cents = ivf_centroids(embeddings, n_centroids)
-    q = _query_vector(embeddings, query_vec_id)
+    nearest cells, exact (oracle-fold) cosine only within them.
+
+    Pass ``index=build_ivf_index(embeddings)`` to amortize the build across
+    queries — the probe itself touches only the index table."""
+    cents, cells = index if index is not None else build_ivf_index(
+        embeddings, n_centroids
+    )
+    q = _query_vector_from_index(cells, query_vec_id)
     probes = sorted(
         range(len(cents)), key=lambda i: (-_py_cosine(cents[i], q), i)
     )[:n_probe]
     qlit = double_array_literal(q)
     return (
-        ivf_cells(embeddings, cents)
-        .filter(F.col("cell").isin(probes) & (F.col("vec_id") != query_vec_id))
+        cells.filter(F.col("cell").isin(probes) & (F.col("vec_id") != query_vec_id))
         .select("vec_id", cosine(F.col("v"), qlit).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def _query_vector_from_index(index: DataFrame, query_vec_id: int) -> list[float]:
+    row = index.filter(F.col("vec_id") == query_vec_id).select("v").first()
+    if row is None:
+        raise ValueError(f"query vec_id {query_vec_id} not found")
+    return [float(x) for x in row[0]]
 
 
 def ann_lsh_topk(
@@ -150,13 +222,17 @@ def ann_lsh_topk(
     k: int = DEFAULT_K,
     n_planes: int = N_PLANES,
     probe_hamming: int = 1,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only vectors in LSH buckets within
-    ``probe_hamming`` bits of the query's bucket (multi-probe LSH)."""
+    ``probe_hamming`` bits of the query's bucket (multi-probe LSH).
+
+    Pass ``index=build_lsh_index(embeddings)`` to amortize the build across
+    queries; the probe is a popcount filter + exact cosine on survivors."""
+    idx = index if index is not None else build_lsh_index(embeddings, n_planes)
     planes = hyperplanes(n_planes, dim=64)
-    q = _query_vector(embeddings, query_vec_id)
+    q = _query_vector_from_index(idx, query_vec_id)
     qlit = double_array_literal(q)
-    vec = F.col("embedding").cast("array<double>")
 
     # query bucket computed the same deterministic way as the data buckets
     q_bucket = 0
@@ -164,10 +240,8 @@ def ann_lsh_topk(
         if sum(x * y for x, y in zip(q, plane)) >= 0:
             q_bucket |= 1 << p
 
-    bucket = embedding_lsh_bucket("cast(embedding as array<double>)", planes)
     return (
-        embeddings.filter(F.col("vec_id") != query_vec_id)
-        .select("vec_id", vec.alias("v"), bucket.alias("bucket"))
+        idx.filter(F.col("vec_id") != query_vec_id)
         .filter(
             F.bit_count(F.col("bucket").bitwiseXOR(F.lit(q_bucket)))
             <= probe_hamming

@@ -1,0 +1,75 @@
+"""The vectorized (numpy pandas-UDF) ANN index builders must agree
+bit-for-bit with the per-row Catalyst spec expressions they replace —
+the spec expressions are what the DuckDB oracles mirror, so builder/spec
+equality is what keeps the ANN CORRECTNESS rows green."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_clickstream_processor_msk_spark.operators.dedup import (
+    N_PLANES,
+    build_lsh_index,
+    embedding_lsh_bucket,
+    hyperplanes,
+)
+from flink_clickstream_processor_msk_spark.operators.similarity import (
+    N_CENTROIDS,
+    ann_ivf_topk,
+    ann_lsh_topk,
+    build_ivf_index,
+    ivf_cells,
+    ivf_centroids,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_lsh_index_matches_catalyst_buckets(spark):
+    emb = _emb(spark)
+    planes = hyperplanes(N_PLANES, dim=64)
+    spec = {
+        r["vec_id"]: r["bucket"]
+        for r in emb.select(
+            "vec_id",
+            embedding_lsh_bucket("cast(embedding as array<double>)", planes).alias(
+                "bucket"
+            ),
+        ).collect()
+    }
+    got = {
+        r["vec_id"]: r["bucket"] for r in build_lsh_index(emb).select("vec_id", "bucket").collect()
+    }
+    assert got == spec
+    spark.catalog.clearCache()
+
+
+def test_ivf_index_matches_catalyst_cells(spark):
+    emb = _emb(spark)
+    cents = ivf_centroids(emb, N_CENTROIDS)
+    spec = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_cells(emb, cents).select("vec_id", "cell").collect()
+    }
+    built_cents, index = build_ivf_index(emb)
+    assert built_cents == cents
+    got = {r["vec_id"]: r["cell"] for r in index.select("vec_id", "cell").collect()}
+    assert got == spec
+    spark.catalog.clearCache()
+
+
+def test_ann_topk_same_with_prebuilt_index(spark):
+    """Probing a pre-built index returns the identical top-k as the
+    build-inline path (amortization must not change results)."""
+    emb = _emb(spark)
+    inline = ann_lsh_topk(emb, 0, 10).collect()
+    prebuilt = ann_lsh_topk(emb, 0, 10, index=build_lsh_index(emb)).collect()
+    assert inline == prebuilt
+    inline = ann_ivf_topk(emb, 0, 10).collect()
+    prebuilt = ann_ivf_topk(emb, 0, 10, index=build_ivf_index(emb)).collect()
+    assert inline == prebuilt
+    spark.catalog.clearCache()

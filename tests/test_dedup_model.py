@@ -192,6 +192,24 @@ def test_connected_components_branches_agree(spark, edges):
     spark.catalog.clearCache()
 
 
+def test_bucket_cap_keeps_giant_family_subquadratic(spark):
+    """A giant mutual-duplicate family (one LSH bucket) must emit
+    O(cap²) candidate pairs under the production cap, not O(m²)."""
+    from flink_clickstream_processor_msk_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    m, cap = 60, 8
+    docs = _docs_df(spark, ["spark flink stream batch query engine" * 3] * m)
+    sigs = minhash_signatures(docs)
+    capped = lsh_candidate_pairs(sigs, max_bucket_size=cap).count()
+    exact = lsh_candidate_pairs(sigs, max_bucket_size=None).count()
+    assert exact == m * (m - 1) // 2  # identical docs: every pair collides
+    assert capped == cap * (cap - 1) // 2
+    spark.catalog.clearCache()
+
+
 def test_duplicate_families_chain(spark):
     """A~B and B~C near-dups must land in ONE family labeled min(doc_id)."""
     from flink_clickstream_processor_msk_spark.operators.dedup import (
