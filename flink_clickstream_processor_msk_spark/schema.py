@@ -23,7 +23,7 @@ CLICK_EVENT = T.StructType(
         T.StructField("devicetype", T.StringType(), False),
         T.StructField("event_type", T.StringType(), True),  # union[string,null]
         T.StructField("product_type", T.StringType(), True),  # union[string,null]
-        T.StructField("userid", T.LongType(), False),
+        T.StructField("userid", T.IntegerType(), False),  # avsc "int"
         T.StructField("globalseq", T.LongType(), False),
         T.StructField("prevglobalseq", T.LongType(), False),
     ]

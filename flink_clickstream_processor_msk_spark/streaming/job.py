@@ -49,6 +49,7 @@ def run(spark: SparkSession, config: AppConfig) -> list[StreamingQuery]:
             config["DepartmentsAggTopic"],
             f"{ckpt}/departments",
             key_cols=["departmentName"],  # K1: keyed, CP:208-227
+            timestamp_col="windowEndTime",  # setWriteTimestampToKafka, CP:226
         ),
         kafka_json_sink(
             streams.session_stats,

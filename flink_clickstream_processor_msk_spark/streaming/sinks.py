@@ -19,7 +19,9 @@ two-phase-commit producer.
 
 from __future__ import annotations
 
-from collections.abc import Callable
+import time
+from collections.abc import Callable, Iterable, Iterator
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -32,13 +34,25 @@ def json_value(df: DataFrame) -> DataFrame:
     return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
 
 
-def kafka_records(df: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
+def kafka_records(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    timestamp_col: str | None = None,
+) -> DataFrame:
     """Kafka message encoding (K1-K3): value = JSON of the whole row; key =
     JSON of ``key_cols`` (Kafka then hash-partitions by it, CP:211-215) or
-    absent for round-robin (CP:231-251)."""
+    absent for round-robin (CP:231-251).
+
+    ``timestamp_col`` mirrors the reference's
+    ``setWriteTimestampToKafka(true)`` (CP:226): the named epoch-millis
+    column is emitted as a ``timestamp`` column so the record carries its
+    event time (brokers configured for CreateTime preserve it; sinks that
+    don't understand the column ignore it)."""
     cols = [F.to_json(F.struct(*df.columns)).alias("value")]
     if key_cols:
         cols.insert(0, F.to_json(F.struct(*key_cols)).alias("key"))
+    if timestamp_col is not None:
+        cols.append(F.timestamp_millis(F.col(timestamp_col)).alias("timestamp"))
     return df.select(*cols)
 
 
@@ -48,6 +62,7 @@ def kafka_json_sink(
     topic: str,
     checkpoint_dir: str,
     key_cols: list[str] | None = None,
+    timestamp_col: str | None = None,
     output_mode: str = "append",
 ) -> StreamingQuery:
     """K1-K3 parity: JSON-valued Kafka sink, keyed (hash-partitioned) when
@@ -57,7 +72,7 @@ def kafka_json_sink(
     message encoding is tested in batch via :func:`kafka_records`).
     """
     return (
-        kafka_records(df, key_cols)
+        kafka_records(df, key_cols, timestamp_col)
         .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)
@@ -115,3 +130,82 @@ def bulk_foreach_batch_sink(
         .outputMode(output_mode)
         .start()
     )
+
+
+@dataclass(frozen=True)
+class BulkFlushPolicy:
+    """Default bulk-writer flush policy — reference parity with
+    AmazonElasticsearchSink.java:22-24 (10 000 actions / 1 s interval /
+    1 MB) and its bounded exponential backoff (lines 53-56)."""
+
+    max_actions: int = 10_000
+    max_interval_s: float = 1.0
+    max_bytes: int = 1 << 20
+    max_retries: int = 3
+    backoff_base_s: float = 0.1
+
+
+def bulk_chunks(
+    docs: Iterable[str],
+    policy: BulkFlushPolicy = BulkFlushPolicy(),
+    clock: Callable[[], float] = time.monotonic,
+) -> Iterator[list[str]]:
+    """Split a document stream into bulk requests, flushing on whichever of
+    action count / byte size / elapsed interval trips first."""
+    buf: list[str] = []
+    size = 0
+    start = clock()
+    for d in docs:
+        buf.append(d)
+        size += len(d)
+        if (
+            len(buf) >= policy.max_actions
+            or size >= policy.max_bytes
+            or clock() - start >= policy.max_interval_s
+        ):
+            yield buf
+            buf, size, start = [], 0, clock()
+    if buf:
+        yield buf
+
+
+def send_with_backoff(
+    send: Callable[[list[str]], None],
+    chunk: list[str],
+    policy: BulkFlushPolicy = BulkFlushPolicy(),
+    sleep: Callable[[float], None] = time.sleep,
+) -> None:
+    """Deliver one bulk request with bounded exponential backoff
+    (AmazonElasticsearchSink.java:53-56)."""
+    for attempt in range(policy.max_retries + 1):
+        try:
+            send(chunk)
+            return
+        except Exception:
+            if attempt == policy.max_retries:
+                raise
+            sleep(policy.backoff_base_s * (2**attempt))
+
+
+def make_bulk_writer(
+    send: Callable[[list[str]], None],
+    policy: BulkFlushPolicy = BulkFlushPolicy(),
+) -> Callable[[DataFrame, int], None]:
+    """Default ``bulk_write`` for :func:`bulk_foreach_batch_sink`.
+
+    Rows are JSON-encoded by Catalyst (:func:`json_value`); each partition
+    then streams chunked bulk requests through ``send`` (the client-specific
+    delivery callable, e.g. an ES ``_bulk`` POST — must be picklable, it
+    runs on executors) under the flush/backoff policy. No driver collection:
+    delivery parallelism = partition count."""
+
+    def bulk_write(batch_df: DataFrame, epoch_id: int) -> None:
+        encoded = json_value(batch_df)
+
+        def write_partition(rows) -> None:
+            for chunk in bulk_chunks((r["value"] for r in rows), policy):
+                send_with_backoff(send, chunk, policy)
+
+        encoded.foreachPartition(write_partition)
+
+    return bulk_write

@@ -1,0 +1,88 @@
+"""BulkFlushPolicy / bulk writer unit tests (no live Elasticsearch needed —
+reference policy: AmazonElasticsearchSink.java:22-24,53-56)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from flink_clickstream_processor_msk_spark.streaming.sinks import (
+    BulkFlushPolicy,
+    bulk_chunks,
+    make_bulk_writer,
+    send_with_backoff,
+)
+
+
+def test_flush_on_action_count():
+    p = BulkFlushPolicy(max_actions=3, max_bytes=1 << 30, max_interval_s=1e9)
+    chunks = list(bulk_chunks([f"d{i}" for i in range(7)], p))
+    assert [len(c) for c in chunks] == [3, 3, 1]
+
+
+def test_flush_on_byte_size():
+    p = BulkFlushPolicy(max_actions=10**6, max_bytes=10, max_interval_s=1e9)
+    chunks = list(bulk_chunks(["aaaaa"] * 5, p))  # 5 bytes each -> 2 per chunk
+    assert [len(c) for c in chunks] == [2, 2, 1]
+
+
+def test_flush_on_interval():
+    p = BulkFlushPolicy(max_actions=10**6, max_bytes=1 << 30, max_interval_s=1.0)
+    t = iter([0.0, 0.5, 1.5, 1.6, 1.7, 1.8, 1.9])  # clock readings
+    chunks = list(bulk_chunks(["a", "b", "c"], p, clock=lambda: next(t)))
+    assert [len(c) for c in chunks] == [2, 1]  # interval trips after 2nd doc
+
+
+def test_backoff_retries_then_succeeds():
+    calls, sleeps = [], []
+
+    def flaky(chunk):
+        calls.append(chunk)
+        if len(calls) < 3:
+            raise ConnectionError("transient")
+
+    p = BulkFlushPolicy(max_retries=3, backoff_base_s=0.1)
+    send_with_backoff(flaky, ["x"], p, sleep=sleeps.append)
+    assert len(calls) == 3
+    assert sleeps == [0.1, 0.2]  # exponential
+
+
+def test_backoff_exhausted_raises():
+    p = BulkFlushPolicy(max_retries=2, backoff_base_s=0.0)
+
+    def always_fails(chunk):
+        raise ConnectionError("down")
+
+    with pytest.raises(ConnectionError):
+        send_with_backoff(always_fails, ["x"], p, sleep=lambda s: None)
+
+
+def test_bulk_writer_delivers_all_rows(spark, tmp_path):
+    """End-to-end: foreachBatch-style delivery on executors — every row
+    arrives exactly once as a JSON doc, chunked per policy."""
+    out = str(tmp_path)
+
+    def send(chunk):
+        import json as _json
+        import uuid
+
+        path = os.path.join(out, f"{uuid.uuid4().hex}.jsonl")
+        with open(path, "w") as f:
+            for doc in chunk:
+                f.write(doc + "\n")
+        for doc in chunk:
+            _json.loads(doc)  # every doc is valid JSON
+
+    df = spark.range(20).selectExpr("id", "id * 2 as v")
+    writer = make_bulk_writer(send, BulkFlushPolicy(max_actions=4))
+    writer(df, epoch_id=0)
+
+    import json
+
+    got = []
+    for name in os.listdir(out):
+        with open(os.path.join(out, name)) as f:
+            got += [json.loads(line) for line in f]
+    assert sorted(r["id"] for r in got) == list(range(20))
+    assert all(r["v"] == r["id"] * 2 for r in got)
