@@ -99,12 +99,24 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _ensure_persisted(df: DataFrame) -> DataFrame:
+    """Re-persist a cached index after an external catalog.clearCache():
+    the index table feeds self-joins / repeated probes, and an unpersisted
+    plan would re-run the signature pipeline per branch."""
+    from pyspark.storagelevel import StorageLevel
+
+    sl = df.storageLevel
+    if not (sl.useMemory or sl.useDisk):
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+    return df
+
+
 def _lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _ANN_INDEX_CACHE.get(("lsh", sf_dir))
     if hit is None or hit[0] is not spark:
         hit = (spark, dedup.build_lsh_index(_embeddings(spark, sf_dir)))
         _ANN_INDEX_CACHE[("lsh", sf_dir)] = hit
-    return hit[1]
+    return _ensure_persisted(hit[1])
 
 
 def _ivf_index(spark: SparkSession, sf_dir: str):
@@ -112,7 +124,8 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
     if hit is None or hit[0] is not spark:
         hit = (spark, similarity.build_ivf_index(_embeddings(spark, sf_dir)))
         _ANN_INDEX_CACHE[("ivf", sf_dir)] = hit
-    return hit[1]
+    cents, index = hit[1]
+    return cents, _ensure_persisted(index)
 
 
 def entry(spark: SparkSession) -> DataFrame:
