@@ -35,8 +35,10 @@ from flink_clickstream_processor_msk_spark.operators.session_stats import (
 from flink_clickstream_processor_msk_spark.operators.sessionize import (
     buy_sessions,
     driver_output,
+    drop_internal,
     sessionize,
 )
+from flink_clickstream_processor_msk_spark.streaming.sinks import kafka_records
 from flink_clickstream_processor_msk_spark.sources.clickevents import (
     read_clickevents,
     with_event_time,
@@ -76,6 +78,36 @@ def _q2(gap: str, window: str):
 def _q3(gap: str, window: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return department_counts(sessionize(_clickevents(spark, sf_dir), gap=gap), window=window)
+
+    return run
+
+
+def _k1(gap: str, window: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        counts = department_counts(
+            sessionize(_clickevents(spark, sf_dir), gap=gap), window=window
+        )
+        return kafka_records(counts, key_cols=["departmentName"])
+
+    return run
+
+
+def _k2(gap: str, window: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        stats = session_stats(
+            sessionize(_clickevents(spark, sf_dir), gap=gap), window=window
+        )
+        return kafka_records(stats)
+
+    return run
+
+
+def _k3(gap: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        sessions = drop_internal(
+            buy_sessions(sessionize(_clickevents(spark, sf_dir), gap=gap))
+        )
+        return kafka_records(sessions)
 
     return run
 
@@ -144,6 +176,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_buy_sessions_30m": _q1_buy(_GAP_30M),
         "q2_session_stats_30m": _q2(_GAP_30M, _WIN_6H),
         "q3_department_counts_30m": _q3(_GAP_30M, _WIN_6H),
+        # Kafka sink encodings (K1 keyed / K2-K3 round-robin, CP:208-251):
+        # the exact key/value JSON bytes the sinks would hand to Kafka
+        "k1_departments_kafka_records": _k1(_GAP_30M, _WIN_6H),
+        "k2_session_stats_kafka_records": _k2(_GAP_30M, _WIN_6H),
+        "k3_buy_sessions_kafka_records": _k3(_GAP_30M),
         # text analysis (documents)
         "text_stats": _on_table("documents", text.text_stats),
         "language_id": _on_table("documents", text.language_id),
@@ -209,6 +246,15 @@ def oracle_sql() -> dict[str, str]:
         "q1_buy_sessions_30m": oracles.q1_buy_sessions(_GAP_30M_MS),
         "q2_session_stats_30m": oracles.q2_session_stats(_GAP_30M_MS, _WIN_6H_MS),
         "q3_department_counts_30m": oracles.q3_department_counts(_GAP_30M_MS, _WIN_6H_MS),
+        "k1_departments_kafka_records": oracles.k1_departments_kafka_records(
+            _GAP_30M_MS, _WIN_6H_MS
+        ),
+        "k2_session_stats_kafka_records": oracles.k2_session_stats_kafka_records(
+            _GAP_30M_MS, _WIN_6H_MS
+        ),
+        "k3_buy_sessions_kafka_records": oracles.k3_buy_sessions_kafka_records(
+            _GAP_30M_MS
+        ),
         "text_stats": oracles_beyond.text_stats(),
         "language_id": oracles_beyond.language_id(),
         "fingerprints": oracles_beyond.fingerprints(),

@@ -125,6 +125,65 @@ GROUP BY bucket
 """
 
 
+# --- Kafka record encodings (K1-K3) ----------------------------------------
+# DuckDB's to_json(struct_pack(...)) emits byte-identical compact JSON to
+# Spark's to_json(struct(...)) — same key order, string escaping, integer
+# and double formatting, and list serialization (verified in
+# tests/test_oracle_parity.py via the k1/k2/k3 hash rows) — so the sink
+# encoding itself is oracle-checkable.
+
+
+def k1_departments_kafka_records(gap_ms: int, window_ms: int) -> str:
+    """SQL twin of kafka_records(department_counts(...), key_cols=
+    [departmentName]) — K1, the keyed departments sink (CP:208-227)."""
+    return f"""
+WITH base AS ({q3_department_counts(gap_ms, window_ms)})
+SELECT
+  to_json(struct_pack(departmentName := departmentName)) AS key,
+  to_json(struct_pack(departmentName := departmentName,
+                      departmentCount := departmentCount,
+                      windowBeginTime := windowBeginTime,
+                      windowEndTime := windowEndTime)) AS value
+FROM base
+"""
+
+
+def k2_session_stats_kafka_records(gap_ms: int, window_ms: int) -> str:
+    """SQL twin of kafka_records(session_stats(...)) — K2, round-robin
+    (CP:231-239)."""
+    return f"""
+WITH base AS ({q2_session_stats(gap_ms, window_ms)})
+SELECT
+  to_json(struct_pack(userSessionCount := userSessionCount,
+                      userSessionCountWithOrderCheckout := userSessionCountWithOrderCheckout,
+                      percentSessionswithBuy := percentSessionswithBuy,
+                      windowBeginTime := windowBeginTime,
+                      windowEndTime := windowEndTime)) AS value
+FROM base
+"""
+
+
+def k3_buy_sessions_kafka_records(gap_ms: int) -> str:
+    """SQL twin of kafka_records(buy_sessions(...)) — K3, round-robin
+    (CP:243-251). deptList stays an ARRAY here: the JSON value embeds it as
+    a list, mirroring the reference's Gson-encoded HashSet
+    (UserIdSessionEvent.java:5-12) — the output column is a scalar string,
+    so the harness canonicalizer is fine."""
+    return f"""
+WITH {CLICKEVENTS_CTE.strip()},
+{sessions_cte(gap_ms).strip()}
+SELECT to_json(struct_pack(
+  userId := userId,
+  eventCount := eventCount,
+  orderCheckoutEventCount := orderCheckoutEventCount,
+  deptList := deptList,
+  eventKey := eventKey,
+  windowBeginTime := windowBeginTime,
+  windowEndTime := windowEndTime)) AS value
+FROM sessions WHERE orderCheckoutEventCount != 0
+"""
+
+
 def q3_department_counts(gap_ms: int, window_ms: int) -> str:
     return f"""
 WITH {CLICKEVENTS_CTE.strip()},

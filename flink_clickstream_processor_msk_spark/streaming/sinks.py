@@ -19,6 +19,7 @@ two-phase-commit producer.
 
 from __future__ import annotations
 
+import os
 import time
 from collections.abc import Callable, Iterable, Iterator
 from dataclasses import dataclass
@@ -130,6 +131,34 @@ def bulk_foreach_batch_sink(
         .outputMode(output_mode)
         .start()
     )
+
+
+def dedup_epochs(
+    bulk_write: Callable[[DataFrame, int], None], marker_dir: str
+) -> Callable[[DataFrame, int], None]:
+    """At-least-once foreachBatch → effectively-once delivery.
+
+    The reference gets exactly-once from Flink's two-phase-commit Kafka
+    producer; Spark's sinks replay a failed micro-batch with the SAME
+    ``epoch_id``. Recording delivered epoch ids (one marker file per epoch,
+    in a directory on driver-visible storage — foreachBatch callables run
+    on the driver) turns redelivery into a no-op. The marker is written
+    AFTER delivery, so a crash in between still redelivers once: the
+    standard epoch-id pattern gives idempotent, not transactional,
+    semantics — pair with an idempotent target (e.g. ES doc ids keyed on
+    (key, windowBeginTime)) for end-to-end exactly-once.
+    """
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        marker = os.path.join(marker_dir, f"epoch-{epoch_id}")
+        if os.path.exists(marker):
+            return
+        bulk_write(batch_df, epoch_id)
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(marker, "w"):
+            pass
+
+    return write
 
 
 @dataclass(frozen=True)

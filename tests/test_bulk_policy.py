@@ -10,6 +10,7 @@ import pytest
 from flink_clickstream_processor_msk_spark.streaming.sinks import (
     BulkFlushPolicy,
     bulk_chunks,
+    dedup_epochs,
     make_bulk_writer,
     send_with_backoff,
 )
@@ -56,6 +57,17 @@ def test_backoff_exhausted_raises():
 
     with pytest.raises(ConnectionError):
         send_with_backoff(always_fails, ["x"], p, sleep=lambda s: None)
+
+
+def test_dedup_epochs_skips_redelivered_batches(tmp_path):
+    """Spark replays a failed micro-batch with the same epoch_id — the
+    wrapper must deliver each epoch exactly once."""
+    delivered = []
+    writer = dedup_epochs(lambda df, e: delivered.append((df, e)), str(tmp_path / "m"))
+    writer("batch-a", 0)
+    writer("batch-a-replayed", 0)  # redelivery of epoch 0: skipped
+    writer("batch-b", 1)
+    assert delivered == [("batch-a", 0), ("batch-b", 1)]
 
 
 def test_bulk_writer_delivers_all_rows(spark, tmp_path):
