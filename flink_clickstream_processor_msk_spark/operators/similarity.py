@@ -216,6 +216,53 @@ def _query_vector_from_index(index: DataFrame, query_vec_id: int) -> list[float]
     return [float(x) for x in row[0]]
 
 
+# --- persisted (written-out) indexes ---------------------------------------
+# At 100 TB the index build is a separate, amortized job: the cell/bucket
+# table is WRITTEN partitioned by its routing column, and every probe's
+# cell/bucket filter becomes partition pruning — the corpus is never
+# rescanned per query (tests assert PartitionFilters appears in the probe
+# plan). Centroids ride along as a tiny parquet sidecar so the index is
+# self-contained on any Spark-supported filesystem.
+
+
+def save_ivf_index(
+    embeddings: DataFrame, path: str, n_centroids: int = N_CENTROIDS
+) -> None:
+    """Build and write an IVF index: ``path/cells`` partitioned by ``cell``
+    + ``path/centroids`` sidecar."""
+    cents, index = build_ivf_index(embeddings, n_centroids)
+    spark = embeddings.sparkSession
+    index.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/cells")
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cidx int, cvec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    index.unpersist()
+
+
+def load_ivf_index(
+    spark, path: str
+) -> tuple[list[list[float]], DataFrame]:
+    """Read a saved IVF index; the returned pair plugs straight into
+    ``ann_ivf_topk(..., index=...)``."""
+    cents_rows = spark.read.parquet(f"{path}/centroids").orderBy("cidx").collect()
+    cents = [[float(x) for x in r["cvec"]] for r in cents_rows]
+    return cents, spark.read.parquet(f"{path}/cells")
+
+
+def save_lsh_index(
+    embeddings: DataFrame, path: str, n_planes: int = N_PLANES
+) -> None:
+    """Build and write an LSH index partitioned by ``bucket`` (hyperplanes
+    are deterministic from ``n_planes`` — no sidecar needed)."""
+    index = build_lsh_index(embeddings, n_planes)
+    index.write.partitionBy("bucket").mode("overwrite").parquet(f"{path}/buckets")
+    index.unpersist()
+
+
+def load_lsh_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(f"{path}/buckets")
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     query_vec_id: int,

@@ -62,6 +62,48 @@ def test_ivf_index_matches_catalyst_cells(spark):
     spark.catalog.clearCache()
 
 
+def _explain_str(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_saved_ivf_index_roundtrip_and_partition_pruning(spark, tmp_path):
+    """A written index must (a) return identical top-k and (b) let the
+    probe's cell filter become partition pruning — the 100 TB story."""
+    from flink_clickstream_processor_msk_spark.operators import similarity
+
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf")
+    similarity.save_ivf_index(emb, path)
+    loaded = similarity.load_ivf_index(spark, path)
+    probe = ann_ivf_topk(emb, 0, 10, index=loaded)
+    assert probe.collect() == ann_ivf_topk(emb, 0, 10).collect()
+    plan = _explain_str(probe)
+    assert "PartitionFilters" in plan
+    assert "PartitionFilters: []" not in plan  # the cell filter prunes
+    spark.catalog.clearCache()
+
+
+def test_saved_lsh_index_roundtrip_and_partition_pruning(spark, tmp_path):
+    from flink_clickstream_processor_msk_spark.operators import similarity
+
+    emb = _emb(spark)
+    path = str(tmp_path / "lsh")
+    similarity.save_lsh_index(emb, path)
+    loaded = similarity.load_lsh_index(spark, path)
+    probe = ann_lsh_topk(emb, 0, 10, index=loaded)
+    assert probe.collect() == ann_lsh_topk(emb, 0, 10).collect()
+    plan = _explain_str(probe)
+    assert "PartitionFilters" in plan
+    assert "PartitionFilters: []" not in plan  # popcount-on-bucket prunes
+    spark.catalog.clearCache()
+
+
 def test_ann_topk_same_with_prebuilt_index(spark):
     """Probing a pre-built index returns the identical top-k as the
     build-inline path (amortization must not change results)."""
