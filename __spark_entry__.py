@@ -181,10 +181,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k1_departments_kafka_records": _k1(_GAP_30M, _WIN_6H),
         "k2_session_stats_kafka_records": _k2(_GAP_30M, _WIN_6H),
         "k3_buy_sessions_kafka_records": _k3(_GAP_30M),
-        # text analysis (documents)
+        # text analysis + corpus pipeline (documents)
         "text_stats": _on_table("documents", text.text_stats),
         "language_id": _on_table("documents", text.language_id),
         "fingerprints": _on_table("documents", text.fingerprints),
+        "quality_filter": _on_table("documents", text.quality_filter),
+        "token_histogram": _on_table("documents", text.token_histogram),
+        "train_test_split": _on_table("documents", text.train_test_split),
         # dedup suite
         # oracle-checked dedup entries pass max_bucket_size=None: candidate
         # generation must be exact to hash-match the SQL oracle (library
@@ -258,6 +261,9 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": oracles_beyond.text_stats(),
         "language_id": oracles_beyond.language_id(),
         "fingerprints": oracles_beyond.fingerprints(),
+        "quality_filter": oracles_beyond.quality_filter(),
+        "token_histogram": oracles_beyond.token_histogram(),
+        "train_test_split": oracles_beyond.train_test_split(),
         "dedup_exact": oracles_beyond.exact_duplicates(),
         "dedup_minhash_jaccard": oracles_beyond.minhash_near_duplicates(),
         "dedup_ngram_jaccard": oracles_beyond.ngram_jaccard_near_duplicates(),

@@ -75,6 +75,55 @@ def text_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def quality_filter(
+    documents: DataFrame, min_quality: float = 0.5, min_tokens: int = 10
+) -> DataFrame:
+    """The C4-style keep/drop decision composed from :func:`text_stats` —
+    documents passing the quality and length thresholds, with the features
+    that justified the decision. Zero-shuffle (filter over a per-row map);
+    at 100 TB this is the first, cheapest pass of the cleaning pipeline and
+    the filter runs inside the scan's codegen stage."""
+    stats = text_stats(documents)
+    return stats.filter(
+        (F.col("quality_score") >= min_quality) & (F.col("ws_tokens") >= min_tokens)
+    ).select("doc_id", "ws_tokens", "quality_score")
+
+
+def token_histogram(documents: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus-level token frequency: top-k lowercased whitespace tokens
+    (count desc, token asc — a total order, so the cut is deterministic).
+
+    Scale shape: explode → groupBy(token) runs with map-side partial
+    aggregation, so the shuffle carries one row per distinct token per
+    partition, not one per token occurrence; the global top-k is
+    TakeOrdered (k rows to the driver, no full sort)."""
+    toks = tokens(F.lower(F.col("text")))
+    return (
+        documents.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("token_count"))
+        .orderBy(F.desc("token_count"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def train_test_split(documents: DataFrame, test_pct: int = 10) -> DataFrame:
+    """Deterministic hash-based train/test assignment: bucket =
+    md5-derived ``h60(doc_id) % 100``; buckets below ``test_pct`` are
+    'test'. Stable across runs, engines, and corpus growth (a document's
+    split never depends on other rows) — the property a training pipeline
+    needs so later snapshots don't leak test docs into train. Per-row map,
+    zero shuffle."""
+    bucket = h60(F.col("doc_id").cast("string")) % 100
+    return documents.select(
+        "doc_id",
+        bucket.cast("int").alias("split_bucket"),
+        F.when(bucket < test_pct, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
 def language_id(documents: DataFrame) -> DataFrame:
     """Stopword-profile language ID (n-gram heuristic).
 

@@ -66,6 +66,41 @@ FROM toks
 """
 
 
+def quality_filter(min_quality: float = 0.5, min_tokens: int = 10) -> str:
+    """SQL twin of text.quality_filter (same text_stats formulas, so the
+    threshold comparisons see bit-identical doubles)."""
+    return f"""
+WITH base AS ({text_stats()})
+SELECT doc_id, ws_tokens, quality_score
+FROM base
+WHERE quality_score >= {min_quality} AND ws_tokens >= {min_tokens}
+"""
+
+
+def token_histogram(k: int = 100) -> str:
+    """SQL twin of text.token_histogram (count desc, token asc — total
+    order, deterministic top-k cut)."""
+    toks = _TOKENS.format(x="lower(text)")
+    return f"""
+SELECT token, count(*) AS token_count
+FROM (SELECT unnest({toks}) AS token FROM documents)
+GROUP BY token
+ORDER BY token_count DESC, token ASC
+LIMIT {k}
+"""
+
+
+def train_test_split(test_pct: int = 10) -> str:
+    """SQL twin of text.train_test_split (md5-derived bucket)."""
+    bucket = f"({_h60('doc_id::VARCHAR')}) % 100"
+    return f"""
+SELECT doc_id,
+  CAST({bucket} AS INTEGER) AS split_bucket,
+  CASE WHEN {bucket} < {test_pct} THEN 'test' ELSE 'train' END AS split
+FROM documents
+"""
+
+
 def language_id() -> str:
     scores = {
         lang: f"len(list_filter(w, t -> t IN ({', '.join(repr(x) for x in words)})))"
