@@ -23,6 +23,7 @@ from flink_clickstream_processor_msk_spark import oracles, oracles_beyond
 from flink_clickstream_processor_msk_spark.operators import (
     dedup,
     multimodal,
+    pipeline,
     similarity,
     text,
 )
@@ -209,6 +210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "documents",
             lambda df: dedup.minhash_duplicate_families(df, max_bucket_size=None),
         ),
+        "clean_corpus": _on_table("documents", pipeline.clean_corpus),
         # similarity search (embeddings)
         "sim_cosine_topk": _on_table(
             "embeddings", lambda df: similarity.cosine_topk(df, _QUERY_VEC_ID, _TOPK)
@@ -270,6 +272,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": oracles_beyond.simhash_near_duplicates(),
         "dedup_embedding_cosine": oracles_beyond.embedding_near_duplicates(),
         "dedup_families": oracles_beyond.minhash_duplicate_families(),
+        "clean_corpus": oracles_beyond.clean_corpus(),
         "sim_cosine_topk": oracles_beyond.cosine_topk(_QUERY_VEC_ID, _TOPK),
         "sim_ann_lsh_topk": oracles_beyond.ann_lsh_topk(_QUERY_VEC_ID, _TOPK),
         "sim_ann_ivf_topk": oracles_beyond.ann_ivf_topk(_QUERY_VEC_ID, _TOPK),

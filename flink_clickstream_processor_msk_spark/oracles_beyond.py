@@ -423,6 +423,28 @@ LIMIT {k}
 """
 
 
+def clean_corpus(min_quality: float = 0.5, min_tokens: int = 10) -> str:
+    """SQL twin of pipeline.clean_corpus: quality pass ∩ exact-keeper ∩
+    not-a-dropped-near-dup — same set algebra over the same oracle-checked
+    stage formulas."""
+    return f"""
+WITH q AS (
+  SELECT doc_id FROM ({text_stats()}) s
+  WHERE s.quality_score >= {min_quality} AND s.ws_tokens >= {min_tokens}
+),
+ex AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, {_h60("text")} AS ch FROM documents)
+  GROUP BY ch
+),
+fams AS ({minhash_duplicate_families()}),
+dropped AS (SELECT doc_id FROM fams WHERE doc_id != family_rep)
+SELECT q.doc_id FROM q
+JOIN ex USING (doc_id)
+ANTI JOIN dropped USING (doc_id)
+"""
+
+
 def minhash_duplicate_families(threshold: float = JACCARD_THRESHOLD) -> str:
     """SQL twin of dedup.minhash_duplicate_families: the verified MinHash
     near-dup pairs resolved into connected components by a recursive CTE

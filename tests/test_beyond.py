@@ -185,3 +185,31 @@ def test_fingerprint_stable_and_content_sensitive(spark):
     assert rows[0]["content_hash"] == rows[1]["content_hash"]
     assert rows[0]["min_shingle_hash"] == rows[1]["min_shingle_hash"]
     assert rows[0]["content_hash"] != rows[2]["content_hash"]
+
+
+def test_clean_corpus_drops_each_failure_mode(spark):
+    """One doc per failure mode: low quality, exact dup, near dup — only
+    representatives of good content survive."""
+    from flink_clickstream_processor_msk_spark.operators.pipeline import clean_corpus
+
+    # varied sentences -> large distinct-shingle set (a short appended tail
+    # keeps Jaccard high); stopwords + length keep quality_score passing
+    good = " ".join(
+        f"the quick fox {i} jumps over a lazy dog and the engine is fine"
+        for i in range(4)
+    )
+    near = good + " with an extra tail"
+    other = " ".join(
+        f"a small house {i} sits near the garden and the story is told"
+        for i in range(4)
+    )
+    texts = [
+        good,       # 0: keeper (exact rep, family rep)
+        good,       # 1: exact duplicate of 0 -> dropped
+        near,       # 2: near duplicate of 0 -> dropped (family rep is 0)
+        "zzz qqq",  # 3: fails min_tokens/quality -> dropped
+        other,      # 4: keeper
+    ]
+    kept = {r["doc_id"] for r in clean_corpus(_docs(spark, texts)).collect()}
+    assert kept == {0, 4}
+    spark.catalog.clearCache()
