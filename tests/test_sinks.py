@@ -53,6 +53,23 @@ def test_kafka_records_keyless_round_robin(spark):
     assert recs.columns == ["value"]  # no key column -> Kafka round-robins
 
 
+def test_kafka_records_timestamp_column(spark):
+    """timestamp_col (setWriteTimestampToKafka parity, CP:226): the named
+    epoch-millis column rides along as a real timestamp column."""
+    import datetime as dt
+
+    recs = kafka_records(
+        _sessions(spark), key_cols=["userId"], timestamp_col="windowEndTime"
+    ).collect()
+    assert set(recs[0].asDict()) == {"key", "value", "timestamp"}
+    for r in recs:
+        expected_ms = json.loads(r["value"])["windowEndTime"]
+        got = r["timestamp"]
+        assert isinstance(got, dt.datetime)
+        epoch_ms = int(got.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+        assert epoch_ms == expected_ms
+
+
 def test_json_value_encodes_all_columns(spark):
     row = json.loads(json_value(_sessions(spark)).first()["value"])
     assert {"userId", "eventCount", "deptList"} <= set(row)
