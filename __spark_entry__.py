@@ -113,6 +113,20 @@ def _k3(gap: str):
     return run
 
 
+def _frame_sample_digests(media: DataFrame) -> DataFrame:
+    """Driver-facing projection of multimodal.frame_sample: md5 + length
+    per sampled frame (raw bytes would violate the scalar-only harness
+    contract; the digests pin the exact frame content anyway)."""
+    from pyspark.sql import functions as F
+
+    return multimodal.frame_sample(media).select(
+        "doc_id",
+        "frame_idx",
+        F.md5("frame").alias("frame_md5"),
+        F.length("frame").cast("int").alias("frame_len"),
+    )
+
+
 def _on_table(table: str, op):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return op(spark.read.parquet(f"{sf_dir}/{table}.parquet"))
@@ -231,6 +245,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_byte_stats": _on_table(
             "documents", lambda df: multimodal.byte_stats(multimodal.attach_media(df))
         ),
+        "multimodal_frame_sample": _on_table(
+            "documents", lambda df: _frame_sample_digests(multimodal.attach_media(df))
+        ),
         "multimodal_features_ann": _on_table(
             "documents",
             lambda df: similarity.cosine_topk(
@@ -277,6 +294,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ann_lsh_topk": oracles_beyond.ann_lsh_topk(_QUERY_VEC_ID, _TOPK),
         "sim_ann_ivf_topk": oracles_beyond.ann_ivf_topk(_QUERY_VEC_ID, _TOPK),
         "multimodal_byte_stats": oracles_beyond.multimodal_byte_stats(),
+        "multimodal_frame_sample": oracles_beyond.multimodal_frame_sample(),
         "multimodal_features_ann": oracles_beyond.multimodal_features_ann(
             _QUERY_VEC_ID, _TOPK
         ),

@@ -320,6 +320,27 @@ WHERE {cos} >= {threshold}
 """
 
 
+def multimodal_frame_sample(frame_bytes: int = 64, every_n: int = 4) -> str:
+    """SQL twin of multimodal.frame_sample over attach_media(documents)
+    (payload = UTF-8 text bytes; the corpus is ASCII so byte chunks equal
+    character substrings). The driver-facing projection carries each
+    sampled frame's md5 + length, not raw bytes (scalar-only contract)."""
+    frame = f"substr(text, idx * {frame_bytes} + 1, {frame_bytes})"
+    return f"""
+WITH exploded AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(ceil(length(text) / {frame_bytes}.0) AS BIGINT),
+                      {every_n})) AS idx
+  FROM documents
+)
+SELECT doc_id,
+  CAST(idx AS INTEGER)            AS frame_idx,
+  md5({frame})                    AS frame_md5,
+  CAST(length({frame}) AS INTEGER) AS frame_len
+FROM exploded
+"""
+
+
 def multimodal_byte_stats() -> str:
     """Oracle for operators.multimodal.byte_stats over attach_media(documents).
 
