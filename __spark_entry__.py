@@ -83,6 +83,25 @@ def _q3(gap: str, window: str):
     return run
 
 
+def _asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every clickevent joined to the user's latest prior-or-same
+    order_checkout (purchase attribution) via the as-of join operator."""
+    from pyspark.sql import functions as F
+
+    from flink_clickstream_processor_msk_spark.operators.asof import asof_join
+
+    ev = read_clickevents(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "order_checkout")
+        .groupBy("userid", "eventtimestamp")
+        .agg(F.max("globalseq").alias("purchase_seq"))
+    )
+    left = ev.select("userid", "eventtimestamp", F.col("globalseq").alias("event_seq"))
+    return asof_join(left, purchases, ["userid"], "eventtimestamp").select(
+        "userid", "event_seq", "purchase_seq"
+    )
+
+
 def _k1(gap: str, window: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts = department_counts(
@@ -196,6 +215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k1_departments_kafka_records": _k1(_GAP_30M, _WIN_6H),
         "k2_session_stats_kafka_records": _k2(_GAP_30M, _WIN_6H),
         "k3_buy_sessions_kafka_records": _k3(_GAP_30M),
+        # as-of join (point-in-time attribution) over the same event stream
+        "asof_attribution": _asof_attribution,
         # text analysis + corpus pipeline (documents)
         "text_stats": _on_table("documents", text.text_stats),
         "language_id": _on_table("documents", text.language_id),
@@ -277,6 +298,7 @@ def oracle_sql() -> dict[str, str]:
         "k3_buy_sessions_kafka_records": oracles.k3_buy_sessions_kafka_records(
             _GAP_30M_MS
         ),
+        "asof_attribution": oracles.asof_attribution(),
         "text_stats": oracles_beyond.text_stats(),
         "language_id": oracles_beyond.language_id(),
         "fingerprints": oracles_beyond.fingerprints(),

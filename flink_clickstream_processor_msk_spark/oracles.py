@@ -125,6 +125,26 @@ GROUP BY bucket
 """
 
 
+def asof_attribution() -> str:
+    """SQL twin of the as-of attribution query (operators/asof.py): every
+    clickevent joined to the user's latest prior-or-same order_checkout.
+    DuckDB's native ASOF JOIN (greatest right time ≤ left time, inclusive)
+    is exactly the operator's contract; the purchase side is deduped to
+    max globalseq per (user, timestamp) so ties are deterministic."""
+    return f"""
+WITH {CLICKEVENTS_CTE.strip()},
+purchases AS (
+  SELECT userid, eventtimestamp, max(globalseq) AS purchase_seq
+  FROM clickevents WHERE event_type = 'order_checkout'
+  GROUP BY userid, eventtimestamp
+)
+SELECT e.userid, e.globalseq AS event_seq, p.purchase_seq
+FROM clickevents e
+ASOF JOIN purchases p
+  ON e.userid = p.userid AND e.eventtimestamp >= p.eventtimestamp
+"""
+
+
 # --- Kafka record encodings (K1-K3) ----------------------------------------
 # DuckDB's to_json(struct_pack(...)) emits byte-identical compact JSON to
 # Spark's to_json(struct(...)) — same key order, string escaping, integer
