@@ -102,6 +102,37 @@ def _asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _range_session_attribution(gap: str):
+    """Every clickevent matched to its containing session interval via the
+    range-join operator (begin ≤ ts < end per user — exactly one match)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from flink_clickstream_processor_msk_spark.operators.asof import range_join
+
+        ev = read_clickevents(spark, sf_dir)
+        sessions = drop_internal(
+            sessionize(with_event_time(ev), gap=gap)
+        ).select(
+            F.col("userId").alias("userid"), "windowBeginTime", "windowEndTime"
+        )
+        left = ev.select(
+            "userid", "eventtimestamp", F.col("globalseq").alias("event_seq")
+        )
+        return range_join(
+            left, sessions, ["userid"], "eventtimestamp",
+            "windowBeginTime", "windowEndTime",
+        ).select(
+            "userid",
+            "event_seq",
+            F.col("windowBeginTime").alias("session_begin"),
+            F.col("windowEndTime").alias("session_end"),
+        )
+
+    return run
+
+
 def _k1(gap: str, window: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts = department_counts(
@@ -215,8 +246,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k1_departments_kafka_records": _k1(_GAP_30M, _WIN_6H),
         "k2_session_stats_kafka_records": _k2(_GAP_30M, _WIN_6H),
         "k3_buy_sessions_kafka_records": _k3(_GAP_30M),
-        # as-of join (point-in-time attribution) over the same event stream
+        # as-of + range joins (point-in-time / interval attribution)
         "asof_attribution": _asof_attribution,
+        "range_session_attribution": _range_session_attribution(_GAP_30M),
         # text analysis + corpus pipeline (documents)
         "text_stats": _on_table("documents", text.text_stats),
         "language_id": _on_table("documents", text.language_id),
@@ -299,6 +331,7 @@ def oracle_sql() -> dict[str, str]:
             _GAP_30M_MS
         ),
         "asof_attribution": oracles.asof_attribution(),
+        "range_session_attribution": oracles.range_session_attribution(_GAP_30M_MS),
         "text_stats": oracles_beyond.text_stats(),
         "language_id": oracles_beyond.language_id(),
         "fingerprints": oracles_beyond.fingerprints(),

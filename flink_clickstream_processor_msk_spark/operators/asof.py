@@ -31,6 +31,42 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    time_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Interval join: left rows matched to right rows whose
+    ``[start_col, end_col)`` interval contains ``left[time_col]``, within
+    the same key group.
+
+    Spark-first: an equi-join on the keys with the range predicate as a
+    join condition — Catalyst runs it as a hash/sort-merge join on the
+    keys with the interval filter applied at the join, so there is no
+    cross product and one shuffle per side on the keys. A pathological
+    key (one user with millions of rows AND intervals) degrades to that
+    key's pair count — the same skew hazard as any keyed join, handled by
+    AQE skew splitting; time-bucketing the join key (key, epoch_bucket)
+    is the documented escalation if intervals are bounded.
+    """
+    cond = None
+    for k in keys:
+        c = left[k] == right[k]
+        cond = c if cond is None else cond & c
+    cond = (
+        cond
+        & (left[time_col] >= right[start_col])
+        & (left[time_col] < right[end_col])
+    )
+    joined = left.join(right, cond)
+    for k in keys:  # keep one copy of each join key (the left one)
+        joined = joined.drop(right[k])
+    return joined
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -145,6 +145,25 @@ ASOF JOIN purchases p
 """
 
 
+def range_session_attribution(gap_ms: int) -> str:
+    """SQL twin of the range-join attribution query: every clickevent
+    matched to its containing session interval (begin ≤ ts < end, per
+    user). Every event lands in exactly one session by construction, so
+    the output is a 1:1 relabeling of the input — self-validating."""
+    return f"""
+WITH {CLICKEVENTS_CTE.strip()},
+{sessions_cte(gap_ms).strip()}
+SELECT e.userid, e.globalseq AS event_seq,
+       s.windowBeginTime AS session_begin,
+       s.windowEndTime   AS session_end
+FROM clickevents e
+JOIN sessions s
+  ON e.userid = s.userId
+ AND e.eventtimestamp >= s.windowBeginTime
+ AND e.eventtimestamp <  s.windowEndTime
+"""
+
+
 # --- Kafka record encodings (K1-K3) ----------------------------------------
 # DuckDB's to_json(struct_pack(...)) emits byte-identical compact JSON to
 # Spark's to_json(struct(...)) — same key order, string escaping, integer

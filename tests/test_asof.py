@@ -49,3 +49,35 @@ def test_asof_preserves_all_left_columns(spark):
     left, right = _frames(spark)
     out = asof_join(left, right, ["k"], "t")
     assert out.columns == ["k", "t", "event", "snap"]
+
+
+def test_range_join_interval_boundaries(spark):
+    """begin inclusive, end exclusive; no match outside; key-scoped."""
+    from flink_clickstream_processor_msk_spark.operators.asof import range_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 19, "b"), (1, 20, "c"), (1, 9, "d"), (2, 10, "e")],
+        "k long, t long, event string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 20, "w1"), (2, 0, 100, "w2")],
+        "k long, lo long, hi long, win string",
+    )
+    got = {
+        r["event"]: r["win"]
+        for r in range_join(left, right, ["k"], "t", "lo", "hi").collect()
+    }
+    # a: t==lo inclusive; b: inside; c: t==hi exclusive -> dropped;
+    # d: before -> dropped; e: other key's window
+    assert got == {"a": "w1", "b": "w1", "e": "w2"}
+
+
+def test_range_attribution_covers_every_event(spark):
+    """Session intervals partition the event stream: the range join must
+    relabel every event exactly once."""
+    import __spark_entry__ as em
+
+    SF = "/root/testdata/sf0.001"
+    out = em.queries()["range_session_attribution"](spark, SF)
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert out.count() == n_events
