@@ -389,27 +389,28 @@ def connected_components(
     (min id) — hash-comparable against the DuckDB recursive-CTE oracle.
     """
     spark = edges.sparkSession
-    raw = _materialized(
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-        )
-    )
-    n_rows = raw.count()
-    if n_rows == 0:
-        return raw.select(F.col("a").alias("id"), F.col("b").alias("lbl"))
-
     id_type = edges.schema[src].dataType
-    if n_rows <= small_graph_edge_rows:
+    # one count on the (caller-persisted) pair table decides the path; the
+    # symmetric doubling is implicit (2 directed rows per pair)
+    n_pairs = edges.count()
+    if n_pairs == 0:
+        return edges.select(
+            F.col(src).alias("id"), F.col(dst).alias("lbl")
+        ).limit(0)
+
+    if 2 * n_pairs <= small_graph_edge_rows:
         labels = _union_find_min_labels(
-            (r["a"], r["b"]) for r in raw.collect()
+            (r[0], r[1]) for r in edges.select(src, dst).collect()
         )
-        raw.unpersist()
         schema = T.StructType(
             [T.StructField("id", id_type), T.StructField("lbl", id_type)]
         )
         return spark.createDataFrame(sorted(labels.items()), schema)
 
     parallelism = spark.sparkContext.defaultParallelism
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
     # self-loops make "min over neighbors" include the vertex's own
     # label: one join + one groupBy per round, no second (left) join
     vertices = raw.select(F.col("a").alias("id")).distinct()
@@ -418,7 +419,6 @@ def connected_components(
         .repartition(parallelism, "b")
     )
     sym.count()
-    raw.unpersist()
     labels = _materialized(vertices.select("id", F.col("id").alias("lbl")))
     prev_total = labels.agg(F.sum("lbl")).collect()[0][0]
     for _ in range(max_iterations):
