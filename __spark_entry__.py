@@ -163,6 +163,22 @@ def _k3(gap: str):
     return run
 
 
+def _ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over a Lloyd's-refined index (2 iterations). Iterative
+    algorithm → no SQL oracle; the driver records a rows-only check."""
+    emb = _embeddings(spark, sf_dir)
+    hit = _ANN_INDEX_CACHE.get(("ivf_kmeans", sf_dir))
+    if hit is None or hit[0] is not spark:
+        seed = similarity.ivf_centroids(emb)
+        refined = similarity.kmeans_refine_centroids(emb, seed, iterations=2)
+        hit = (spark, similarity.build_ivf_index(emb, centroids=refined))
+        _ANN_INDEX_CACHE[("ivf_kmeans", sf_dir)] = hit
+    cents, index = hit[1]
+    return similarity.ann_ivf_topk(
+        emb, _QUERY_VEC_ID, _TOPK, index=(cents, _ensure_persisted(index))
+    )
+
+
 def _frame_sample_digests(media: DataFrame) -> DataFrame:
     """Driver-facing projection of multimodal.frame_sample: md5 + length
     per sampled frame (raw bytes would violate the scalar-only harness
@@ -294,6 +310,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _TOPK,
             index=_ivf_index(spark, sf_dir),
         ),
+        # k-means-refined IVF: iterative algorithm, not SQL-expressible —
+        # deliberately has NO oracle_sql() entry (driver rows-only check)
+        "sim_ann_ivf_kmeans_topk": _ivf_kmeans_topk,
         # multimodal columns (binary payloads + pandas-UDF compute)
         "multimodal_byte_stats": _on_table(
             "documents", lambda df: multimodal.byte_stats(multimodal.attach_media(df))

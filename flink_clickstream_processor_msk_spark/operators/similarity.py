@@ -135,7 +135,9 @@ _GAP_EPS = 1e-6
 
 
 def build_ivf_index(
-    embeddings: DataFrame, n_centroids: int = N_CENTROIDS
+    embeddings: DataFrame,
+    n_centroids: int = N_CENTROIDS,
+    centroids: list[list[float]] | None = None,
 ) -> tuple[list[list[float]], DataFrame]:
     """The build side of the IVF-flat index: (centroids, cell table).
 
@@ -147,7 +149,9 @@ def build_ivf_index(
     the assignment stays bit-identical to :func:`ivf_cells` and the SQL
     oracle (cosine desc, first centroid wins ties).
     """
-    cents = ivf_centroids(embeddings, n_centroids)
+    cents = centroids if centroids is not None else ivf_centroids(
+        embeddings, n_centroids
+    )
 
     @F.pandas_udf("integer")
     def cell_udf(emb: pd.Series) -> pd.Series:
@@ -214,6 +218,69 @@ def _query_vector_from_index(index: DataFrame, query_vec_id: int) -> list[float]
     if row is None:
         raise ValueError(f"query vec_id {query_vec_id} not found")
     return [float(x) for x in row[0]]
+
+
+def kmeans_refine_centroids(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    iterations: int = 5,
+) -> list[list[float]]:
+    """Lloyd's k-means refinement of IVF centroids — the production-quality
+    index build (the deterministic first-n seeding stays the oracle-checked
+    configuration; refined cells shift assignments, so queries over a
+    refined index are covered by the driver's rows-only check).
+
+    Each iteration is one distributed pass: assign every vector to its
+    nearest centroid (numpy matmul per Arrow batch, same kernel as
+    :func:`build_ivf_index`) and reduce per-cell sums/counts via a
+    map-side-combined groupBy — only k×(dim+1) numbers reach the driver
+    per iteration, never vectors. Empty cells keep their previous centroid
+    (standard Lloyd's degeneracy handling, deterministic).
+    """
+    import numpy as np
+
+    cents = [list(map(float, c)) for c in centroids]
+    k = len(cents)
+    for _ in range(iterations):
+        frozen = [list(c) for c in cents]
+
+        @F.pandas_udf("integer")
+        def cell_udf(emb: pd.Series) -> pd.Series:
+            import numpy as _np
+
+            if len(emb) == 0:
+                return pd.Series([], dtype="int32")
+            C = _np.asarray(frozen, dtype=_np.float64)
+            cnorm = _np.sqrt(_np.einsum("ij,ij->i", C, C))
+            M = _np.stack([_np.asarray(v, dtype=_np.float64) for v in emb.to_numpy()])
+            mnorm = _np.sqrt(_np.einsum("ij,ij->i", M, M))
+            cos = (M @ C.T) / (mnorm[:, None] * cnorm[None, :])
+            return pd.Series(_np.argmax(cos, axis=1).astype(_np.int32))
+
+        sums = (
+            embeddings.select(
+                cell_udf("embedding").alias("cell"),
+                F.col("embedding").cast("array<double>").alias("v"),
+            )
+            .groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("v", d + 1)).alias(f"s{d}")
+                    for d in range(len(cents[0]))
+                ],
+            )
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for row in sums:
+            if row["n"] > 0:
+                new[row["cell"]] = [
+                    row[f"s{d}"] / row["n"] for d in range(len(cents[0]))
+                ]
+        cents = new
+    assert len(cents) == k
+    return cents
 
 
 # --- persisted (written-out) indexes ---------------------------------------

@@ -115,3 +115,29 @@ def test_ann_topk_same_with_prebuilt_index(spark):
     prebuilt = ann_ivf_topk(emb, 0, 10, index=build_ivf_index(emb)).collect()
     assert inline == prebuilt
     spark.catalog.clearCache()
+
+
+def test_kmeans_refine_deterministic_and_shape(spark):
+    from flink_clickstream_processor_msk_spark.operators.similarity import (
+        build_ivf_index,
+        kmeans_refine_centroids,
+    )
+
+    emb = _emb(spark)
+    seed = ivf_centroids(emb, N_CENTROIDS)
+    a = kmeans_refine_centroids(emb, seed, iterations=2)
+    b = kmeans_refine_centroids(emb, seed, iterations=2)
+    assert a == b  # deterministic
+    assert len(a) == N_CENTROIDS and all(len(c) == 64 for c in a)
+    assert a != seed  # it actually moved the centroids
+
+    # a refined index still produces exact cosines for whatever it returns
+    from flink_clickstream_processor_msk_spark.operators.similarity import cosine_topk
+
+    cents, index = build_ivf_index(emb, centroids=a)
+    got = ann_ivf_topk(emb, 0, 10, index=(cents, index)).collect()
+    exact = {r["vec_id"]: r["cosine"] for r in cosine_topk(_emb(spark), 0, 500).collect()}
+    assert len(got) == 10
+    for r in got:
+        assert exact[r["vec_id"]] == r["cosine"]  # scores are exact folds
+    spark.catalog.clearCache()
