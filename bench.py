@@ -65,8 +65,16 @@ def main() -> None:
     # what an engine-throughput comparison should measure
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
-        runs = []
-        for _ in range(2):
+        runs: list[float] = []
+        # best-of-2, adaptively extended: a transient host/JVM stall (this
+        # box runs multi-second hiccups under sustained load) can span both
+        # ~2 s runs and poison the min; when the two timings disagree wildly,
+        # the query gets up to two more runs so the min reflects steady state
+        while len(runs) < 2 or (
+            len(runs) < 4
+            and min(runs) > 0.5
+            and (max(runs) / min(runs) > 2.5 or min(runs) > 4.0)
+        ):
             # time construction + execution: iterative operators (e.g.
             # connected components) run distributed jobs during construction
             start = time.perf_counter()

@@ -452,14 +452,41 @@ def minhash_duplicate_families(
     families: one row per document that has at least one near-duplicate,
     labeled with its family representative (min doc_id in the family) and
     the family size. Downstream "keep one per family" is then a filter
-    (``doc_id == family_rep``)."""
+    (``doc_id == family_rep``).
+
+    Size-adaptive like ``connected_components``: below the small-graph
+    threshold the collected labels are already on the driver, so family
+    sizes come from the same dict — the whole query is two Spark jobs
+    (count + collect) plus a local-relation result, with no window
+    exchange. Above it, distributed components + a window count.
+    """
+    from collections import Counter
+
     from pyspark.sql import Window
 
-    # materialized: connected_components reads the pair table twice (the
-    # symmetric union), which would re-run the LSH verify join per branch
+    # materialized: the pair table is read twice (count/branch decision,
+    # then collect or the symmetric union), which would re-run the LSH
+    # verify join per branch
     pairs = _materialized(
         minhash_near_duplicates(documents, threshold, n_perms, n_bands, max_bucket_size)
     )
+    n_pairs = pairs.count()
+    if 2 * n_pairs <= SMALL_GRAPH_EDGE_ROWS:
+        labels = _union_find_min_labels(
+            (r[0], r[1]) for r in pairs.select("doc_a", "doc_b").collect()
+        )
+        sizes = Counter(labels.values())
+        id_type = pairs.schema["doc_a"].dataType
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", id_type),
+                T.StructField("family_rep", id_type),
+                T.StructField("family_size", T.IntegerType()),
+            ]
+        )
+        rows = sorted((doc, rep, sizes[rep]) for doc, rep in labels.items())
+        return documents.sparkSession.createDataFrame(rows, schema)
+
     cc = connected_components(pairs, "doc_a", "doc_b")
     w = Window.partitionBy("family_rep")
     return (

@@ -58,6 +58,12 @@ def get_spark(
         # Spark's parquet reader rejects; read it as long (nanoseconds) and
         # convert in the source shim (sources/clickevents.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # static conf, default 100 compiled classes: a multi-query session
+        # (the bench suite alone builds hundreds of distinct codegen units)
+        # thrashes the cache and re-runs Janino compilation mid-suite —
+        # measured as multi-second stalls landing on whatever query is
+        # executing. Must be set before the JVM launches.
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
         .config("spark.ui.enabled", "false")
     )
     for key, value in (extra_conf or {}).items():
