@@ -164,8 +164,9 @@ def _k3(gap: str):
 
 
 def _ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k over a Lloyd's-refined index (2 iterations). Iterative
-    algorithm → no SQL oracle; the driver records a rows-only check."""
+    """IVF top-k over a Lloyd's-refined index (2 iterations). The fixed
+    iteration count lets the loop unroll into a DuckDB oracle
+    (oracles_beyond.ann_ivf_kmeans_topk), so this is fully hash-checked."""
     emb = _embeddings(spark, sf_dir)
     hit = _ANN_INDEX_CACHE.get(("ivf_kmeans", sf_dir))
     if hit is None or hit[0] is not spark:
@@ -310,8 +311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _TOPK,
             index=_ivf_index(spark, sf_dir),
         ),
-        # k-means-refined IVF: iterative algorithm, not SQL-expressible —
-        # deliberately has NO oracle_sql() entry (driver rows-only check)
+        # k-means-refined IVF: 2-iteration Lloyd's, unrolled into its oracle
         "sim_ann_ivf_kmeans_topk": _ivf_kmeans_topk,
         # multimodal columns (binary payloads + pandas-UDF compute)
         "multimodal_byte_stats": _on_table(
@@ -367,6 +367,9 @@ def oracle_sql() -> dict[str, str]:
         "sim_cosine_topk": oracles_beyond.cosine_topk(_QUERY_VEC_ID, _TOPK),
         "sim_ann_lsh_topk": oracles_beyond.ann_lsh_topk(_QUERY_VEC_ID, _TOPK),
         "sim_ann_ivf_topk": oracles_beyond.ann_ivf_topk(_QUERY_VEC_ID, _TOPK),
+        "sim_ann_ivf_kmeans_topk": oracles_beyond.ann_ivf_kmeans_topk(
+            _QUERY_VEC_ID, _TOPK
+        ),
         "multimodal_byte_stats": oracles_beyond.multimodal_byte_stats(),
         "multimodal_frame_sample": oracles_beyond.multimodal_frame_sample(),
         "multimodal_features_ann": oracles_beyond.multimodal_features_ann(

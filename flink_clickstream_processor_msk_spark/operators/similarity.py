@@ -134,24 +134,17 @@ def ivf_cells(embeddings: DataFrame, centroids: list[list[float]]) -> DataFrame:
 _GAP_EPS = 1e-6
 
 
-def build_ivf_index(
-    embeddings: DataFrame,
-    n_centroids: int = N_CENTROIDS,
-    centroids: list[list[float]] | None = None,
-) -> tuple[list[list[float]], DataFrame]:
-    """The build side of the IVF-flat index: (centroids, cell table).
-
-    The cell table ``(vec_id, v, cell)`` is persisted for reuse across
-    probes — at cluster scale it is written out partitioned by ``cell``, so
-    a query's ``n_probe`` cells are read via partition pruning and the rest
-    of the corpus is never touched. Assignment runs as one numpy matmul per
-    Arrow batch; near-tie rows fall back to the sequential-fold cosine so
-    the assignment stays bit-identical to :func:`ivf_cells` and the SQL
-    oracle (cosine desc, first centroid wins ties).
+def _make_cell_udf(bc):
+    """The one cell-assignment kernel, shared by the index build and every
+    Lloyd's iteration: numpy matmul per Arrow batch, near-tie rows fall
+    back to the sequential-fold cosine so the assignment stays
+    bit-identical to :func:`ivf_cells` and the SQL oracle (cosine desc,
+    first centroid wins ties). ``bc`` is a Spark broadcast of the centroid
+    list — tasks fetch it once per executor; the pickled closure carries
+    only the broadcast handle. A fresh (cheap) pandas_udf wrapper is made
+    per centroid set because PySpark caches the serialized function on the
+    UDF object, so a mutated closure would silently keep stale centroids.
     """
-    cents = centroids if centroids is not None else ivf_centroids(
-        embeddings, n_centroids
-    )
 
     @F.pandas_udf("integer")
     def cell_udf(emb: pd.Series) -> pd.Series:
@@ -159,6 +152,7 @@ def build_ivf_index(
 
         if len(emb) == 0:
             return pd.Series([], dtype="int32")
+        cents = bc.value
         C = np.asarray(cents, dtype=np.float64)
         cnorm = np.sqrt(np.einsum("ij,ij->i", C, C))
         M = np.stack([np.asarray(v, dtype=np.float64) for v in emb.to_numpy()])
@@ -174,6 +168,27 @@ def build_ivf_index(
             best[i] = max(range(len(cents)), key=lambda j: (exact[j], -j))
         return pd.Series(best.astype(np.int32))
 
+    return cell_udf
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    n_centroids: int = N_CENTROIDS,
+    centroids: list[list[float]] | None = None,
+) -> tuple[list[list[float]], DataFrame]:
+    """The build side of the IVF-flat index: (centroids, cell table).
+
+    The cell table ``(vec_id, v, cell)`` is persisted for reuse across
+    probes — at cluster scale it is written out partitioned by ``cell``, so
+    a query's ``n_probe`` cells are read via partition pruning and the rest
+    of the corpus is never touched. Assignment via :func:`_make_cell_udf`.
+    """
+    cents = centroids if centroids is not None else ivf_centroids(
+        embeddings, n_centroids
+    )
+    cell_udf = _make_cell_udf(
+        embeddings.sparkSession.sparkContext.broadcast([list(c) for c in cents])
+    )
     index = _materialized(
         embeddings.select(
             "vec_id",
@@ -220,44 +235,45 @@ def _query_vector_from_index(index: DataFrame, query_vec_id: int) -> list[float]
     return [float(x) for x in row[0]]
 
 
+# Centroid coordinates are rounded to this many decimal places after each
+# Lloyd's iteration. This quantization (standard practice in shipped ANN
+# indexes, which quantize far more aggressively) is what makes the
+# refinement engine-replayable: Spark's shuffle-order double sum and the
+# oracle's sequential-fold sum differ by ~1e-13, and rounding both to the
+# same 1e-6 grid erases that noise so both engines hold bit-identical
+# centroids going into the next assignment pass.
+KMEANS_ROUND_DIGITS = 6
+
+
 def kmeans_refine_centroids(
     embeddings: DataFrame,
     centroids: list[list[float]],
     iterations: int = 5,
+    round_digits: int = KMEANS_ROUND_DIGITS,
 ) -> list[list[float]]:
     """Lloyd's k-means refinement of IVF centroids — the production-quality
-    index build (the deterministic first-n seeding stays the oracle-checked
-    configuration; refined cells shift assignments, so queries over a
-    refined index are covered by the driver's rows-only check).
+    index build. At fixed small iteration counts the loop unrolls into the
+    DuckDB oracle (`oracles_beyond.ann_ivf_kmeans_topk`), so refined-index
+    queries are fully hash-checked by the driver.
 
     Each iteration is one distributed pass: assign every vector to its
-    nearest centroid (numpy matmul per Arrow batch, same kernel as
-    :func:`build_ivf_index`) and reduce per-cell sums/counts via a
-    map-side-combined groupBy — only k×(dim+1) numbers reach the driver
-    per iteration, never vectors. Empty cells keep their previous centroid
-    (standard Lloyd's degeneracy handling, deterministic).
+    nearest centroid (:func:`_make_cell_udf` over a broadcast of the
+    iteration's centroids — the same kernel as :func:`build_ivf_index`)
+    and reduce per-cell means via a map-side-combined groupBy — only
+    k×(dim+1) numbers reach the driver per iteration, never vectors.
+    Empty cells keep their previous centroid (standard Lloyd's degeneracy
+    handling, deterministic).
     """
-    import numpy as np
+    sc = embeddings.sparkSession.sparkContext
 
     cents = [list(map(float, c)) for c in centroids]
-    k = len(cents)
+    k, dim = len(cents), len(cents[0])
+    broadcasts = []
     for _ in range(iterations):
-        frozen = [list(c) for c in cents]
-
-        @F.pandas_udf("integer")
-        def cell_udf(emb: pd.Series) -> pd.Series:
-            import numpy as _np
-
-            if len(emb) == 0:
-                return pd.Series([], dtype="int32")
-            C = _np.asarray(frozen, dtype=_np.float64)
-            cnorm = _np.sqrt(_np.einsum("ij,ij->i", C, C))
-            M = _np.stack([_np.asarray(v, dtype=_np.float64) for v in emb.to_numpy()])
-            mnorm = _np.sqrt(_np.einsum("ij,ij->i", M, M))
-            cos = (M @ C.T) / (mnorm[:, None] * cnorm[None, :])
-            return pd.Series(_np.argmax(cos, axis=1).astype(_np.int32))
-
-        sums = (
+        bc = sc.broadcast([list(c) for c in cents])
+        broadcasts.append(bc)
+        cell_udf = _make_cell_udf(bc)
+        means = (
             embeddings.select(
                 cell_udf("embedding").alias("cell"),
                 F.col("embedding").cast("array<double>").alias("v"),
@@ -266,19 +282,22 @@ def kmeans_refine_centroids(
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 *[
-                    F.sum(F.element_at("v", d + 1)).alias(f"s{d}")
-                    for d in range(len(cents[0]))
+                    F.round(
+                        F.sum(F.element_at("v", d + 1)) / F.count(F.lit(1)),
+                        round_digits,
+                    ).alias(f"m{d}")
+                    for d in range(dim)
                 ],
             )
             .collect()
         )
         new = [list(c) for c in cents]
-        for row in sums:
+        for row in means:
             if row["n"] > 0:
-                new[row["cell"]] = [
-                    row[f"s{d}"] / row["n"] for d in range(len(cents[0]))
-                ]
+                new[row["cell"]] = [float(row[f"m{d}"]) for d in range(dim)]
         cents = new
+    for bc in broadcasts:
+        bc.unpersist()
     assert len(cents) == k
     return cents
 

@@ -412,6 +412,98 @@ LIMIT {k}
 """
 
 
+def ann_ivf_kmeans_topk(
+    query_vec_id: int,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iterations: int = 2,
+    dim: int = 64,
+    round_digits: int = 6,
+) -> str:
+    """SQL twin of similarity.kmeans_refine_centroids + ann_ivf_topk: the
+    fixed-iteration Lloyd's loop unrolled into CTE pairs (assign → mean),
+    then the standard IVF probe against the refined centroids.
+
+    Engine parity contract (mirrors `similarity.KMEANS_ROUND_DIGITS`):
+    per-cell per-dim means are rounded to ``round_digits`` decimals on both
+    sides, so Spark's shuffle-order sum and DuckDB's sequential-fold sum
+    (differing ~1e-13) land on the same grid point and both engines carry
+    bit-identical centroids into the next assignment. Assignment argmax is
+    cosine DESC, first centroid wins ties — the Spark builder's near-tie
+    fallback recomputes with the same sequential folds this SQL uses.
+    Empty cells keep the previous centroid (LEFT JOIN + CASE)."""
+    cos_ec = _COS.format(a="e.embedding", b="c.cvec")
+    cos_qc = _COS.format(a="q.embedding", b="c.cvec")
+    cos_eq = _COS.format(a="e.embedding", b="q.embedding")
+    ctes = [
+        f"""cents0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_centroids})
+)"""
+    ]
+    for it in range(1, iterations + 1):
+        prev = f"cents{it - 1}"
+        ctes.append(
+            f"""assign{it} AS (
+  SELECT vec_id, embedding, cidx FROM (
+    SELECT e.vec_id, e.embedding, c.cidx,
+      row_number() OVER (
+        PARTITION BY e.vec_id ORDER BY {cos_ec} DESC, c.cidx ASC
+      ) AS rn
+    FROM embeddings e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""gather{it} AS (
+  SELECT cidx, count(*) AS n, list(embedding ORDER BY vec_id) AS vecs
+  FROM assign{it} GROUP BY cidx
+)"""
+        )
+        ctes.append(
+            f"""cents{it} AS (
+  SELECT s.cidx,
+    CASE WHEN g.n IS NULL THEN s.cvec
+         ELSE list_transform(range(1, {dim + 1}), d ->
+                round(list_sum(list_transform(g.vecs, v -> CAST(v[d] AS DOUBLE))) / g.n,
+                      {round_digits}))
+    END AS cvec
+  FROM {prev} s LEFT JOIN gather{it} g USING (cidx)
+)"""
+        )
+    last = f"cents{iterations}"
+    ctes.append(f"q AS (SELECT embedding FROM embeddings WHERE vec_id = {query_vec_id})")
+    ctes.append(
+        f"""probe AS (
+  SELECT cidx FROM {last} c, q ORDER BY {cos_qc} DESC, cidx ASC LIMIT {n_probe}
+)"""
+    )
+    ctes.append(
+        f"""assigned AS (
+  SELECT vec_id, embedding, cidx FROM (
+    SELECT e.vec_id, e.embedding, c.cidx,
+      row_number() OVER (
+        PARTITION BY e.vec_id ORDER BY {cos_ec} DESC, c.cidx ASC
+      ) AS rn
+    FROM embeddings e CROSS JOIN {last} c
+  ) WHERE rn = 1
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT e.vec_id, {cos_eq} AS cosine
+FROM assigned e, q
+WHERE e.cidx IN (SELECT cidx FROM probe) AND e.vec_id != {query_vec_id}
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT {k}
+"""
+    )
+
+
 def cosine_topk(query_vec_id: int, k: int) -> str:
     cos = _COS.format(a="e.embedding", b="q.embedding")
     return f"""

@@ -117,6 +117,38 @@ def test_ann_topk_same_with_prebuilt_index(spark):
     spark.catalog.clearCache()
 
 
+def test_kmeans_refined_centroids_match_duckdb_unroll(spark):
+    """The rounded per-iteration centroids must be BIT-IDENTICAL between
+    the Spark refinement and the DuckDB oracle's unrolled CTEs — routing
+    (cell assignment + probe choice) diverges otherwise and the
+    sim_ann_ivf_kmeans_topk CORRECTNESS row goes red."""
+    import duckdb
+
+    from flink_clickstream_processor_msk_spark.oracles_beyond import (
+        ann_ivf_kmeans_topk as kmeans_oracle,
+    )
+    from flink_clickstream_processor_msk_spark.operators.similarity import (
+        kmeans_refine_centroids,
+    )
+
+    emb = _emb(spark)
+    seed = ivf_centroids(emb, N_CENTROIDS)
+    refined = kmeans_refine_centroids(emb, seed, iterations=2)
+
+    sql = kmeans_oracle(0, 10)
+    # evaluate just the cents2 CTE of the oracle
+    cents_sql = sql[: sql.index("q AS (SELECT")].rstrip().rstrip(",")
+    cents_sql += "\nSELECT cidx, cvec FROM cents2 ORDER BY cidx"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    oracle_cents = [list(map(float, r[1])) for r in con.execute(cents_sql).fetchall()]
+    con.close()
+    assert refined == oracle_cents
+    spark.catalog.clearCache()
+
+
 def test_kmeans_refine_deterministic_and_shape(spark):
     from flink_clickstream_processor_msk_spark.operators.similarity import (
         build_ivf_index,
