@@ -242,6 +242,23 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
     return cents, _ensure_persisted(index)
 
 
+def _ivf_saved_index(spark: SparkSession, sf_dir: str):
+    """The written-index path under the harness: build → write partitioned
+    by cell → read back, so the probe's cell filter is real partition
+    pruning (PartitionFilters in the scan) instead of an in-memory filter.
+    Results are identical to sim_ann_ivf_topk (same centroids, same
+    assignment), so the same DuckDB oracle hash-checks this path."""
+    import tempfile
+
+    hit = _ANN_INDEX_CACHE.get(("ivf_saved", sf_dir))
+    if hit is None or hit[0] is not spark:
+        path = tempfile.mkdtemp(prefix="ivf_index_")
+        similarity.save_ivf_index(_embeddings(spark, sf_dir), path)
+        hit = (spark, similarity.load_ivf_index(spark, path))
+        _ANN_INDEX_CACHE[("ivf_saved", sf_dir)] = hit
+    return hit[1]
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: Q1 user sessionization on /root/testdata/sf0.001."""
     return _q1(_GAP_1S)(spark, "/root/testdata/sf0.001")
@@ -311,6 +328,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _TOPK,
             index=_ivf_index(spark, sf_dir),
         ),
+        # written-index probe: save → load → partition-pruned cell scan
+        "sim_ann_ivf_saved_topk": lambda spark, sf_dir: similarity.ann_ivf_topk(
+            _embeddings(spark, sf_dir),
+            _QUERY_VEC_ID,
+            _TOPK,
+            index=_ivf_saved_index(spark, sf_dir),
+        ),
         # k-means-refined IVF: 2-iteration Lloyd's, unrolled into its oracle
         "sim_ann_ivf_kmeans_topk": _ivf_kmeans_topk,
         # multimodal columns (binary payloads + pandas-UDF compute)
@@ -367,6 +391,9 @@ def oracle_sql() -> dict[str, str]:
         "sim_cosine_topk": oracles_beyond.cosine_topk(_QUERY_VEC_ID, _TOPK),
         "sim_ann_lsh_topk": oracles_beyond.ann_lsh_topk(_QUERY_VEC_ID, _TOPK),
         "sim_ann_ivf_topk": oracles_beyond.ann_ivf_topk(_QUERY_VEC_ID, _TOPK),
+        # identical semantics to sim_ann_ivf_topk — the index is merely
+        # written out and read back, so the same oracle checks the path
+        "sim_ann_ivf_saved_topk": oracles_beyond.ann_ivf_topk(_QUERY_VEC_ID, _TOPK),
         "sim_ann_ivf_kmeans_topk": oracles_beyond.ann_ivf_kmeans_topk(
             _QUERY_VEC_ID, _TOPK
         ),

@@ -83,25 +83,31 @@ def asof_join(
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     payload_cols = [c for c in right.columns if c not in keys and c != time_col]
+    if not payload_cols:
+        raise ValueError(
+            "asof_join: right side has no payload columns beyond the join "
+            f"keys {keys!r} and time column {time_col!r} — nothing to attach"
+        )
+    # null literals built from the StructType objects, not hand-assembled
+    # simpleString casts (which choke on exotic field names)
+    l_struct = left.select(
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow")
+    ).schema["_lrow"].dataType
+    r_struct = right.select(
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_rrow")
+    ).schema["_rrow"].dataType
     l_tagged = left.select(
         *keys,
         F.col(time_col).alias("_t"),
         F.lit(1).alias("_tag"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
-        F.lit(None)
-        .cast(
-            "struct<" + ", ".join(
-                f"{f.name}: {f.dataType.simpleString()}"
-                for f in right.select(*payload_cols).schema.fields
-            ) + ">"
-        )
-        .alias("_rrow"),
+        F.lit(None).cast(r_struct).alias("_rrow"),
     )
     r_tagged = right.select(
         *keys,
         F.col(time_col).alias("_t"),
         F.lit(0).alias("_tag"),
-        F.lit(None).cast(l_tagged.schema["_lrow"].dataType.simpleString()).alias("_lrow"),
+        F.lit(None).cast(l_struct).alias("_lrow"),
         F.struct(*[F.col(c) for c in payload_cols]).alias("_rrow"),
     )
     w = (

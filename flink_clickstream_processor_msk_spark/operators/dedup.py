@@ -332,11 +332,14 @@ def ngram_jaccard_near_duplicates(
 
 # --- duplicate families (connected components) -----------------------------
 
-# Below this many (directed) edge rows the whole pair graph is collected and
-# solved on the driver: each distributed label-propagation round costs a
-# join + groupBy + scalar action, pure scheduler overhead for a graph that
-# fits in a few MB. 1M rows of two longs ≈ 16 MB — safely bounded.
-SMALL_GRAPH_EDGE_ROWS = 1_000_000
+# Below this many (directed) edge rows the whole pair graph is streamed to
+# the driver and solved there: each distributed label-propagation round
+# costs a join + groupBy + scalar action, pure scheduler overhead for a
+# small graph. The bound prices PYTHON heap, not raw longs: 200k edge
+# tuples (streamed via toLocalIterator, never a full Row list) plus a
+# ≤400k-entry union-find dict is tens of MB of driver heap — comfortably
+# bounded on a default driver. Larger graphs take the distributed path.
+SMALL_GRAPH_EDGE_ROWS = 200_000
 
 
 def _union_find_min_labels(edge_rows) -> dict:
@@ -400,7 +403,7 @@ def connected_components(
 
     if 2 * n_pairs <= small_graph_edge_rows:
         labels = _union_find_min_labels(
-            (r[0], r[1]) for r in edges.select(src, dst).collect()
+            (r[0], r[1]) for r in edges.select(src, dst).toLocalIterator()
         )
         schema = T.StructType(
             [T.StructField("id", id_type), T.StructField("lbl", id_type)]

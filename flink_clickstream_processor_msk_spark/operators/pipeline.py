@@ -11,9 +11,12 @@ Scale shape at 100 TB:
 - quality_filter is a zero-shuffle per-row map (runs in the scan stage);
   applying it FIRST shrinks everything downstream.
 - the exact-keeper join shuffles only (doc_id) pairs on doc_id;
-- the near-dup "dropped" set (non-representative family members) is tiny
-  relative to the corpus — Catalyst broadcasts it for the anti-join (no
-  shuffle of the corpus side; AQE converts it even if stats are late).
+- the near-dup "dropped" set (non-representative family members) is NOT
+  assumed small — real web corpora run 30-50% near-dup, so at 100 TB it is
+  terabytes and must never be force-broadcast. The anti-join is left to
+  Catalyst/AQE: at small scale statistics make it a broadcast join anyway
+  (asserted in tests/test_beyond.py), at 100 TB it becomes a shuffled join
+  on doc_id — bounded and correct either way.
 """
 
 from __future__ import annotations
@@ -50,6 +53,6 @@ def clean_corpus(
     )
     return (
         quality.join(exact_keepers, "doc_id")
-        .join(F.broadcast(dropped), "doc_id", "left_anti")
+        .join(dropped, "doc_id", "left_anti")
         .select("doc_id")
     )

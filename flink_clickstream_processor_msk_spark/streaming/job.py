@@ -56,11 +56,13 @@ def run(spark: SparkSession, config: AppConfig) -> list[StreamingQuery]:
             servers,
             config["SessionStatsTopic"],
             f"{ckpt}/session_stats",  # K2: round-robin, CP:231-239
+            timestamp_col="windowEndTime",  # setWriteTimestampToKafka, CP:239
         ),
         kafka_json_sink(
             streams.buy_sessions,
             servers,
             config["BuySessionsTopic"],
             f"{ckpt}/buy_sessions",  # K3: round-robin, CP:243-251
+            timestamp_col="windowEndTime",  # setWriteTimestampToKafka, CP:251
         ),
     ]

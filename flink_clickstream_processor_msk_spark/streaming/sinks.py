@@ -45,16 +45,45 @@ def kafka_records(
     absent for round-robin (CP:231-251).
 
     ``timestamp_col`` mirrors the reference's
-    ``setWriteTimestampToKafka(true)`` (CP:226): the named epoch-millis
-    column is emitted as a ``timestamp`` column so the record carries its
-    event time (brokers configured for CreateTime preserve it; sinks that
-    don't understand the column ignore it)."""
+    ``setWriteTimestampToKafka(true)`` (CP:226) at the ENCODING level: the
+    named epoch-millis column is emitted as a ``timestamp`` column for
+    inspection and oracle checks. Spark's Kafka sink only consumes
+    key/value/topic/partition/headers — it does NOT set the broker record
+    timestamp from a ``timestamp`` column — so :func:`kafka_sink_frame`
+    converts it into an ``eventTime`` header (which the sink DOES write)
+    before the stream reaches ``writeStream``."""
     cols = [F.to_json(F.struct(*df.columns)).alias("value")]
     if key_cols:
         cols.insert(0, F.to_json(F.struct(*key_cols)).alias("key"))
     if timestamp_col is not None:
         cols.append(F.timestamp_millis(F.col(timestamp_col)).alias("timestamp"))
     return df.select(*cols)
+
+
+def kafka_sink_frame(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    timestamp_col: str | None = None,
+) -> DataFrame:
+    """The exact frame handed to the Kafka ``writeStream``: the
+    :func:`kafka_records` encoding with the ``timestamp`` column carried as
+    an ``eventTime`` header (epoch-millis ASCII bytes) instead.
+
+    Spark's Kafka sink writes key/value/topic/partition/headers and nothing
+    else — a ``timestamp`` column would be silently dropped, so event time
+    (the reference's ``setWriteTimestampToKafka(true)``, CP:226 and the
+    matching calls on all three producers) travels in a record header,
+    which the sink does deliver to the broker."""
+    rec = kafka_records(df, key_cols, timestamp_col)
+    if timestamp_col is None:
+        return rec
+    header = F.struct(
+        F.lit("eventTime").alias("key"),
+        F.encode(F.unix_millis(F.col("timestamp")).cast("string"), "UTF-8").alias(
+            "value"
+        ),
+    )
+    return rec.withColumn("headers", F.array(header)).drop("timestamp")
 
 
 def kafka_json_sink(
@@ -67,13 +96,14 @@ def kafka_json_sink(
     output_mode: str = "append",
 ) -> StreamingQuery:
     """K1-K3 parity: JSON-valued Kafka sink, keyed (hash-partitioned) when
-    ``key_cols`` is given, round-robin otherwise.
+    ``key_cols`` is given, round-robin otherwise; event time rides in an
+    ``eventTime`` header (:func:`kafka_sink_frame`).
 
     Requires spark-sql-kafka on the classpath (not bundled here; the
-    message encoding is tested in batch via :func:`kafka_records`).
+    message encoding is tested in batch via :func:`kafka_sink_frame`).
     """
     return (
-        kafka_records(df, key_cols, timestamp_col)
+        kafka_sink_frame(df, key_cols, timestamp_col)
         .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)

@@ -75,7 +75,13 @@ def _reject_array_cells(pdf: pd.DataFrame, side: str) -> None:
     (round-1 q1_* failures). Fail local-side the same way the driver would,
     so local green predicts driver green."""
     for c in pdf.columns:
-        for v in pdf[c].head(100):
+        col = pdf[c]
+        # non-object dtypes (ints, floats, bools, datetimes) cannot hold
+        # list cells; scan ALL rows of object-dtype columns — a frame whose
+        # leading rows are null/scalar can still hide arrays further down
+        if col.dtype != object:
+            continue
+        for v in col:
             if isinstance(v, (list, tuple, np.ndarray, dict)):
                 raise TypeError(
                     f"{side} column {c!r} contains array/struct cells — the "

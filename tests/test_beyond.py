@@ -213,3 +213,20 @@ def test_clean_corpus_drops_each_failure_mode(spark):
     kept = {r["doc_id"] for r in clean_corpus(_docs(spark, texts)).collect()}
     assert kept == {0, 4}
     spark.catalog.clearCache()
+
+
+def test_clean_corpus_anti_join_broadcasts_without_hint(spark):
+    """The dropped-set anti-join carries NO broadcast hint (the set is
+    corpus-proportional at scale — a forced broadcast is an OOM at 100 TB);
+    at test scale Catalyst/AQE must still pick a broadcast join on
+    statistics alone."""
+    import re
+
+    from flink_clickstream_processor_msk_spark.operators.pipeline import clean_corpus
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = clean_corpus(df)._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan) or (
+        "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    ), plan
+    spark.catalog.clearCache()

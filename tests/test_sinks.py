@@ -111,3 +111,47 @@ def test_bulk_foreach_batch_sink_delivers_batches(spark, tmp_path_factory):
     q.stop()
 
     assert sum(n for _, n in seen) >= 1  # the closed session reached the bulk writer
+
+
+def test_kafka_sink_frame_carries_event_time_as_header(spark):
+    """The frame handed to the Kafka writeStream must not contain a
+    'timestamp' column (Spark's Kafka sink would silently drop it); event
+    time (setWriteTimestampToKafka parity, CP:226/239/251) rides in an
+    'eventTime' header the sink DOES write."""
+    from flink_clickstream_processor_msk_spark.streaming.sinks import (
+        kafka_sink_frame,
+    )
+
+    frame = kafka_sink_frame(
+        _sessions(spark), key_cols=["userId"], timestamp_col="windowEndTime"
+    )
+    assert "timestamp" not in frame.columns
+    assert set(frame.columns) == {"key", "value", "headers"}
+    for r in frame.collect():
+        (h,) = r["headers"]
+        assert h["key"] == "eventTime"
+        assert int(bytes(h["value"]).decode()) == json.loads(r["value"])["windowEndTime"]
+
+
+def test_kafka_sink_frame_all_three_streams_have_event_time(spark):
+    """Job-level parity: the reference sets writeTimestampToKafka on ALL
+    THREE producers — K1 departments (CP:226), K2 session stats (CP:239),
+    K3 buy sessions (CP:251). Each stream's sink frame must carry the
+    eventTime header derived from its windowEndTime."""
+    from flink_clickstream_processor_msk_spark.streaming.pipeline import (
+        build_streams,
+    )
+    from flink_clickstream_processor_msk_spark.streaming.sinks import (
+        kafka_sink_frame,
+    )
+
+    streams = build_streams(with_event_time(make_clickevents(spark, EVENTS)))
+    for df, key_cols in [
+        (streams.department_counts, ["departmentName"]),  # K1
+        (streams.session_stats, None),  # K2
+        (streams.buy_sessions, None),  # K3
+    ]:
+        frame = kafka_sink_frame(df, key_cols, timestamp_col="windowEndTime")
+        assert "headers" in frame.columns and "timestamp" not in frame.columns
+        rows = frame.collect()
+        assert all(r["headers"][0]["key"] == "eventTime" for r in rows)
