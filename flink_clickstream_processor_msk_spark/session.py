@@ -54,9 +54,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # the driver's events.parquet stores ts as TIMESTAMP(NANOS), which
-        # Spark's parquet reader rejects; read it as long (nanoseconds) and
-        # convert in the source shim (sources/clickevents.py)
+        # legacy test-data tiers stored ts as TIMESTAMP(NANOS), which
+        # Spark's parquet reader rejects without this conf; current tiers
+        # are timestamp[us] (TIMESTAMP_NTZ) and ignore it. The source shim
+        # (sources/clickevents.py) handles both shapes.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # static conf, default 100 compiled classes: a multi-query session
         # (the bench suite alone builds hundreds of distinct codegen units)

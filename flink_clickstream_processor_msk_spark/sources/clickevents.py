@@ -31,17 +31,25 @@ def clickevents_from_events(events: DataFrame) -> DataFrame:
     oracle (see __spark_entry__._CLICKEVENTS_SQL), so every reference-parity
     query is checked end-to-end through this same shim.
 
-    ``ts`` arrives either as a real timestamp or — because the test parquet
-    stores TIMESTAMP(NANOS) and the session reads nanos as long
-    (session.py) — as epoch nanoseconds; both truncate to epoch millis,
-    matching DuckDB's ns→µs→ms truncation chain.
+    ``ts`` arrives in one of three shapes, all truncated to epoch millis to
+    match DuckDB's ``epoch_ms(ts)`` exactly:
+
+    - TIMESTAMP_NTZ (the driver parquet stores timestamp[us] without a
+      zone): wall-clock treated as UTC via an NTZ-epoch diff — session-
+      timezone-independent, unlike a cast to TIMESTAMP.
+    - long — legacy TIMESTAMP(NANOS) parquet read with nanosAsLong.
+    - TIMESTAMP (tz-aware) — plain ``unix_millis``.
     """
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     ts_type = events.schema["ts"].dataType
     if isinstance(ts_type, LongType):
         # integer DIV, not `/`: epoch-nanos overflow double precision (2^53)
         event_millis = F.expr("ts DIV 1000000")
+    elif isinstance(ts_type, TimestampNTZType):
+        event_millis = F.expr(
+            "timestampdiff(MILLISECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
     else:
         event_millis = F.unix_millis("ts")
     return events.select(
@@ -66,10 +74,15 @@ def read_clickevents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch ClickEvent stream from a test-data tier directory.
 
     Works on any caller-provided SparkSession (the driver harness builds a
-    vanilla one): events.parquet stores TIMESTAMP(NANOS), which Spark only
-    reads with the nanosAsLong legacy conf, so set it here at runtime.
+    vanilla one). Current driver parquet stores timestamp[us] (read as
+    TIMESTAMP_NTZ, no conf needed); older tiers stored TIMESTAMP(NANOS),
+    which Spark only reads with the nanosAsLong legacy conf — set it here
+    at runtime, best-effort, so both generations of test data load.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf removed upstream; only needed for legacy NANOS files
     return clickevents_from_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 

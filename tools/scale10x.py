@@ -49,10 +49,10 @@ def build(spark: SparkSession, sf_dir: str, out_dir: str, factor: int) -> None:
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
 
-    # events: ts stays a long (nanosAsLong) so the replicated file re-reads
-    # through the same clickevents shim branch; users/seqs shifted so each
-    # replica is a disjoint population of sessions.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # events: ts passes through unchanged (timestamp[us] in current tiers)
+    # so the replicated file re-reads through the same clickevents shim
+    # branch; users/seqs shifted so each replica is a disjoint population
+    # of sessions.
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     reps = [
         ev.select(
