@@ -64,6 +64,7 @@ def main() -> None:
     # compile (~2x measured on Q1); the second run is steady state, which is
     # what an engine-throughput comparison should measure
     timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name, fn in entry_mod.queries().items():
         runs: list[float] = []
         # best-of-2, adaptively extended: a transient host/JVM stall (this
@@ -86,6 +87,16 @@ def main() -> None:
             # a materialized result into the next timing
             spark.catalog.clearCache()
         timings[name] = round(min(runs), 3)
+        # min is the headline (steady state), but min-of-N structurally
+        # hides bimodal queries (a 2.5 s / 70 s alternator reports 2.5 s) —
+        # record the full spread so variance is visible per round
+        srt = sorted(runs)
+        spread[name] = {
+            "min": round(srt[0], 3),
+            "med": round(srt[len(srt) // 2], 3),
+            "max": round(srt[-1], 3),
+            "n": len(runs),
+        }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -95,6 +106,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": sf_dir,
             }
         )

@@ -73,6 +73,18 @@ def _materialized(df: DataFrame) -> DataFrame:
     return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
+def ensure_persisted(df: DataFrame) -> DataFrame:
+    """Re-mark a shared derived table for persist after an external
+    ``spark.catalog.clearCache()``: index/pairs tables feed self-joins and
+    repeated probes, and an unpersisted plan would re-run the signature
+    pipeline per branch. Persisting an already-persisted frame at the same
+    level is a no-op, so this is safe to call on every access."""
+    sl = df.storageLevel
+    if not (sl.useMemory or sl.useDisk):
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+    return df
+
+
 # --- exact -----------------------------------------------------------------
 
 def exact_duplicates(documents: DataFrame) -> DataFrame:
@@ -450,6 +462,7 @@ def minhash_duplicate_families(
     n_perms: int = N_PERMS,
     n_bands: int = N_BANDS,
     max_bucket_size: int | None = MAX_BUCKET_SIZE_DEFAULT,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs (MinHash-LSH + exact Jaccard) resolved into duplicate
     families: one row per document that has at least one near-duplicate,
@@ -462,6 +475,12 @@ def minhash_duplicate_families(
     sizes come from the same dict — the whole query is two Spark jobs
     (count + collect) plus a local-relation result, with no window
     exchange. Above it, distributed components + a window count.
+
+    ``pairs`` lets the caller supply an already-built (and ideally
+    persisted) ``minhash_near_duplicates`` result, so a suite that runs
+    pairs + families + clean_corpus builds the LSH pipeline once — the
+    cluster-scale analog is resolving families from a written pairs table
+    rather than re-shingling the corpus.
     """
     from collections import Counter
 
@@ -470,9 +489,11 @@ def minhash_duplicate_families(
     # materialized: the pair table is read twice (count/branch decision,
     # then collect or the symmetric union), which would re-run the LSH
     # verify join per branch
-    pairs = _materialized(
-        minhash_near_duplicates(documents, threshold, n_perms, n_bands, max_bucket_size)
-    )
+    if pairs is None:
+        pairs = minhash_near_duplicates(
+            documents, threshold, n_perms, n_bands, max_bucket_size
+        )
+    pairs = ensure_persisted(pairs)
     n_pairs = pairs.count()
     if 2 * n_pairs <= SMALL_GRAPH_EDGE_ROWS:
         labels = _union_find_min_labels(

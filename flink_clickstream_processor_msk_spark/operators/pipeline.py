@@ -36,6 +36,7 @@ def clean_corpus(
     min_quality: float = 0.5,
     min_tokens: int = 10,
     max_bucket_size: int | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """doc_ids that survive the full cleaning pipeline: pass the quality
     thresholds AND are their exact-content group's representative (min
@@ -43,11 +44,15 @@ def clean_corpus(
 
     ``max_bucket_size=None`` keeps the near-dup stage exact (the
     oracle-checked configuration); pass the production cap at scale.
+    ``pairs`` forwards a prebuilt near-dup pair table to the family stage
+    (see ``minhash_duplicate_families``) so the LSH pipeline isn't rebuilt.
     """
     quality = quality_filter(documents, min_quality, min_tokens).select("doc_id")
     exact_keepers = exact_duplicates(documents).select("doc_id")
     dropped = (
-        minhash_duplicate_families(documents, max_bucket_size=max_bucket_size)
+        minhash_duplicate_families(
+            documents, max_bucket_size=max_bucket_size, pairs=pairs
+        )
         .filter(F.col("doc_id") != F.col("family_rep"))
         .select("doc_id")
     )
