@@ -52,7 +52,12 @@ def build(spark: SparkSession, sf_dir: str, out_dir: str, factor: int) -> None:
     # events: ts passes through unchanged (timestamp[us] in current tiers)
     # so the replicated file re-reads through the same clickevents shim
     # branch; users/seqs shifted so each replica is a disjoint population
-    # of sessions.
+    # of sessions. Legacy TIMESTAMP(NANOS) tiers need the nanosAsLong conf
+    # (best-effort, like sources/clickevents.read_clickevents).
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     reps = [
         ev.select(
