@@ -30,6 +30,24 @@ def test_minhash_pairs_rebuilt_after_clear_cache(spark):
     assert sorted(map(tuple, p2.collect())) == rows1
 
 
+def test_cache_deps_declare_real_queries_and_builders(spark):
+    q = entry_mod.queries()
+    assert set(entry_mod.CACHE_DEPS).issubset(set(q))
+    declared = {d for deps in entry_mod.CACHE_DEPS.values() for d in deps}
+    assert declared.issubset(set(entry_mod._CACHE_BUILDERS))
+
+
+def test_warm_caches_survives_clear_cache_cycle(spark):
+    """bench.py's per-run cycle: clearCache → warm_caches(deps) must leave
+    every declared artifact materialized and the query still correct."""
+    spark.catalog.clearCache()
+    entry_mod.warm_caches(spark, SF_SMOKE, ("pairs", "lsh"))
+    pairs = entry_mod._minhash_pairs(spark, SF_SMOKE)
+    sl = pairs.storageLevel
+    assert sl.useMemory or sl.useDisk
+    assert entry_mod.queries()["dedup_families"](spark, SF_SMOKE).count() > 0
+
+
 def test_families_and_clean_corpus_share_pairs(spark):
     """The three pairs consumers must hand the SAME cached table to the
     operators (the whole point of the cache)."""
