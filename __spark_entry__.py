@@ -373,6 +373,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": _on_table("documents", text.quality_filter),
         "token_histogram": _on_table("documents", text.token_histogram),
         "train_test_split": _on_table("documents", text.train_test_split),
+        "repetition_filter": _on_table("documents", text.repetition_filter),
+        "pack_sequences": _on_table(
+            "documents", lambda df: text.pack_sequences(df, ctx_len=512)
+        ),
         # dedup suite
         # oracle-checked dedup entries pass max_bucket_size=None: candidate
         # generation must be exact to hash-match the SQL oracle (library
@@ -471,6 +475,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": oracles_beyond.quality_filter(),
         "token_histogram": oracles_beyond.token_histogram(),
         "train_test_split": oracles_beyond.train_test_split(),
+        "repetition_filter": oracles_beyond.repetition_filter(),
+        "pack_sequences": oracles_beyond.pack_sequences(ctx_len=512),
         "dedup_exact": oracles_beyond.exact_duplicates(),
         "dedup_minhash_jaccard": oracles_beyond.minhash_near_duplicates(),
         "dedup_ngram_jaccard": oracles_beyond.ngram_jaccard_near_duplicates(),

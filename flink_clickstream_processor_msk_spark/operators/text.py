@@ -124,6 +124,94 @@ def train_test_split(documents: DataFrame, test_pct: int = 10) -> DataFrame:
     )
 
 
+def _word_kgrams(toks: Column, k: int) -> Column:
+    """Word k-gram array with the shared shingle convention (fewer than k
+    tokens → the whole text as one gram; see SHINGLE_K note). ``slice``
+    clamps at the array end, mirroring oracles_beyond._shingles exactly."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition signals: the fraction of
+    word 2-grams / 3-grams that are duplicates (occurrences beyond the
+    first). Boilerplate, keyword-stuffed, and templated pages score high;
+    the fractions feed :func:`repetition_filter`'s keep/drop rule
+    (Rae et al. 2021 "Scaling Language Models" §A1.1 repetition filters).
+
+    Per-row map — zero shuffle; at 100 TB this runs inside the scan
+    stage's codegen like the other quality signals."""
+    toks = tokens(F.col("text"))
+
+    def dup_frac(k: int) -> Column:
+        g = _word_kgrams(toks, k)
+        return (F.size(g) - F.size(F.array_distinct(g))) / F.size(g)
+
+    g2 = _word_kgrams(toks, 2)
+    return documents.select(
+        "doc_id",
+        F.size(g2).cast("int").alias("n_2grams"),
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
+    )
+
+
+def repetition_filter(
+    documents: DataFrame,
+    max_dup_2gram: float = 0.06,
+    max_dup_3gram: float = 0.02,
+) -> DataFrame:
+    """Documents whose repetition fractions pass the Gopher-style
+    thresholds, with the signals that justified the decision. Zero-shuffle
+    filter over :func:`repetition_stats`."""
+    stats = repetition_stats(documents)
+    return stats.filter(
+        (F.col("dup_2gram_frac") <= max_dup_2gram)
+        & (F.col("dup_3gram_frac") <= max_dup_3gram)
+    ).select("doc_id", "dup_2gram_frac", "dup_3gram_frac")
+
+
+def pack_sequences(
+    documents: DataFrame, ctx_len: int = 2048, n_shards: int = 32
+) -> DataFrame:
+    """Deterministic sequence packing for training: concatenate documents
+    (in doc_id order) into fixed ``ctx_len``-token streams and record, per
+    document, which pack it starts in and at what offset — the standard
+    pre-tokenization packing step of an LLM data pipeline.
+
+    Scale shape: a GLOBAL running sum would serialize on one partition, so
+    packing is sharded — shard = md5-derived ``h60(doc_id) % n_shards``
+    (deterministic across engines and corpus growth, like
+    :func:`train_test_split`), and the running token sum is a window
+    partitioned by shard: one shuffle on shard, per-shard sort, fully
+    parallel. ``pack_id`` = shard·2^32 + pack-within-shard, globally
+    unique. Token counts use the shared BPE-ish proxy pattern.
+    """
+    from pyspark.sql import Window
+
+    shard = (h60(F.col("doc_id").cast("string")) % n_shards).cast("int")
+    ntok = F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN)).cast("bigint")
+    base = documents.select(
+        "doc_id", shard.alias("shard"), ntok.alias("seq_tokens")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("seq_tokens").over(w), F.lit(0))
+    return base.select(
+        "doc_id",
+        "shard",
+        F.col("seq_tokens").cast("int").alias("seq_tokens"),
+        (start % ctx_len).cast("int").alias("pack_offset"),
+        (
+            F.col("shard").cast("bigint") * F.lit(1 << 32)
+            + F.floor(start / F.lit(float(ctx_len))).cast("bigint")
+        ).alias("pack_id"),
+    )
+
+
 def language_id(documents: DataFrame) -> DataFrame:
     """Stopword-profile language ID (n-gram heuristic).
 

@@ -101,6 +101,61 @@ FROM documents
 """
 
 
+def repetition_filter(
+    max_dup_2gram: float = 0.06, max_dup_3gram: float = 0.02
+) -> str:
+    """SQL twin of text.repetition_filter: duplicate word-k-gram fractions
+    over the same shingle convention (_shingles mirrors text._word_kgrams),
+    integer counts divided once so the doubles are bit-identical."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS.format(x="text")} AS w FROM documents
+),
+grams AS (
+  SELECT doc_id,
+    {_shingles("w", 2)} AS g2,
+    {_shingles("w", 3)} AS g3
+  FROM toks
+),
+fracs AS (
+  SELECT doc_id,
+    (len(g2) - len(list_distinct(g2))) / len(g2) AS dup_2gram_frac,
+    (len(g3) - len(list_distinct(g3))) / len(g3) AS dup_3gram_frac
+  FROM grams
+)
+SELECT doc_id, dup_2gram_frac, dup_3gram_frac
+FROM fracs
+WHERE dup_2gram_frac <= {max_dup_2gram} AND dup_3gram_frac <= {max_dup_3gram}
+"""
+
+
+def pack_sequences(ctx_len: int = 2048, n_shards: int = 32) -> str:
+    """SQL twin of text.pack_sequences (md5-derived shard, windowed
+    running token sum, floor-of-double pack index — same formula order)."""
+    shard = f"({_h60('doc_id::VARCHAR')}) % {n_shards}"
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    CAST({shard} AS INTEGER) AS shard,
+    CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT) AS seq_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, shard, seq_tokens,
+    COALESCE(SUM(seq_tokens) OVER (
+      PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM base
+)
+SELECT doc_id, shard,
+  CAST(seq_tokens AS INTEGER) AS seq_tokens,
+  CAST(start % {ctx_len} AS INTEGER) AS pack_offset,
+  CAST(shard AS BIGINT) * {1 << 32}
+    + CAST(floor(start / {float(ctx_len)}) AS BIGINT) AS pack_id
+FROM cum
+"""
+
+
 def language_id() -> str:
     scores = {
         lang: f"len(list_filter(w, t -> t IN ({', '.join(repr(x) for x in words)})))"

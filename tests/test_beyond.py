@@ -230,3 +230,60 @@ def test_clean_corpus_anti_join_broadcasts_without_hint(spark):
         "LeftAnti" in plan and "BroadcastHashJoin" in plan
     ), plan
     spark.catalog.clearCache()
+
+
+def test_repetition_stats_fractions(spark):
+    # "a b a b a b": 2-grams = [a b, b a, a b, b a, a b] -> 5 grams, 2
+    # distinct -> dup frac 3/5; clean text has no duplicate grams
+    df = _docs(spark, ["a b a b a b", "one two three four five"])
+    rows = {r["doc_id"]: r for r in text.repetition_stats(df).collect()}
+    assert rows[0]["n_2grams"] == 5
+    assert abs(rows[0]["dup_2gram_frac"] - 3 / 5) < 1e-12
+    assert rows[1]["dup_2gram_frac"] == 0.0
+    assert rows[1]["dup_3gram_frac"] == 0.0
+
+
+def test_repetition_filter_drops_repetitive(spark):
+    df = _docs(spark, ["spam spam spam spam spam spam", "regular clean document text here"])
+    kept = {r["doc_id"] for r in text.repetition_filter(df).collect()}
+    assert kept == {1}
+
+
+def test_repetition_short_doc_single_gram(spark):
+    # fewer tokens than k -> whole text is one gram (shared shingle rule)
+    df = _docs(spark, ["solo"])
+    row = text.repetition_stats(df).collect()[0]
+    assert row["n_2grams"] == 1 and row["dup_2gram_frac"] == 0.0
+
+
+def test_pack_sequences_contiguous_and_bounded(spark):
+    df = _docs(spark, [f"word{i} " * 10 for i in range(40)])
+    rows = text.pack_sequences(df, ctx_len=64, n_shards=4).collect()
+    assert len(rows) == 40
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r["shard"] < 4
+        assert 0 <= r["pack_offset"] < 64
+        assert r["pack_id"] >> 32 == r["shard"]
+        by_shard.setdefault(r["shard"], []).append(r)
+    # within a shard, docs in doc_id order have non-decreasing pack ids and
+    # the running offset reconstructs the cumulative token sum
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in shard_rows:
+            assert (r["pack_id"] & 0xFFFFFFFF) == cum // 64
+            assert r["pack_offset"] == cum % 64
+            cum += r["seq_tokens"]
+
+
+def test_pack_sequences_deterministic_under_growth(spark):
+    """A document's (shard, pack) never changes when OTHER shards grow —
+    the same no-leak property as train_test_split, per-shard."""
+    small = _docs(spark, [f"text number {i} with several words" for i in range(10)])
+    big = _docs(spark, [f"text number {i} with several words" for i in range(10)] + ["extra doc beyond"] * 0)
+    a = {r["doc_id"]: (r["shard"], r["pack_id"], r["pack_offset"])
+         for r in text.pack_sequences(small, ctx_len=32, n_shards=8).collect()}
+    b = {r["doc_id"]: (r["shard"], r["pack_id"], r["pack_offset"])
+         for r in text.pack_sequences(big, ctx_len=32, n_shards=8).collect()}
+    assert a == b
