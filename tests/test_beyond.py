@@ -287,3 +287,13 @@ def test_pack_sequences_deterministic_under_growth(spark):
     b = {r["doc_id"]: (r["shard"], r["pack_id"], r["pack_offset"])
          for r in text.pack_sequences(big, ctx_len=32, n_shards=8).collect()}
     assert a == b
+
+
+def test_repetition_stats_null_text(spark):
+    df = spark.createDataFrame(
+        [(0, None, "en", "src0", 0), (1, "a b c", "en", "src0", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r["doc_id"]: r for r in text.repetition_stats(df).collect()}
+    assert rows[0]["dup_2gram_frac"] is None  # NULL propagates, no crash
+    assert rows[1]["dup_2gram_frac"] == 0.0
