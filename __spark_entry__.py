@@ -273,37 +273,40 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
     return cents, _ensure_persisted(index)
 
 
-def _lsh_saved_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Saved-LSH twin of :func:`_ivf_saved_index`: build → write partitioned
-    by bucket → read back, so the probe's popcount-on-bucket filter is real
-    partition pruning (asserted in tests/test_ann_index.py). Same results
-    as sim_ann_lsh_topk, so the same DuckDB oracle hash-checks the path."""
+def _saved_index(spark: SparkSession, sf_dir: str, kind: str, save, load):
+    """The written-index path under the harness: build → write partitioned
+    by the routing column (bucket/cell) → read back, so the probe's filter
+    is real partition pruning (PartitionFilters in the scan, asserted in
+    tests/test_ann_index.py) instead of an in-memory filter. Results are
+    identical to the in-memory-index query, so the same DuckDB oracle
+    hash-checks the path. A stale entry's directory (dead session) is
+    removed when the cache slot is rebuilt."""
+    import shutil
     import tempfile
 
-    hit = _ANN_INDEX_CACHE.get(("lsh_saved", sf_dir))
+    hit = _ANN_INDEX_CACHE.get((kind, sf_dir))
     if hit is None or hit[0] is not spark:
-        path = tempfile.mkdtemp(prefix="lsh_index_")
-        similarity.save_lsh_index(_embeddings(spark, sf_dir), path)
-        hit = (spark, similarity.load_lsh_index(spark, path))
-        _ANN_INDEX_CACHE[("lsh_saved", sf_dir)] = hit
+        if hit is not None:
+            shutil.rmtree(hit[2], ignore_errors=True)
+        path = tempfile.mkdtemp(prefix=f"{kind}_")
+        save(_embeddings(spark, sf_dir), path)
+        hit = (spark, load(spark, path), path)
+        _ANN_INDEX_CACHE[(kind, sf_dir)] = hit
     return hit[1]
+
+
+def _lsh_saved_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _saved_index(
+        spark, sf_dir, "lsh_saved",
+        similarity.save_lsh_index, similarity.load_lsh_index,
+    )
 
 
 def _ivf_saved_index(spark: SparkSession, sf_dir: str):
-    """The written-index path under the harness: build → write partitioned
-    by cell → read back, so the probe's cell filter is real partition
-    pruning (PartitionFilters in the scan) instead of an in-memory filter.
-    Results are identical to sim_ann_ivf_topk (same centroids, same
-    assignment), so the same DuckDB oracle hash-checks this path."""
-    import tempfile
-
-    hit = _ANN_INDEX_CACHE.get(("ivf_saved", sf_dir))
-    if hit is None or hit[0] is not spark:
-        path = tempfile.mkdtemp(prefix="ivf_index_")
-        similarity.save_ivf_index(_embeddings(spark, sf_dir), path)
-        hit = (spark, similarity.load_ivf_index(spark, path))
-        _ANN_INDEX_CACHE[("ivf_saved", sf_dir)] = hit
-    return hit[1]
+    return _saved_index(
+        spark, sf_dir, "ivf_saved",
+        similarity.save_ivf_index, similarity.load_ivf_index,
+    )
 
 
 # Which session-cached artifact each PROBE/CONSUMER query reads. The bench

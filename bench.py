@@ -98,11 +98,12 @@ def main() -> None:
         # min is the headline (steady state), but min-of-N structurally
         # hides bimodal queries (a 2.5 s / 70 s alternator reports 2.5 s) —
         # record the full spread so variance is visible per round
-        srt = sorted(runs)
+        import statistics
+
         spread[name] = {
-            "min": round(srt[0], 3),
-            "med": round(srt[len(srt) // 2], 3),
-            "max": round(srt[-1], 3),
+            "min": round(min(runs), 3),
+            "med": round(statistics.median(runs), 3),
+            "max": round(max(runs), 3),
             "n": len(runs),
         }
 

@@ -105,22 +105,33 @@ def repetition_filter(
     max_dup_2gram: float = 0.06, max_dup_3gram: float = 0.02
 ) -> str:
     """SQL twin of text.repetition_filter: duplicate word-k-gram fractions
-    over the same shingle convention (_shingles mirrors text._word_kgrams),
-    integer counts divided once so the doubles are bit-identical."""
+    over the same shingle convention (_shingles mirrors the gram loop in
+    text.repetition_stats's pandas UDF), integer counts divided once so
+    the doubles are bit-identical.
+
+    Token-less documents (empty/whitespace-only text) need an explicit
+    0.0 branch: `_shingles` over an empty token list yields [NULL]
+    (array_to_string of an empty slice is NULL) and list_distinct strips
+    NULLs, which would read as frac 1.0 — while the Python UDF's
+    ''.join-of-empty convention yields [''] and 0.0. The guard keeps the
+    engines in lockstep on that input class (none in current tiers, but
+    the driver regenerates data between rounds)."""
     return f"""
 WITH toks AS (
   SELECT doc_id, {_TOKENS.format(x="text")} AS w FROM documents
 ),
 grams AS (
-  SELECT doc_id,
+  SELECT doc_id, len(w) AS nw,
     {_shingles("w", 2)} AS g2,
     {_shingles("w", 3)} AS g3
   FROM toks
 ),
 fracs AS (
   SELECT doc_id,
-    (len(g2) - len(list_distinct(g2))) / len(g2) AS dup_2gram_frac,
-    (len(g3) - len(list_distinct(g3))) / len(g3) AS dup_3gram_frac
+    CASE WHEN nw = 0 THEN 0.0
+         ELSE (len(g2) - len(list_distinct(g2))) / len(g2) END AS dup_2gram_frac,
+    CASE WHEN nw = 0 THEN 0.0
+         ELSE (len(g3) - len(list_distinct(g3))) / len(g3) END AS dup_3gram_frac
   FROM grams
 )
 SELECT doc_id, dup_2gram_frac, dup_3gram_frac

@@ -278,15 +278,19 @@ def test_pack_sequences_contiguous_and_bounded(spark):
 
 
 def test_pack_sequences_deterministic_under_growth(spark):
-    """A document's (shard, pack) never changes when OTHER shards grow —
-    the same no-leak property as train_test_split, per-shard."""
-    small = _docs(spark, [f"text number {i} with several words" for i in range(10)])
-    big = _docs(spark, [f"text number {i} with several words" for i in range(10)] + ["extra doc beyond"] * 0)
+    """Appending documents (higher doc_ids) never moves existing
+    documents' (shard, pack, offset): the running sum only looks at
+    PRECEDING rows in doc_id order within a shard — the per-shard
+    prefix-stability that keeps packing reproducible as a corpus grows."""
+    base_texts = [f"text number {i} with several words" for i in range(10)]
+    small = _docs(spark, base_texts)
+    big = _docs(spark, base_texts + ["extra doc beyond"] * 5)
     a = {r["doc_id"]: (r["shard"], r["pack_id"], r["pack_offset"])
          for r in text.pack_sequences(small, ctx_len=32, n_shards=8).collect()}
     b = {r["doc_id"]: (r["shard"], r["pack_id"], r["pack_offset"])
          for r in text.pack_sequences(big, ctx_len=32, n_shards=8).collect()}
-    assert a == b
+    assert len(b) == len(a) + 5 and b != a  # the grown corpus really differs
+    assert {k: b[k] for k in a} == a
 
 
 def test_repetition_stats_null_text(spark):
@@ -297,3 +301,28 @@ def test_repetition_stats_null_text(spark):
     rows = {r["doc_id"]: r for r in text.repetition_stats(df).collect()}
     assert rows[0]["dup_2gram_frac"] is None  # NULL propagates, no crash
     assert rows[1]["dup_2gram_frac"] == 0.0
+
+
+def test_repetition_filter_oracle_lockstep_on_empty_text(spark, tmp_path):
+    """Empty/whitespace-only documents are absent from current driver
+    tiers but appear whenever data is regenerated differently — pin the
+    Spark/DuckDB agreement on exactly that input class (the oracle needs
+    an explicit 0.0 branch because array_to_string of an empty slice is
+    NULL in DuckDB)."""
+    import duckdb
+
+    from flink_clickstream_processor_msk_spark import oracles_beyond
+    from oracle_utils import compare
+
+    df = _docs(spark, ["", "   ", "normal document text here", "spam " * 30])
+    pq = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    result = compare(
+        text.repetition_filter(df),
+        con.execute(oracles_beyond.repetition_filter()).df(),
+    )
+    assert result["ok"], result
+    kept = {r["doc_id"] for r in text.repetition_filter(df).collect()}
+    assert kept == {0, 1, 2}  # token-less docs keep frac 0.0; spam dropped
