@@ -256,6 +256,19 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit[1]
 
 
+def _q8_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached int8-quantized embedding table (the 4×-smaller scan
+    target; quantize once, probe many — written out at cluster scale)."""
+    hit = _ANN_INDEX_CACHE.get(("q8", sf_dir))
+    if hit is None or hit[0] is not spark:
+        hit = (
+            spark,
+            similarity.quantize_embeddings(_embeddings(spark, sf_dir)),
+        )
+        _ANN_INDEX_CACHE[("q8", sf_dir)] = hit
+    return _ensure_persisted(hit[1])
+
+
 def _lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _ANN_INDEX_CACHE.get(("lsh", sf_dir))
     if hit is None or hit[0] is not spark:
@@ -321,6 +334,7 @@ CACHE_DEPS: dict[str, tuple[str, ...]] = {
     "dedup_families": ("pairs",),
     "clean_corpus": ("pairs",),
     "dedup_embedding_cosine": ("lsh",),
+    "sim_cosine_q8_topk": ("q8",),
     "sim_ann_lsh_topk": ("lsh",),
     "sim_ann_ivf_topk": ("ivf",),
     "sim_ann_lsh_saved_topk": ("lsh_saved",),
@@ -330,6 +344,7 @@ CACHE_DEPS: dict[str, tuple[str, ...]] = {
 
 _CACHE_BUILDERS = {
     "pairs": _minhash_pairs,
+    "q8": _q8_index,
     "lsh": _lsh_index,
     "ivf": lambda spark, sf_dir: _ivf_index(spark, sf_dir)[1],
     "lsh_saved": _lsh_saved_index,
@@ -406,6 +421,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search (embeddings)
         "sim_cosine_topk": _on_table(
             "embeddings", lambda df: similarity.cosine_topk(df, _QUERY_VEC_ID, _TOPK)
+        ),
+        # int8-quantized index scoring (4x smaller scan at 100 TB)
+        "sim_cosine_q8_topk": lambda spark, sf_dir: similarity.cosine_q8_topk(
+            _embeddings(spark, sf_dir),
+            _QUERY_VEC_ID,
+            _TOPK,
+            index=_q8_index(spark, sf_dir),
         ),
         "sim_ann_lsh_topk": lambda spark, sf_dir: similarity.ann_lsh_topk(
             _embeddings(spark, sf_dir),
@@ -488,6 +510,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_families": oracles_beyond.minhash_duplicate_families(),
         "clean_corpus": oracles_beyond.clean_corpus(),
         "sim_cosine_topk": oracles_beyond.cosine_topk(_QUERY_VEC_ID, _TOPK),
+        "sim_cosine_q8_topk": oracles_beyond.cosine_q8_topk(_QUERY_VEC_ID, _TOPK),
         "sim_ann_lsh_topk": oracles_beyond.ann_lsh_topk(_QUERY_VEC_ID, _TOPK),
         # identical semantics to sim_ann_lsh_topk — the index is merely
         # written out and read back, so the same oracle checks the path

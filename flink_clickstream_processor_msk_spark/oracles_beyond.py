@@ -570,6 +570,42 @@ LIMIT {k}
     )
 
 
+def cosine_q8_topk(query_vec_id: int, k: int, levels: int = 127) -> str:
+    """SQL twin of similarity.cosine_q8_topk: identical symmetric int8
+    quantization (scale = max |x|, q = floor(x·127/scale + 0.5) — floor of
+    +0.5 is round-half-up on both engines, unlike round()) and identical
+    q·scale/127 dequantized cosine folds."""
+    return f"""
+WITH widened AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+scaled AS (
+  SELECT vec_id, v,
+    list_max(list_transform(v, x -> abs(x))) AS scale
+  FROM widened
+),
+quant AS (
+  SELECT vec_id, scale,
+    list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+      ELSE CAST(floor(x * {float(levels)} / scale + 0.5) AS INTEGER) END) AS q
+  FROM scaled
+),
+dequant AS (
+  SELECT vec_id,
+    list_transform(q, e -> e * scale / {float(levels)}) AS dq
+  FROM quant
+),
+qv AS (SELECT dq FROM dequant WHERE vec_id = {query_vec_id})
+SELECT e.vec_id, {_COS.format(a="e.dq", b="qv.dq")} AS cosine
+FROM dequant e, qv
+WHERE e.vec_id != {query_vec_id}
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT {k}
+"""
+
+
 def cosine_topk(query_vec_id: int, k: int) -> str:
     cos = _COS.format(a="e.embedding", b="q.embedding")
     return f"""

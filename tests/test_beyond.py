@@ -326,3 +326,34 @@ def test_repetition_filter_oracle_lockstep_on_empty_text(spark, tmp_path):
     assert result["ok"], result
     kept = {r["doc_id"] for r in text.repetition_filter(df).collect()}
     assert kept == {0, 1, 2}  # token-less docs keep frac 0.0; spam dropped
+
+
+def test_quantize_embeddings_bounds_and_error(spark):
+    import random
+
+    rng = random.Random(3)
+    vecs = [[rng.uniform(-2.0, 2.0) for _ in range(64)] for _ in range(20)]
+    vecs.append([0.0] * 64)  # zero vector: scale-0 guard
+    df = _embeddings(spark, vecs)
+    rows = similarity.quantize_embeddings(df).collect()
+    assert len(rows) == 21
+    for r in rows:
+        assert all(-127 <= e <= 127 for e in r["q"])
+        # dequantization error bounded by half a quantization step
+        orig = vecs[r["vec_id"]]
+        step = r["scale"] / 127.0
+        for x, e in zip(orig, r["q"]):
+            # float32 storage already moved x by <=1e-7 relative; allow it
+            assert abs(x - e * step) <= step / 2 + 1e-6 * abs(x) + 1e-12
+
+
+def test_cosine_q8_topk_high_recall_vs_exact(spark):
+    import random
+
+    rng = random.Random(9)
+    vecs = [[rng.uniform(-1.0, 1.0) for _ in range(64)] for _ in range(60)]
+    df = _embeddings(spark, vecs)
+    exact = [r["vec_id"] for r in similarity.cosine_topk(df, 0, k=10).collect()]
+    q8 = [r["vec_id"] for r in similarity.cosine_q8_topk(df, 0, k=10).collect()]
+    # int8 quantization preserves the neighborhood (>=70% overlap here)
+    assert len(set(exact) & set(q8)) >= 7
