@@ -395,6 +395,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _on_table(
             "documents", lambda df: text.pack_sequences(df, ctx_len=512)
         ),
+        # corpus-mixing weights on the skewed axis (lang: en-heavy fixture)
+        "source_mix_weights": _on_table(
+            "documents", lambda df: text.source_mix_weights(df, group_col="lang")
+        ),
+        "ngram_topk_per_lang": _on_table("documents", text.ngram_topk_per_lang),
+        # GPT-3/Pile-style n-gram decontamination of train vs test split
+        "decontaminate": _on_table("documents", pipeline.decontaminate),
         # dedup suite
         # oracle-checked dedup entries pass max_bucket_size=None: candidate
         # generation must be exact to hash-match the SQL oracle (library
@@ -502,6 +509,9 @@ def oracle_sql() -> dict[str, str]:
         "train_test_split": oracles_beyond.train_test_split(),
         "repetition_filter": oracles_beyond.repetition_filter(),
         "pack_sequences": oracles_beyond.pack_sequences(ctx_len=512),
+        "source_mix_weights": oracles_beyond.source_mix_weights(group_col="lang"),
+        "ngram_topk_per_lang": oracles_beyond.ngram_topk_per_lang(),
+        "decontaminate": oracles_beyond.decontaminate(),
         "dedup_exact": oracles_beyond.exact_duplicates(),
         "dedup_minhash_jaccard": oracles_beyond.minhash_near_duplicates(),
         "dedup_ngram_jaccard": oracles_beyond.ngram_jaccard_near_duplicates(),

@@ -24,9 +24,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from flink_clickstream_processor_msk_spark.functions.hashing import h60
 from flink_clickstream_processor_msk_spark.operators.dedup import (
     exact_duplicates,
     minhash_duplicate_families,
+    shingle_hashes,
 )
 from flink_clickstream_processor_msk_spark.operators.text import quality_filter
 
@@ -60,4 +62,42 @@ def clean_corpus(
         quality.join(exact_keepers, "doc_id")
         .join(dropped, "doc_id", "left_anti")
         .select("doc_id")
+    )
+
+
+def decontaminate(documents: DataFrame, test_pct: int = 10) -> DataFrame:
+    """Test-set decontamination by word-shingle overlap: flag every TRAIN
+    document that shares any word-3-gram with any TEST document (GPT-3 /
+    Pile-style n-gram decontamination, applied to the held-out split that
+    :func:`~...text.train_test_split` defines with the same md5 bucket).
+    Returns ``(doc_id, contaminated)`` for the train split — the flag, not
+    a silent drop, so pipelines can audit how much the filter removes.
+
+    Scale shape: shingles come from the shared Arrow-batched
+    ``shingle_hashes`` kernel (distinct 28-bit gram hashes per doc), so
+    the overlap check joins compact int sets, never text. The candidate
+    chain is explode → distinct test grams → LEFT SEMI join on gram →
+    distinct dirty doc_ids → LEFT join back onto train ids. Against a real
+    eval benchmark the test-gram side is tiny and broadcasts; here the
+    test split is test_pct% of the corpus, so AQE picks (at 100 TB that
+    becomes a shuffled semi-join on the gram hash — bounded, no all-pairs
+    term anywhere). NULL-text docs produce no grams on either engine and
+    land uncontaminated."""
+    is_test = (h60(F.col("doc_id").cast("string")) % 100) < test_pct
+    g = shingle_hashes(documents).select(
+        "doc_id", is_test.alias("is_test"), F.explode("shingles").alias("gram")
+    )
+    test_grams = g.filter(F.col("is_test")).select("gram").distinct()
+    dirty = (
+        g.filter(~F.col("is_test"))
+        .join(test_grams, "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    train = documents.select("doc_id").filter(~is_test)
+    return train.join(
+        dirty.withColumn("contaminated", F.lit(1)), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("contaminated", F.lit(0)).cast("int").alias("contaminated"),
     )

@@ -295,3 +295,85 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     return parallelized(documents).select(
         "doc_id", minmax("text").alias("mm"), h60(F.col("text")).alias("content_hash")
     ).select("doc_id", "mm.min_shingle_hash", "mm.max_shingle_hash", "content_hash")
+
+
+def source_mix_weights(documents: DataFrame, group_col: str = "source") -> DataFrame:
+    """Temperature-resampling weights per source: ``weight =
+    sqrt(n_docs / max_source_docs)`` — the alpha=0.5 mixture rule used to
+    up-weight small sources against the head (T5 / multilingual-corpus
+    style temperature sampling). The exponent is fixed at 0.5 so the whole
+    float path is one division plus ``sqrt`` — both correctly rounded
+    under IEEE-754, hence bit-identical to the SQL twin (a general
+    ``pow(x, alpha)`` is NOT correctly rounded and may drift by a ULP
+    between runtimes; callers needing other alphas accept that).
+
+    Scale shape: one map-side-combined groupBy(source) — the shuffle
+    carries one row per (source, partition) — then the max is a window
+    over the per-source aggregate, which is #sources rows (thousands at
+    worst), not corpus rows. ``n_tokens`` sums exact int token counts, so
+    no float-summation order dependence exists anywhere. ``group_col``
+    picks the mixture axis — ``source`` for crawl mixing, ``lang`` for
+    multilingual balancing (the driver query uses ``lang``, the skewed
+    axis in the fixture)."""
+    from pyspark.sql import Window
+
+    per_source = documents.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).alias("n_tokens"),
+    )
+    max_n = F.max("n_docs").over(Window.partitionBy())
+    return per_source.select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        F.sqrt(F.col("n_docs") / max_n).alias("weight"),
+    )
+
+
+def ngram_topk_per_lang(documents: DataFrame, n: int = 2, k: int = 5) -> DataFrame:
+    """Top-k most frequent word n-grams per language (count desc, gram asc
+    — a total order, so the cut is deterministic). The grouped variant of
+    :func:`token_histogram`: corpus-analysis views like this drive
+    boilerplate discovery and contamination triage per language bucket.
+
+    Gram construction follows the shared shingle convention (fewer than
+    ``n`` tokens → the whole text as one gram; NULL text → no grams),
+    mirrored by ``oracles_beyond._shingles``. Grams are built non-distinct
+    in an Arrow-batched pandas UDF — Catalyst HOF slice/concat lambdas run
+    interpreted (the measured repetition_stats/shingle_hashes lesson,
+    CLAUDE.md).
+
+    Scale shape: explode → groupBy(lang, gram) runs with map-side partial
+    aggregation (shuffle rows bounded by distinct grams per partition, not
+    gram occurrences); the rank window then shuffles the *aggregated*
+    histogram on lang — its partition size is distinct-grams-per-language,
+    which grows sublinearly with corpus size, so the per-lang sort is not
+    the 100 TB bottleneck the raw explode would be."""
+    import re as _re
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def grams(texts: pd.Series) -> pd.Series:
+        ws = _re.compile(r"\s+", _re.ASCII)
+
+        def go(text: str | None) -> list[str] | None:
+            if text is None:
+                return None
+            words = [w for w in ws.split(text) if w]
+            m = max(len(words) - (n - 1), 1)
+            return [" ".join(words[i : i + n]) for i in range(m)]
+
+        return texts.map(go)
+
+    counts = (
+        parallelized(documents)
+        .select("lang", F.explode(grams("text")).alias("gram"))
+        .groupBy("lang", "gram")
+        .agg(F.count(F.lit(1)).alias("gram_count"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("gram_count"), F.asc("gram"))
+    return counts.select(
+        "lang", "gram", "gram_count", F.row_number().over(w).alias("gram_rank")
+    ).filter(F.col("gram_rank") <= k)

@@ -685,3 +685,68 @@ SELECT doc_id, family_rep,
   CAST(count(*) OVER (PARTITION BY family_rep) AS INTEGER) AS family_size
 FROM lab
 """
+
+
+def decontaminate(test_pct: int = 10) -> str:
+    """SQL twin of pipeline.decontaminate: train docs sharing any word-
+    3-gram 28-bit hash with the test split (same md5 bucket split, same
+    shingle formula as the minhash oracles)."""
+    bucket = f"({_h60('doc_id::VARCHAR')}) % 100"
+    return f"""
+WITH {_word_shingle_shset_cte().strip()},
+split AS (SELECT doc_id, ({bucket}) < {test_pct} AS is_test FROM documents),
+g AS (
+  SELECT s.doc_id, split.is_test, unnest(s.shingles) AS gram
+  FROM shset s JOIN split USING (doc_id)
+),
+test_grams AS (SELECT DISTINCT gram FROM g WHERE is_test),
+dirty AS (
+  SELECT DISTINCT doc_id FROM g
+  WHERE NOT is_test AND gram IN (SELECT gram FROM test_grams)
+)
+SELECT t.doc_id,
+  CAST(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+    AS contaminated
+FROM (SELECT doc_id FROM split WHERE NOT is_test) t
+LEFT JOIN dirty d USING (doc_id)
+"""
+
+
+def source_mix_weights(group_col: str = "source") -> str:
+    """SQL twin of text.source_mix_weights (sqrt(n_docs/max) — division
+    and sqrt are both correctly rounded, so the double is bit-identical)."""
+    return f"""
+WITH per_source AS (
+  SELECT {group_col},
+    COUNT(*) AS n_docs,
+    SUM(len({_TOKENS.format(x="text")})) AS n_tokens
+  FROM documents GROUP BY {group_col}
+)
+SELECT {group_col},
+  CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  sqrt(n_docs / (max(n_docs) OVER ())) AS weight
+FROM per_source
+"""
+
+
+def ngram_topk_per_lang(n: int = 2, k: int = 5) -> str:
+    """SQL twin of text.ngram_topk_per_lang (non-distinct word n-grams per
+    the shared shingle convention; count desc, gram asc total order)."""
+    return f"""
+WITH toks AS (
+  SELECT lang, {_TOKENS.format(x="text")} AS w FROM documents
+  WHERE text IS NOT NULL
+),
+g AS (SELECT lang, unnest({_shingles("w", n)}) AS gram FROM toks),
+counts AS (SELECT lang, gram, COUNT(*) AS gram_count FROM g GROUP BY lang, gram)
+SELECT lang, gram, CAST(gram_count AS BIGINT) AS gram_count, gram_rank
+FROM (
+  SELECT lang, gram, gram_count,
+    CAST(row_number() OVER (
+      PARTITION BY lang ORDER BY gram_count DESC, gram ASC
+    ) AS INTEGER) AS gram_rank
+  FROM counts
+)
+WHERE gram_rank <= {k}
+"""

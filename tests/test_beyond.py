@@ -357,3 +357,49 @@ def test_cosine_q8_topk_high_recall_vs_exact(spark):
     q8 = [r["vec_id"] for r in similarity.cosine_q8_topk(df, 0, k=10).collect()]
     # int8 quantization preserves the neighborhood (>=70% overlap here)
     assert len(set(exact) & set(q8)) >= 7
+
+
+def _docs_ids(spark, rows):
+    """rows: (doc_id, text, lang) triples."""
+    return spark.createDataFrame(
+        [(i, t, lang, "src0", len(t) if t else 0) for i, t, lang in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_decontaminate_flags_shingle_overlap_with_test_split(spark):
+    """doc 18 is the only id<50 hashing into the test bucket (md5 split);
+    a train doc sharing its 3-gram is flagged, unrelated/NULL docs are not."""
+    from flink_clickstream_processor_msk_spark.operators import pipeline
+
+    rows = [
+        (18, "alpha beta gamma delta", "en"),        # test split
+        (0, "zzz alpha beta gamma yyy", "en"),        # shares 'alpha beta gamma'
+        (1, "totally unrelated words here", "en"),    # clean
+        (2, None, "en"),                              # NULL text -> clean
+    ]
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in pipeline.decontaminate(_docs_ids(spark, rows)).collect()
+    }
+    assert out == {0: 1, 1: 0, 2: 0}  # 18 is test, not in the output
+
+
+def test_source_mix_weights_sqrt_of_count_ratio(spark):
+    rows = [(i, "w " * 4, "en") for i in range(4)] + [(9, "w w", "fr")]
+    out = {
+        r["lang"]: (r["n_docs"], r["weight"])
+        for r in text.source_mix_weights(
+            _docs_ids(spark, rows), group_col="lang"
+        ).collect()
+    }
+    assert out["en"] == (4, 1.0)
+    assert out["fr"] == (1, 0.5)  # sqrt(1/4)
+
+
+def test_ngram_topk_per_lang_deterministic_tiebreak(spark):
+    # 'a b' x2 beats the singletons; singleton ties cut alphabetically
+    rows = [(0, "a b a b", "en"), (1, "c d", "en"), (2, "b a", "en")]
+    out = text.ngram_topk_per_lang(_docs_ids(spark, rows), n=2, k=3).collect()
+    ranked = [(r["gram"], r["gram_count"], r["gram_rank"]) for r in out]
+    assert ranked == [("a b", 2, 1), ("b a", 2, 2), ("c d", 1, 3)]
