@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from flink_clickstream_processor_msk_spark.functions.hashing import h60
 from flink_clickstream_processor_msk_spark.operators.dedup import (
+    _materialized,
     exact_duplicates,
     minhash_duplicate_families,
     shingle_hashes,
@@ -82,10 +83,17 @@ def decontaminate(documents: DataFrame, test_pct: int = 10) -> DataFrame:
     test split is test_pct% of the corpus, so AQE picks (at 100 TB that
     becomes a shuffled semi-join on the gram hash — bounded, no all-pairs
     term anywhere). NULL-text docs produce no grams on either engine and
-    land uncontaminated."""
+    land uncontaminated.
+
+    The exploded gram table feeds BOTH join sides (test grams and train
+    grams); it is materialized so the Arrow-batched md5 kernel — the
+    dominant map cost — runs over the corpus once, not once per side
+    (the ``_materialized`` signature-table rule from the dedup suite)."""
     is_test = (h60(F.col("doc_id").cast("string")) % 100) < test_pct
-    g = shingle_hashes(documents).select(
-        "doc_id", is_test.alias("is_test"), F.explode("shingles").alias("gram")
+    g = _materialized(
+        shingle_hashes(documents).select(
+            "doc_id", is_test.alias("is_test"), F.explode("shingles").alias("gram")
+        )
     )
     test_grams = g.filter(F.col("is_test")).select("gram").distinct()
     dirty = (
