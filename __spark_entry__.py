@@ -402,6 +402,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_topk_per_lang": _on_table("documents", text.ngram_topk_per_lang),
         # GPT-3/Pile-style n-gram decontamination of train vs test split
         "decontaminate": _on_table("documents", pipeline.decontaminate),
+        # characteristic terms per doc (hash-exact linear-idf variant)
+        "tfidf_top_terms": _on_table("documents", text.tfidf_top_terms),
+        # exact percentile_disc token-length stats per language
+        "length_percentiles": _on_table("documents", text.length_percentiles),
+        # Lee-et-al-style cross-doc duplicated fixed-width span stats
+        "dup_span_stats": _on_table("documents", dedup.dup_span_stats),
         # dedup suite
         # oracle-checked dedup entries pass max_bucket_size=None: candidate
         # generation must be exact to hash-match the SQL oracle (library
@@ -512,6 +518,9 @@ def oracle_sql() -> dict[str, str]:
         "source_mix_weights": oracles_beyond.source_mix_weights(group_col="lang"),
         "ngram_topk_per_lang": oracles_beyond.ngram_topk_per_lang(),
         "decontaminate": oracles_beyond.decontaminate(),
+        "tfidf_top_terms": oracles_beyond.tfidf_top_terms(),
+        "length_percentiles": oracles_beyond.length_percentiles(),
+        "dup_span_stats": oracles_beyond.dup_span_stats(),
         "dedup_exact": oracles_beyond.exact_duplicates(),
         "dedup_minhash_jaccard": oracles_beyond.minhash_near_duplicates(),
         "dedup_ngram_jaccard": oracles_beyond.ngram_jaccard_near_duplicates(),

@@ -749,3 +749,73 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def dup_span_stats(documents: DataFrame, width: int = 8) -> DataFrame:
+    """Cross-document duplicated-span statistics: for every document, how
+    many of its fixed-``width`` word windows (stride 1, non-distinct; the
+    shared <width→whole-text convention) also occur in at least one OTHER
+    document — the fixed-granularity approximation of exact-substring
+    dedup (Lee et al. 2022 "Deduplicating Training Data Makes Language
+    Models Better": duplicated ~50-token spans, not whole near-dup docs,
+    are what the model memorizes). ``dup_frac = dup_windows/n_windows`` is
+    the per-doc removal/penalty signal.
+
+    Windows hash to full 60-bit md5 values (not the 28-bit LSH space —
+    span flagging is per-window exact matching, so collision-flagged spans
+    would be false positives at corpus scale; 60 bits keeps the birthday
+    bound negligible at billions of windows). Scale shape: window hashing
+    is the Arrow-batched per-row map; the exploded (doc_id, hash) table
+    feeds both the cross-doc-count branch and the per-doc rollup, so it is
+    `_materialized` (one kernel pass); both aggregations are
+    map-side-combined groupBys keyed on the hash — no all-pairs term, cost
+    O(windows) + O(duplicated windows)."""
+    import re as _re
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def span_hashes(texts: pd.Series) -> pd.Series:
+        ws = _re.compile(r"\s+", _re.ASCII)
+        cache: dict[str, int] = {}
+
+        def go(text: str | None) -> list[int] | None:
+            if text is None:
+                return None
+            words = [w for w in ws.split(text) if w]
+            n = max(len(words) - (width - 1), 1)
+            out = []
+            for i in range(n):
+                g = " ".join(words[i : i + width])
+                h = cache.get(g)
+                if h is None:
+                    h = int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                    cache[g] = h
+                out.append(h)
+            return out
+
+        return texts.map(go)
+
+    g = _materialized(
+        _parallelized(documents)
+        .select("doc_id", F.explode(span_hashes("text")).alias("h"))
+    )
+    cross_doc = (
+        g.distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    return (
+        g.join(cross_doc.withColumn("dup", F.lit(1)), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.coalesce(F.sum("dup"), F.lit(0)).alias("dup_windows"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_windows").cast("int").alias("n_windows"),
+            F.col("dup_windows").cast("int").alias("dup_windows"),
+            (F.col("dup_windows") / F.col("n_windows")).alias("dup_frac"),
+        )
+    )

@@ -377,3 +377,103 @@ def ngram_topk_per_lang(documents: DataFrame, n: int = 2, k: int = 5) -> DataFra
     return counts.select(
         "lang", "gram", "gram_count", F.row_number().over(w).alias("gram_rank")
     ).filter(F.col("gram_rank") <= k)
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf with a LINEAR
+    inverse-document-frequency weight: ``score = tf · (N / df)``. The
+    textbook ``log(N/df)`` is deliberately not used — ``log`` is a
+    transcendental with no cross-runtime correctly-rounded guarantee, so
+    scores could drift a ULP between the JVM and DuckDB and flip tie-adjacent
+    ranks; division and multiplication ARE correctly rounded under
+    IEEE-754, making the linear variant bit-replayable (the same reasoning
+    that fixed source_mix_weights' alpha at 0.5). Ties cut
+    deterministically (score desc, token asc).
+
+    N counts documents contributing ≥1 token (NULL/empty texts drop out of
+    tokenization on both engines). Scale shape: tf = map-side-combined
+    groupBy(doc_id, token); df = groupBy(token) over the distinct
+    (doc, token) pairs; N rides in as a one-row broadcast cross join (no
+    driver action); the per-doc rank cut gets WindowGroupLimit like
+    ngram_topk_per_lang."""
+    from pyspark.sql import Window
+
+    tok = documents.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tok.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    )
+    n = tf.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df_docs",
+            (F.col("tf") * (F.col("n_docs") / F.col("df_docs"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return scored.select(
+        "doc_id",
+        "token",
+        F.col("tf").cast("int").alias("tf"),
+        F.col("df_docs").cast("int").alias("df_docs"),
+        "score",
+        F.row_number().over(w).alias("term_rank"),
+    ).filter(F.col("term_rank") <= k)
+
+
+def length_percentiles(documents: DataFrame) -> DataFrame:
+    """Exact p50/p90/p99 whitespace-token-count percentiles per language,
+    with percentile_disc semantics: the value at rank ``ceil(p·n)`` of the
+    (tokens, doc_id)-sorted group — an actual corpus element, no
+    interpolation. Interpolating percentiles (Spark `percentile`, DuckDB
+    `quantile_cont`) compute ``lo + (hi-lo)·frac`` with engine-specific
+    expression shapes, so the disc variant is the hash-replayable one; the
+    only float op here is ``p·n`` (correctly rounded, then ceil'd
+    identically).
+
+    Scale shape: one shuffle on lang for the sort window — bounded by the
+    biggest language's doc COUNT (not text: only (doc_id, lang, n_tokens)
+    rows move). For corpus-scale percentile dashboards where a per-group
+    sort is too hot, the approx path is `approx_percentile` — this
+    operator is the exact-answer variant."""
+    from pyspark.sql import Window
+
+    base = documents.select(
+        "doc_id", "lang", F.size(tokens(F.col("text"))).alias("n_tokens")
+    ).filter(F.col("n_tokens").isNotNull())
+    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    ranked = base.select(
+        "lang",
+        "n_tokens",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+
+    def pick(p: float, alias: str):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * F.col("n")), F.col("n_tokens")
+            )
+        ).alias(alias)
+
+    return ranked.groupBy("lang").agg(
+        F.max("n").alias("n_docs"),
+        pick(0.5, "p50_tokens"),
+        pick(0.9, "p90_tokens"),
+        pick(0.99, "p99_tokens"),
+    ).select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "p50_tokens",
+        "p90_tokens",
+        "p99_tokens",
+    )

@@ -40,8 +40,14 @@ def _h60(x: str) -> str:
 
 
 def _shingles(words: str, k: int = SHINGLE_K) -> str:
+    # COALESCE: an empty token list slices to an empty array, whose
+    # array_to_string is NULL in DuckDB — but the Python kernels' shared
+    # convention is ''.join(no words) = ''. Without the guard, empty-text
+    # documents produce [NULL] grams here (stripped by list_distinct,
+    # never joinable) vs [''] on the Spark side — a silent cross-engine
+    # divergence on an input class the driver could introduce any round.
     return (
-        f"[array_to_string({words}[i:i+{k - 1}], ' ') "
+        f"[COALESCE(array_to_string({words}[i:i+{k - 1}], ' '), '') "
         f"for i in range(1, greatest(len({words}) - {k - 1}, 1) + 1)]"
     )
 
@@ -749,4 +755,95 @@ FROM (
   FROM counts
 )
 WHERE gram_rank <= {k}
+"""
+
+
+def tfidf_top_terms(k: int = 3) -> str:
+    """SQL twin of text.tfidf_top_terms (linear idf: tf * (N/df) — one
+    correctly-rounded division then multiplication, no transcendentals)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS.format(x="lower(text)")} AS w FROM documents
+),
+tok AS (SELECT doc_id, unnest(w) AS token FROM toks),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+dfreq AS (
+  SELECT token, COUNT(*) AS df_docs
+  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df_docs,
+    tf.tf * (n.n_docs / dfreq.df_docs) AS score
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tf, df_docs, score, term_rank
+FROM (
+  SELECT doc_id, token,
+    CAST(tf AS INTEGER) AS tf,
+    CAST(df_docs AS INTEGER) AS df_docs,
+    score,
+    CAST(row_number() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, token ASC
+    ) AS INTEGER) AS term_rank
+  FROM scored
+)
+WHERE term_rank <= {k}
+"""
+
+
+def length_percentiles() -> str:
+    """SQL twin of text.length_percentiles (percentile_disc semantics:
+    element at rank ceil(p*n) of the (n_tokens, doc_id) sort)."""
+    pick = "MAX(CASE WHEN rn = CEIL({p} * n) THEN n_tokens END)"
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, len({_TOKENS.format(x="text")}) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+),
+ranked AS (
+  SELECT lang, n_tokens,
+    row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn,
+    COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM base
+)
+SELECT lang,
+  CAST(MAX(n) AS BIGINT) AS n_docs,
+  CAST({pick.format(p=0.5)} AS INTEGER) AS p50_tokens,
+  CAST({pick.format(p=0.9)} AS INTEGER) AS p90_tokens,
+  CAST({pick.format(p=0.99)} AS INTEGER) AS p99_tokens
+FROM ranked GROUP BY lang
+"""
+
+
+def dup_span_stats(width: int = 8) -> str:
+    """SQL twin of dedup.dup_span_stats (60-bit md5 window hashes; a
+    window instance is duplicated iff its hash occurs in >= 2 distinct
+    docs)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS.format(x="text")} AS w FROM documents
+  WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id, {_h60("s")} AS h
+  FROM (SELECT doc_id, unnest({_shingles("w", width)}) AS s FROM toks)
+),
+cross_doc AS (
+  SELECT h FROM (
+    SELECT h, COUNT(*) AS nd FROM (SELECT DISTINCT doc_id, h FROM g) GROUP BY h
+  ) WHERE nd >= 2
+),
+per AS (
+  SELECT g.doc_id,
+    COUNT(*) AS n_windows,
+    COALESCE(SUM(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END), 0) AS dup_windows
+  FROM g LEFT JOIN cross_doc c ON g.h = c.h
+  GROUP BY g.doc_id
+)
+SELECT doc_id,
+  CAST(n_windows AS INTEGER) AS n_windows,
+  CAST(dup_windows AS INTEGER) AS dup_windows,
+  dup_windows / n_windows AS dup_frac
+FROM per
 """

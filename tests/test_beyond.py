@@ -403,3 +403,84 @@ def test_ngram_topk_per_lang_deterministic_tiebreak(spark):
     out = text.ngram_topk_per_lang(_docs_ids(spark, rows), n=2, k=3).collect()
     ranked = [(r["gram"], r["gram_count"], r["gram_rank"]) for r in out]
     assert ranked == [("a b", 2, 1), ("b a", 2, 2), ("c d", 1, 3)]
+
+
+def test_tfidf_top_terms_linear_idf_scores(spark):
+    rows = [
+        (0, "apple apple banana", "en"),
+        (1, "banana cherry", "en"),
+        (2, "cherry apple", "en"),
+    ]
+    out = {
+        (r["doc_id"], r["token"]): (r["tf"], r["df_docs"], r["score"], r["term_rank"])
+        for r in text.tfidf_top_terms(_docs_ids(spark, rows)).collect()
+    }
+    # doc 0: apple tf=2 df=2 -> 2*(3/2)=3.0 beats banana 1*(3/2)=1.5
+    assert out[(0, "apple")] == (2, 2, 3.0, 1)
+    assert out[(0, "banana")] == (1, 2, 1.5, 2)
+    # doc 1 tie at 1.5: banana before cherry (token asc)
+    assert out[(1, "banana")][3] == 1 and out[(1, "cherry")][3] == 2
+
+
+def test_length_percentiles_disc_semantics(spark):
+    # 10 docs of 1..10 tokens: p50 = 5th value, p90 = 9th, p99 = 10th
+    rows = [(i, "w " * (i + 1), "en") for i in range(10)]
+    out = text.length_percentiles(_docs_ids(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_docs"], r["p50_tokens"], r["p90_tokens"], r["p99_tokens"]) == (
+        10, 5, 9, 10,
+    )
+
+
+def test_dup_span_stats_flags_cross_doc_spans_only(spark):
+    shared = "one two three four five six seven eight"  # exactly width=8
+    rows = [
+        (0, shared, "en"),                       # 1 window, duplicated
+        (1, shared + " tail", "en"),             # 2 windows, 1 duplicated
+        (2, "totally different words", "en"),    # 1 window (<width), unique
+        (3, "totally different words", "en"),    # whole-text dup of 2
+    ]
+    out = {
+        r["doc_id"]: (r["n_windows"], r["dup_windows"], r["dup_frac"])
+        for r in dedup.dup_span_stats(_docs_ids(spark, rows)).collect()
+    }
+    assert out[0] == (1, 1, 1.0)
+    assert out[1] == (2, 1, 0.5)
+    # sub-width docs fall back to the whole-text window; identical texts match
+    assert out[2] == (1, 1, 1.0) and out[3] == (1, 1, 1.0)
+
+
+def test_span_and_decontaminate_oracle_lockstep_on_empty_text(spark, tmp_path):
+    """Empty-token documents: the Python kernels emit the '' whole-text
+    gram while DuckDB's array_to_string over an empty slice is NULL — the
+    COALESCE inside oracles_beyond._shingles pins both engines to ''.
+    doc 18 is the md5-test-split doc: empty test doc + empty train doc
+    must agree on contaminated=1 in both engines."""
+    import duckdb
+
+    from flink_clickstream_processor_msk_spark import oracles_beyond
+    from flink_clickstream_processor_msk_spark.operators import pipeline
+    from oracle_utils import compare
+
+    rows = [
+        (18, "", "en"),                        # test split, empty
+        (0, "", "en"),                         # train, empty -> contaminated
+        (1, "   ", "en"),                      # train, whitespace-only -> same
+        (2, "plain unique text right here", "en"),
+    ]
+    df = _docs_ids(spark, rows)
+    pq = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(pq)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    for fn, sql in (
+        (dedup.dup_span_stats(df), oracles_beyond.dup_span_stats()),
+        (pipeline.decontaminate(df), oracles_beyond.decontaminate()),
+    ):
+        result = compare(fn, con.execute(sql).df())
+        assert result["ok"], result
+    flags = {r["doc_id"]: r["contaminated"] for r in pipeline.decontaminate(df).collect()}
+    assert flags == {0: 1, 1: 1, 2: 0}
