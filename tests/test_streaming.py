@@ -180,3 +180,56 @@ def test_late_event_dropped_at_zero_watermark(spark, tmp_path_factory):
     depts = {d for r in rows for d in r["deptList"]}
     assert "LATE" not in depts  # late event silently dropped
     assert {r["userId"] for r in rows} >= {1, 2}
+
+
+def test_stream_dedup_drops_replayed_events(spark, tmp_path_factory):
+    """At-least-once replay: the second file re-delivers (userid, seq)
+    pairs from the first within the watermark delay — the dedup operator
+    keeps exactly one copy of each and passes genuinely new events, and
+    the result equals batch dropDuplicates on the union."""
+    from flink_clickstream_processor_msk_spark.streaming.dedup import dedup_events
+
+    src = str(tmp_path_factory.mktemp("dedup-src"))
+    cols = [f.name for f in CLICK_EVENT.fields]
+    first = [
+        {"ts": BASE_TS, "seq": 1, "userid": 1, "event_type": "view", "product_type": "a"},
+        {"ts": BASE_TS + 100, "seq": 2, "userid": 1, "event_type": "view", "product_type": "b"},
+    ]
+    replay = [
+        # broker retry: same (userid, seq) delivered again
+        {"ts": BASE_TS, "seq": 1, "userid": 1, "event_type": "view", "product_type": "a"},
+        # a genuinely new event
+        {"ts": BASE_TS + 200, "seq": 3, "userid": 1, "event_type": "view", "product_type": "c"},
+        SENTINEL,
+    ]
+    make_clickevents(spark, first).select(*cols).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = stream_clickevents(
+        spark, src, watermark="10 minutes", max_files_per_trigger=1
+    )
+    q = memory_sink(dedup_events(stream), "dedup_events_out")
+    q.processAllAvailable()
+    make_clickevents(spark, replay).select(*cols).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    rows = [
+        (r["userid"], r["globalseq"])
+        for r in spark.sql("SELECT userid, globalseq FROM dedup_events_out").collect()
+    ]
+    assert sorted(rows) == [(1, 1), (1, 2), (1, 3), (SENTINEL_USER, 10**9)]
+
+    # batch equivalence: same operator over the unioned files
+    batch = with_event_time(
+        spark.createDataFrame(
+            spark.read.parquet(src).collect(), schema=CLICK_EVENT
+        )
+    )
+    batch_rows = [
+        (r["userid"], r["globalseq"])
+        for r in dedup_events(batch).select("userid", "globalseq").collect()
+    ]
+    assert sorted(batch_rows) == sorted(rows)
