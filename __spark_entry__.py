@@ -400,6 +400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "documents", lambda df: text.source_mix_weights(df, group_col="lang")
         ),
         "ngram_topk_per_lang": _on_table("documents", text.ngram_topk_per_lang),
+        # materialized temperature resampling (salted deterministic draw)
+        "resample_corpus": _on_table("documents", text.resample_corpus),
         # GPT-3/Pile-style n-gram decontamination of train vs test split
         "decontaminate": _on_table("documents", pipeline.decontaminate),
         # characteristic terms per doc (hash-exact linear-idf variant)
@@ -517,6 +519,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": oracles_beyond.pack_sequences(ctx_len=512),
         "source_mix_weights": oracles_beyond.source_mix_weights(group_col="lang"),
         "ngram_topk_per_lang": oracles_beyond.ngram_topk_per_lang(),
+        "resample_corpus": oracles_beyond.resample_corpus(),
         "decontaminate": oracles_beyond.decontaminate(),
         "tfidf_top_terms": oracles_beyond.tfidf_top_terms(),
         "length_percentiles": oracles_beyond.length_percentiles(),

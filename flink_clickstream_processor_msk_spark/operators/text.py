@@ -477,3 +477,35 @@ def length_percentiles(documents: DataFrame) -> DataFrame:
         "p90_tokens",
         "p99_tokens",
     )
+
+
+def resample_corpus(documents: DataFrame, group_col: str = "lang") -> DataFrame:
+    """Materialized temperature resampling: keep each document with
+    probability equal to its group's :func:`source_mix_weights` weight
+    (``sqrt(n/max)``) — the largest group passes whole, smaller groups are
+    up-REPRESENTED relative to their size, flattening the mixture the way
+    multilingual pipelines balance head languages against the tail.
+
+    The keep decision is deterministic and engine-replayable: uniform
+    draw = md5-derived ``h60(doc_id || ':resample') % 2^20`` (salted so it
+    is independent of train_test_split's bucket draw on the same doc_id),
+    kept iff ``draw < weight · 2^20``. The int→double promotion in the
+    comparison and the single multiplication are both exact/correctly
+    rounded, so both engines keep bit-identical doc sets — and a
+    document's fate never depends on other rows beyond the per-group
+    weight, so re-runs over a grown corpus only change fates through the
+    weights themselves.
+
+    Scale shape: the weights table is #groups rows — broadcast joined;
+    the draw is a per-row map. One map-side-combined agg (inside
+    source_mix_weights) is the only shuffle."""
+    w = source_mix_weights(documents, group_col).select(group_col, "weight")
+    draw = (
+        h60(F.concat(F.col("doc_id").cast("string"), F.lit(":resample")))
+        % (1 << 20)
+    ).cast("double")
+    return (
+        documents.join(F.broadcast(w), group_col)
+        .filter(draw < F.col("weight") * F.lit(float(1 << 20)))
+        .select("doc_id", group_col, "weight")
+    )

@@ -847,3 +847,15 @@ SELECT doc_id,
   dup_windows / n_windows AS dup_frac
 FROM per
 """
+
+
+def resample_corpus(group_col: str = "lang") -> str:
+    """SQL twin of text.resample_corpus (salted md5 draw vs weight*2^20 —
+    exact int->double promotion, correctly rounded multiply)."""
+    return f"""
+WITH w AS ({source_mix_weights(group_col)})
+SELECT d.doc_id, d.{group_col}, w.weight
+FROM documents d JOIN w USING ({group_col})
+WHERE (({_h60("d.doc_id::VARCHAR || ':resample'")}) % {1 << 20})
+      < w.weight * {float(1 << 20)}
+"""

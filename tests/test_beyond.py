@@ -484,3 +484,14 @@ def test_span_and_decontaminate_oracle_lockstep_on_empty_text(spark, tmp_path):
         assert result["ok"], result
     flags = {r["doc_id"]: r["contaminated"] for r in pipeline.decontaminate(df).collect()}
     assert flags == {0: 1, 1: 1, 2: 0}
+
+
+def test_resample_corpus_weighted_keep(spark):
+    """en (largest group) has weight 1.0 -> every doc kept regardless of
+    draw; fr weight sqrt(1/4)=0.5 -> doc 9's draw (908774 of 2^20) loses."""
+    rows = [(i, "w " * 4, "en") for i in range(4)] + [(9, "w w", "fr")]
+    out = {
+        r["doc_id"]: r["weight"]
+        for r in text.resample_corpus(_docs_ids(spark, rows)).collect()
+    }
+    assert set(out) == {0, 1, 2, 3} and out[0] == 1.0
