@@ -256,6 +256,17 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit[1]
 
 
+def _pq_index(spark: SparkSession, sf_dir: str):
+    """Session-cached product-quantization index (codebooks + nibble-code
+    table — the 16×-smaller ADC scan target; build once, probe many)."""
+    hit = _ANN_INDEX_CACHE.get(("pq", sf_dir))
+    if hit is None or hit[0] is not spark:
+        hit = (spark, similarity.build_pq_index(_embeddings(spark, sf_dir)))
+        _ANN_INDEX_CACHE[("pq", sf_dir)] = hit
+    cbs, index = hit[1]
+    return cbs, _ensure_persisted(index)
+
+
 def _q8_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-cached int8-quantized embedding table (the 4×-smaller scan
     target; quantize once, probe many — written out at cluster scale)."""
@@ -335,6 +346,7 @@ CACHE_DEPS: dict[str, tuple[str, ...]] = {
     "clean_corpus": ("pairs",),
     "dedup_embedding_cosine": ("lsh",),
     "sim_cosine_q8_topk": ("q8",),
+    "sim_ann_pq_topk": ("pq",),
     "sim_ann_lsh_topk": ("lsh",),
     "sim_ann_ivf_topk": ("ivf",),
     "sim_ann_lsh_saved_topk": ("lsh_saved",),
@@ -345,6 +357,7 @@ CACHE_DEPS: dict[str, tuple[str, ...]] = {
 _CACHE_BUILDERS = {
     "pairs": _minhash_pairs,
     "q8": _q8_index,
+    "pq": lambda spark, sf_dir: _pq_index(spark, sf_dir)[1],
     "lsh": _lsh_index,
     "ivf": lambda spark, sf_dir: _ivf_index(spark, sf_dir)[1],
     "lsh_saved": _lsh_saved_index,
@@ -444,6 +457,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _TOPK,
             index=_q8_index(spark, sf_dir),
         ),
+        # PQ-compressed ADC scan (16x smaller scan target at 100 TB)
+        "sim_ann_pq_topk": lambda spark, sf_dir: similarity.ann_pq_topk(
+            _embeddings(spark, sf_dir),
+            _QUERY_VEC_ID,
+            _TOPK,
+            index=_pq_index(spark, sf_dir),
+        ),
         "sim_ann_lsh_topk": lambda spark, sf_dir: similarity.ann_lsh_topk(
             _embeddings(spark, sf_dir),
             _QUERY_VEC_ID,
@@ -533,6 +553,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_corpus": oracles_beyond.clean_corpus(),
         "sim_cosine_topk": oracles_beyond.cosine_topk(_QUERY_VEC_ID, _TOPK),
         "sim_cosine_q8_topk": oracles_beyond.cosine_q8_topk(_QUERY_VEC_ID, _TOPK),
+        "sim_ann_pq_topk": oracles_beyond.ann_pq_topk(_QUERY_VEC_ID, _TOPK),
         "sim_ann_lsh_topk": oracles_beyond.ann_lsh_topk(_QUERY_VEC_ID, _TOPK),
         # identical semantics to sim_ann_lsh_topk — the index is merely
         # written out and read back, so the same oracle checks the path

@@ -445,3 +445,136 @@ def ann_lsh_topk(
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+# --- product quantization (PQ) ---------------------------------------------
+
+PQ_M = 8  # subspaces (64-dim embeddings -> 8 dims per subspace)
+PQ_K = 16  # centroids per sub-codebook -> codes fit a nibble; 16x compression
+
+#: same near-tie contract as _GAP_EPS: outside this margin on squared-L2,
+#: numpy's pairwise summation provably cannot flip the argmin vs the
+#: oracle's sequential fold
+_PQ_GAP_EPS = 1e-6
+
+
+def _py_d2(a: list[float], b: list[float]) -> float:
+    """Sequential-fold squared L2 — the PQ twin of :func:`_py_cosine`,
+    ascending-dimension accumulation matching the oracle's
+    list_sum(list_transform(range(...)))."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += (x - y) * (x - y)
+    return acc
+
+
+def pq_codebooks(
+    embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K
+) -> list[list[list[float]]]:
+    """Deterministic sub-codebooks: subspace slices of the ``k`` vectors
+    with the smallest vec_ids (the :func:`ivf_centroids` determinism trick,
+    per subspace) — ``codebooks[s][j]`` is centroid j of subspace s. A
+    production index k-means-refines these per subspace (the
+    :func:`kmeans_refine_centroids` pattern applies verbatim in each
+    subspace); the index structure and the replayable-assignment contract
+    are identical either way."""
+    rows = embeddings.orderBy("vec_id").limit(k).select("embedding").collect()
+    vecs = [[float(x) for x in r["embedding"]] for r in rows]
+    d0 = len(vecs[0]) // m
+    return [[v[s * d0 : (s + 1) * d0] for v in vecs] for s in range(m)]
+
+
+def build_pq_index(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    k_cb: int = PQ_K,
+    codebooks: list[list[list[float]]] | None = None,
+) -> tuple[list[list[list[float]]], DataFrame]:
+    """The build side of the PQ index: (codebooks, codes table).
+
+    Each vector compresses to ``m`` nibble codes — (vec_id, codes) is the
+    WHOLE scan target at query time, 16× smaller than the float32 rows
+    (64×4 bytes → m×1), which is the 100 TB play: ADC scoring reads only
+    the code table; raw vectors are touched never (vs q8's 4× and
+    IVF's partition pruning — PQ trades recall for the smallest scan).
+    Assignment per subspace is argmin squared-L2, first centroid wins
+    ties; numpy-batched with the near-tie sequential-fold fallback (the
+    `_make_cell_udf` contract), so codes replay bit-identically in the
+    DuckDB oracle."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    cbs = codebooks if codebooks is not None else pq_codebooks(embeddings, m, k_cb)
+    d0 = len(cbs[0][0])
+    bc = embeddings.sparkSession.sparkContext.broadcast(cbs)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def codes_udf(emb: pd.Series) -> pd.Series:
+        cbs_v = bc.value
+        C = [np.asarray(cb, dtype=np.float64) for cb in cbs_v]  # [s] (k, d0)
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in emb.to_numpy()])
+        out = np.empty((len(M), len(C)), dtype=np.int32)
+        for s, Cs in enumerate(C):
+            S = M[:, s * d0 : (s + 1) * d0]
+            D = ((S[:, None, :] - Cs[None, :, :]) ** 2).sum(axis=-1)
+            best = np.argmin(D, axis=1)
+            rows = np.arange(len(S))
+            runner = D.copy()
+            runner[rows, best] = np.inf
+            margin = runner.min(axis=1) - D[rows, best]
+            for i in np.nonzero(margin < _PQ_GAP_EPS)[0]:
+                exact = [_py_d2(list(S[i]), list(c)) for c in cbs_v[s]]
+                best[i] = min(range(len(exact)), key=lambda j: (exact[j], j))
+            out[:, s] = best
+        return pd.Series([[int(c) for c in row] for row in out])
+
+    index = _materialized(
+        embeddings.select("vec_id", codes_udf("embedding").alias("codes"))
+    )
+    return cbs, index
+
+
+def ann_pq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = DEFAULT_K,
+    m: int = PQ_M,
+    k_cb: int = PQ_K,
+    index: tuple[list[list[list[float]]], DataFrame] | None = None,
+) -> DataFrame:
+    """PQ approximate top-k by asymmetric distance computation (ADC):
+    score = Σ_s LUT[s][code_s], where LUT[s][j] is the squared L2 between
+    the query's subspace-s slice and codebook centroid j — computed once
+    driver-side (m×k_cb sequential folds over d0 dims, ~1k multiplies),
+    then applied to each row as m literal-array lookups + a fixed
+    left-to-right chain of adds, all inside whole-stage codegen. Nearest =
+    smallest ADC distance; ties cut by vec_id asc. TakeOrdered sends k
+    rows to the driver — the scan is the code table only.
+
+    Jégou, Douze, Schmid 2011 "Product Quantization for Nearest Neighbor
+    Search" (TPAMI) — the standard memory-bound ANN for corpus-scale
+    embedding search."""
+    cbs, codes = (
+        index if index is not None else build_pq_index(embeddings, m, k_cb)
+    )
+    d0 = len(cbs[0][0])
+    q = _query_vector(embeddings, query_vec_id)
+    lut = [
+        [_py_d2(q[s * d0 : (s + 1) * d0], c) for c in cbs[s]]
+        for s in range(len(cbs))
+    ]
+    score = None
+    for s, row in enumerate(lut):
+        term = F.element_at(
+            F.array(*[F.lit(float(v)) for v in row]),
+            F.col("codes").getItem(s) + F.lit(1),
+        )
+        score = term if score is None else score + term
+    return (
+        codes.filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", score.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -859,3 +859,57 @@ FROM documents d JOIN w USING ({group_col})
 WHERE (({_h60("d.doc_id::VARCHAR || ':resample'")}) % {1 << 20})
       < w.weight * {float(1 << 20)}
 """
+
+
+def ann_pq_topk(
+    query_vec_id: int, k: int, m: int = 8, k_cb: int = 16, dim: int = 64
+) -> str:
+    """SQL twin of similarity.ann_pq_topk: same deterministic sub-codebooks
+    (subspace slices of the k_cb smallest vec_ids), same argmin-squared-L2
+    assignment (d2 asc, first centroid wins ties — the Spark builder's
+    near-tie fallback recomputes with these sequential folds), same ADC
+    scoring (per-subspace LUT partials summed in ascending-subspace order
+    via an ordered list fold, matching Spark's left-to-right add chain)."""
+    d0 = dim // m
+    d2_ec = (
+        f"list_sum(list_transform(range(1, {d0 + 1}), "
+        f"i -> (e.v[cb.s*{d0} + i] - cb.cvec[i]) * (e.v[cb.s*{d0} + i] - cb.cvec[i])))"
+    )
+    d2_qc = (
+        f"list_sum(list_transform(range(1, {d0 + 1}), "
+        f"i -> (q.v[cb.s*{d0} + i] - cb.cvec[i]) * (q.v[cb.s*{d0} + i] - cb.cvec[i])))"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+subs AS (SELECT unnest(range(0, {m})) AS s),
+cb AS (
+  SELECT subs.s AS s,
+    row_number() OVER (PARTITION BY subs.s ORDER BY b.vec_id) - 1 AS cidx,
+    b.v[subs.s*{d0} + 1 : subs.s*{d0} + {d0}] AS cvec
+  FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT {k_cb}) b
+  CROSS JOIN subs
+),
+assign AS (
+  SELECT vec_id, s, cidx FROM (
+    SELECT e.vec_id, cb.s, cb.cidx,
+      row_number() OVER (
+        PARTITION BY e.vec_id, cb.s ORDER BY {d2_ec} ASC, cb.cidx ASC
+      ) AS rn
+    FROM base e CROSS JOIN cb
+  ) WHERE rn = 1
+),
+q AS (SELECT v FROM base WHERE vec_id = {query_vec_id}),
+lut AS (SELECT cb.s, cb.cidx, {d2_qc} AS pd FROM cb, q),
+scored AS (
+  SELECT a.vec_id, list_sum(list(l.pd ORDER BY a.s)) AS adc_dist
+  FROM assign a JOIN lut l ON a.s = l.s AND a.cidx = l.cidx
+  GROUP BY a.vec_id
+)
+SELECT vec_id, adc_dist FROM scored
+WHERE vec_id != {query_vec_id}
+ORDER BY adc_dist ASC, vec_id ASC
+LIMIT {k}
+"""

@@ -495,3 +495,38 @@ def test_resample_corpus_weighted_keep(spark):
         for r in text.resample_corpus(_docs_ids(spark, rows)).collect()
     }
     assert set(out) == {0, 1, 2, 3} and out[0] == 1.0
+
+
+def test_pq_codes_and_adc_identity(spark):
+    """An exact copy of a codebook-source vector codes to that centroid in
+    every subspace (d2=0 beats everything), and ADC distance between the
+    copy (as query) and the original is exactly 0 -> rank 1."""
+    import random
+
+    rng = random.Random(11)
+    vecs = [[rng.uniform(-1.0, 1.0) for _ in range(64)] for _ in range(16)]
+    vecs.append(list(vecs[3]))  # vec 16 == vec 3 (a codebook vector)
+    vecs.append([rng.uniform(-1.0, 1.0) for _ in range(64)])
+    df = _embeddings(spark, vecs)
+    cbs, index = similarity.build_pq_index(df)
+    codes = {r["vec_id"]: r["codes"] for r in index.collect()}
+    assert codes[16] == [3] * 8 == codes[3]
+    top = similarity.ann_pq_topk(df, 16, 3, index=(cbs, index)).collect()
+    assert top[0]["vec_id"] == 3 and top[0]["adc_dist"] == 0.0
+
+
+def test_pq_assignment_first_centroid_wins_ties(spark):
+    """Two codebook vectors share subspace-0 content: any match must code
+    to the smaller centroid index (the sequential-fold tie contract)."""
+    import random
+
+    rng = random.Random(12)
+    vecs = [[rng.uniform(-1.0, 1.0) for _ in range(64)] for _ in range(16)]
+    vecs[9][:8] = vecs[2][:8]  # centroid 9 subspace 0 duplicates centroid 2
+    probe = list(vecs[9])      # matches both 2 and 9 exactly in subspace 0
+    vecs.append(probe)
+    df = _embeddings(spark, vecs)
+    _, index = similarity.build_pq_index(df)
+    codes = {r["vec_id"]: r["codes"] for r in index.collect()}
+    assert codes[16][0] == 2  # not 9: first centroid wins the exact tie
+    assert codes[16][1:] == [9] * 7
