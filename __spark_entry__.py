@@ -347,6 +347,7 @@ CACHE_DEPS: dict[str, tuple[str, ...]] = {
     "dedup_embedding_cosine": ("lsh",),
     "sim_cosine_q8_topk": ("q8",),
     "sim_ann_pq_topk": ("pq",),
+    "sim_ann_ivfpq_topk": ("ivf", "pq"),
     "sim_ann_lsh_topk": ("lsh",),
     "sim_ann_ivf_topk": ("ivf",),
     "sim_ann_lsh_saved_topk": ("lsh_saved",),
@@ -464,6 +465,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _TOPK,
             index=_pq_index(spark, sf_dir),
         ),
+        # IVF routing composed with PQ ADC scoring (IVFADC layout)
+        "sim_ann_ivfpq_topk": lambda spark, sf_dir: similarity.ann_ivfpq_topk(
+            _embeddings(spark, sf_dir),
+            _QUERY_VEC_ID,
+            _TOPK,
+            ivf_index=_ivf_index(spark, sf_dir),
+            pq_index=_pq_index(spark, sf_dir),
+        ),
         "sim_ann_lsh_topk": lambda spark, sf_dir: similarity.ann_lsh_topk(
             _embeddings(spark, sf_dir),
             _QUERY_VEC_ID,
@@ -554,6 +563,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_cosine_topk": oracles_beyond.cosine_topk(_QUERY_VEC_ID, _TOPK),
         "sim_cosine_q8_topk": oracles_beyond.cosine_q8_topk(_QUERY_VEC_ID, _TOPK),
         "sim_ann_pq_topk": oracles_beyond.ann_pq_topk(_QUERY_VEC_ID, _TOPK),
+        "sim_ann_ivfpq_topk": oracles_beyond.ann_ivfpq_topk(_QUERY_VEC_ID, _TOPK),
         "sim_ann_lsh_topk": oracles_beyond.ann_lsh_topk(_QUERY_VEC_ID, _TOPK),
         # identical semantics to sim_ann_lsh_topk — the index is merely
         # written out and read back, so the same oracle checks the path

@@ -578,3 +578,60 @@ def ann_pq_topk(
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def ann_ivfpq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = DEFAULT_K,
+    n_probe: int = 4,
+    ivf_index: tuple[list[list[float]], DataFrame] | None = None,
+    pq_index: tuple[list[list[list[float]]], DataFrame] | None = None,
+) -> DataFrame:
+    """IVF+PQ composition: route the query to its ``n_probe`` nearest IVF
+    cells, then rank ONLY those cells' vectors by PQ ADC distance — the
+    two index structures compose multiplicatively: the cell routing skips
+    (1 - n_probe/n_cells) of the corpus via partition pruning and the PQ
+    codes shrink what IS read by 16×. At cluster scale this is one written
+    table (vec_id, codes) partitioned by cell — the standard
+    billion-scale ANN layout (IVFADC of Jégou et al. 2011; this variant
+    encodes raw vectors rather than cell residuals, which keeps one shared
+    codebook set and lets the oracle replay both structures unchanged —
+    residual encoding is the production refinement and slots into the same
+    plan shape).
+
+    Reuses both session-cached indexes; the probe-time join keys the two
+    small index tables on vec_id (at scale: no join — cell and codes live
+    in the same written row)."""
+    cents, cells = (
+        ivf_index if ivf_index is not None else build_ivf_index(embeddings)
+    )
+    cbs, codes = (
+        pq_index if pq_index is not None else build_pq_index(embeddings)
+    )
+    d0 = len(cbs[0][0])
+    q = _query_vector_from_index(cells, query_vec_id)
+    probes = sorted(
+        range(len(cents)), key=lambda i: (-_py_cosine(cents[i], q), i)
+    )[:n_probe]
+    lut = [
+        [_py_d2(q[s * d0 : (s + 1) * d0], c) for c in cbs[s]]
+        for s in range(len(cbs))
+    ]
+    score = None
+    for s, row in enumerate(lut):
+        term = F.element_at(
+            F.array(*[F.lit(float(v)) for v in row]),
+            F.col("codes").getItem(s) + F.lit(1),
+        )
+        score = term if score is None else score + term
+    return (
+        cells.filter(
+            F.col("cell").isin(probes) & (F.col("vec_id") != query_vec_id)
+        )
+        .select("vec_id")
+        .join(codes, "vec_id")
+        .select("vec_id", score.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(k)
+    )

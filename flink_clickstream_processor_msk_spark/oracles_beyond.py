@@ -913,3 +913,82 @@ WHERE vec_id != {query_vec_id}
 ORDER BY adc_dist ASC, vec_id ASC
 LIMIT {k}
 """
+
+
+def ann_ivfpq_topk(
+    query_vec_id: int,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k_cb: int = 16,
+    dim: int = 64,
+) -> str:
+    """SQL twin of similarity.ann_ivfpq_topk: the ann_ivf_topk routing
+    CTEs (cosine argmax assignment, n_probe nearest cells) composed with
+    the ann_pq_topk coding/LUT CTEs — candidates are the probed cells'
+    vectors, ranked by the same ordered-fold ADC distance."""
+    d0 = dim // m
+    cos_ec = _COS.format(a="e.embedding", b="c.cvec")
+    cos_qc = _COS.format(a="iq.embedding", b="c.cvec")
+    d2_ec = (
+        f"list_sum(list_transform(range(1, {d0 + 1}), "
+        f"i -> (e.v[cb.s*{d0} + i] - cb.cvec[i]) * (e.v[cb.s*{d0} + i] - cb.cvec[i])))"
+    )
+    d2_qc = (
+        f"list_sum(list_transform(range(1, {d0 + 1}), "
+        f"i -> (pq.v[cb.s*{d0} + i] - cb.cvec[i]) * (pq.v[cb.s*{d0} + i] - cb.cvec[i])))"
+    )
+    return f"""
+WITH ivf_cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_centroids})
+),
+iq AS (SELECT embedding FROM embeddings WHERE vec_id = {query_vec_id}),
+probe AS (
+  SELECT cidx FROM ivf_cents c, iq ORDER BY {cos_qc} DESC, cidx ASC LIMIT {n_probe}
+),
+cell_of AS (
+  SELECT vec_id, cidx FROM (
+    SELECT e.vec_id, c.cidx,
+      row_number() OVER (
+        PARTITION BY e.vec_id ORDER BY {cos_ec} DESC, c.cidx ASC
+      ) AS rn
+    FROM embeddings e CROSS JOIN ivf_cents c
+  ) WHERE rn = 1
+),
+base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+subs AS (SELECT unnest(range(0, {m})) AS s),
+cb AS (
+  SELECT subs.s AS s,
+    row_number() OVER (PARTITION BY subs.s ORDER BY b.vec_id) - 1 AS cidx,
+    b.v[subs.s*{d0} + 1 : subs.s*{d0} + {d0}] AS cvec
+  FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT {k_cb}) b
+  CROSS JOIN subs
+),
+pq_assign AS (
+  SELECT vec_id, s, cidx FROM (
+    SELECT e.vec_id, cb.s, cb.cidx,
+      row_number() OVER (
+        PARTITION BY e.vec_id, cb.s ORDER BY {d2_ec} ASC, cb.cidx ASC
+      ) AS rn
+    FROM base e CROSS JOIN cb
+  ) WHERE rn = 1
+),
+pq AS (SELECT v FROM base WHERE vec_id = {query_vec_id}),
+lut AS (SELECT cb.s, cb.cidx, {d2_qc} AS pd FROM cb, pq),
+scored AS (
+  SELECT a.vec_id, list_sum(list(l.pd ORDER BY a.s)) AS adc_dist
+  FROM pq_assign a JOIN lut l ON a.s = l.s AND a.cidx = l.cidx
+  GROUP BY a.vec_id
+)
+SELECT sc.vec_id, sc.adc_dist
+FROM scored sc
+JOIN cell_of co ON sc.vec_id = co.vec_id
+WHERE co.cidx IN (SELECT cidx FROM probe) AND sc.vec_id != {query_vec_id}
+ORDER BY sc.adc_dist ASC, sc.vec_id ASC
+LIMIT {k}
+"""

@@ -530,3 +530,26 @@ def test_pq_assignment_first_centroid_wins_ties(spark):
     codes = {r["vec_id"]: r["codes"] for r in index.collect()}
     assert codes[16][0] == 2  # not 9: first centroid wins the exact tie
     assert codes[16][1:] == [9] * 7
+
+
+def test_ivfpq_candidates_come_from_probed_cells(spark):
+    """The composed query must rank PQ-ADC over ONLY the n_probe routed
+    cells' members (cell routing prunes, codes rank)."""
+    import random
+
+    rng = random.Random(13)
+    vecs = [[rng.uniform(-1.0, 1.0) for _ in range(64)] for _ in range(40)]
+    df = _embeddings(spark, vecs)
+    cents, cells = similarity.build_ivf_index(df)
+    cbs, codes = similarity.build_pq_index(df)
+    out = similarity.ann_ivfpq_topk(
+        df, 0, 5, n_probe=2, ivf_index=(cents, cells), pq_index=(cbs, codes)
+    ).collect()
+    q = [float(x) for x in vecs[0]]
+    probes = sorted(
+        range(len(cents)), key=lambda i: (-similarity._py_cosine(cents[i], q), i)
+    )[:2]
+    cell_of = {r["vec_id"]: r["cell"] for r in cells.collect()}
+    assert out and all(cell_of[r["vec_id"]] in probes for r in out)
+    dists = [r["adc_dist"] for r in out]
+    assert dists == sorted(dists)
