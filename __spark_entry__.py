@@ -24,6 +24,7 @@ from flink_clickstream_processor_msk_spark.operators import (
     dedup,
     multimodal,
     pipeline,
+    relational,
     similarity,
     text,
 )
@@ -395,6 +396,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k1_departments_kafka_records": _k1(_GAP_30M, _WIN_6H),
         "k2_session_stats_kafka_records": _k2(_GAP_30M, _WIN_6H),
         "k3_buy_sessions_kafka_records": _k3(_GAP_30M),
+        # relational OLAP over the warehouse tables (TPC-H Q1/Q3 shapes,
+        # integer-cents aggregation for order-free exact sums)
+        "tpch_q1_pricing_summary": lambda spark, sf_dir: relational.pricing_summary(
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        ),
+        "tpch_q3_shipping_priority": lambda spark, sf_dir: relational.shipping_priority(
+            spark.read.parquet(f"{sf_dir}/customer.parquet"),
+            spark.read.parquet(f"{sf_dir}/orders.parquet"),
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        ),
         # as-of + range joins (point-in-time / interval attribution)
         "asof_attribution": _asof_attribution,
         "range_session_attribution": _range_session_attribution(_GAP_30M),
@@ -536,6 +547,8 @@ def oracle_sql() -> dict[str, str]:
         "k3_buy_sessions_kafka_records": oracles.k3_buy_sessions_kafka_records(
             _GAP_30M_MS
         ),
+        "tpch_q1_pricing_summary": oracles_beyond.pricing_summary(),
+        "tpch_q3_shipping_priority": oracles_beyond.shipping_priority(),
         "asof_attribution": oracles.asof_attribution(),
         "range_session_attribution": oracles.range_session_attribution(_GAP_30M_MS),
         "text_stats": oracles_beyond.text_stats(),

@@ -1,0 +1,115 @@
+"""Relational OLAP over the warehouse fixture tables (TPC-H-shaped).
+
+The reference engine is clickstream-only; these queries exercise the same
+Spark engine on the classic star-schema workload the fixture tables
+(customer/orders/lineitem) model — scan-heavy grouped aggregation (Q1
+pricing summary) and a selective 3-way star join with top-k (Q3 shipping
+priority). Shapes follow TPC-H Q1/Q3 (public spec); constants are chosen
+for the synthetic fixture's date range.
+
+Cross-engine exactness: the money/quantity columns are 2-decimal values
+stored as doubles, and a grouped SUM of doubles is summation-ORDER-
+dependent — Spark's shuffle-order partial sums and DuckDB's sequential
+fold would drift in the last ulps and break the value-hash gate. So all
+aggregation here runs in integer cents (round(x*100) — the doubles sit
+within 1e-10 of 2-decimal values, so both engines' round() agree):
+BIGINT sums are exact and order-free, and the final re-scaling divisions
+are correctly rounded one-step IEEE ops. Extended terms stay integral too
+(price·(100-disc) in cent·percent units, ·(100+tax) in cent·percent²),
+bounded ~6e16 at sf0.1 — far inside int64; a production engine would use
+DECIMAL(38) aggregates, which Spark also supports, at the cost of
+engine-specific decimal type-promotion rules this repo's oracle gate
+cannot absorb.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _cents(col: str):
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1 shape: per (returnflag, linestatus) pricing summary over
+    lineitems shipped on/before ``cutoff``.
+
+    Scale shape: filter in the scan, one map-side-combined groupBy over a
+    handful of groups — the canonical scan-bound aggregate; at 100 TB the
+    shuffle carries (groups × partitions) rows."""
+    qty_c = _cents("l_quantity")
+    ep_c = _cents("l_extendedprice")
+    disc_pct = _cents("l_discount")
+    tax_pct = _cents("l_tax")
+    disc_price_u = ep_c * (F.lit(100) - disc_pct)  # cent·percent
+    charge_u = disc_price_u * (F.lit(100) + tax_pct)  # cent·percent²
+    g = (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty_c).alias("qc"),
+            F.sum(ep_c).alias("bc"),
+            F.sum(disc_price_u).alias("dc"),
+            F.sum(charge_u).alias("cc"),
+            F.sum(disc_pct).alias("sdisc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("qc") / 100.0).alias("sum_qty"),
+        (F.col("bc") / 100.0).alias("sum_base_price"),
+        (F.col("dc") / 10000.0).alias("sum_disc_price"),
+        (F.col("cc") / 1000000.0).alias("sum_charge"),
+        ((F.col("qc") / 100.0) / F.col("n")).alias("avg_qty"),
+        ((F.col("bc") / 100.0) / F.col("n")).alias("avg_price"),
+        ((F.col("sdisc") / 100.0) / F.col("n")).alias("avg_disc"),
+        F.col("n").alias("count_order"),
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    date: str = "1998-01-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: top-k unshipped-revenue orders for one market
+    segment — customer ⋈ orders ⋈ lineitem with selective date filters on
+    both fact sides, grouped revenue, deterministic top-k (revenue desc,
+    orderkey asc).
+
+    Scale shape: filters push into all three scans; the filtered customer
+    side is small → AQE broadcasts it into the orders join; the
+    orders⋈lineitem join shuffles on the order key with map-side partial
+    aggregation after; TakeOrdered returns k rows, no global sort."""
+    ep_c = _cents("l_extendedprice")
+    disc_pct = _cents("l_discount")
+    disc_price_u = ep_c * (F.lit(100) - disc_pct)
+    d = F.lit(date).cast("timestamp")
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.filter(F.col("o_orderdate") < d).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    items = lineitem.filter(F.col("l_shipdate") > d).select(
+        "l_orderkey", disc_price_u.alias("rev_u")
+    )
+    return (
+        cust.join(ords, cust.c_custkey == ords.o_custkey)
+        .join(items, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("rev_u").alias("rev_u"))
+        .select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            (F.col("rev_u") / 10000.0).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(k)
+    )

@@ -992,3 +992,63 @@ WHERE co.cidx IN (SELECT cidx FROM probe) AND sc.vec_id != {query_vec_id}
 ORDER BY sc.adc_dist ASC, sc.vec_id ASC
 LIMIT {k}
 """
+
+
+def pricing_summary(cutoff: str = "1998-09-02") -> str:
+    """SQL twin of relational.pricing_summary (integer-cents sums — exact
+    and summation-order-free on both engines; rescaling divisions share
+    the Spark expression shape)."""
+    return f"""
+WITH c AS (
+  SELECT l_returnflag, l_linestatus,
+    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+    CAST(round(l_extendedprice * 100) AS BIGINT) AS ep_c,
+    CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+    CAST(round(l_tax * 100) AS BIGINT) AS tax_pct
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '{cutoff}'
+),
+g AS (
+  SELECT l_returnflag, l_linestatus,
+    SUM(qty_c) AS qc,
+    SUM(ep_c) AS bc,
+    SUM(ep_c * (100 - disc_pct)) AS dc,
+    SUM(ep_c * (100 - disc_pct) * (100 + tax_pct)) AS cc,
+    SUM(disc_pct) AS sdisc,
+    COUNT(*) AS n
+  FROM c GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus,
+  qc / 100.0 AS sum_qty,
+  bc / 100.0 AS sum_base_price,
+  dc / 10000.0 AS sum_disc_price,
+  cc / 1000000.0 AS sum_charge,
+  (qc / 100.0) / n AS avg_qty,
+  (bc / 100.0) / n AS avg_price,
+  (sdisc / 100.0) / n AS avg_disc,
+  CAST(n AS BIGINT) AS count_order
+FROM g
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def shipping_priority(
+    segment: str = "BUILDING", date: str = "1998-01-01", k: int = 10
+) -> str:
+    """SQL twin of relational.shipping_priority (same integer-cents
+    revenue, same deterministic top-k cut)."""
+    return f"""
+SELECT o.o_orderkey AS l_orderkey,
+  SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0 AS revenue,
+  o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = '{segment}'
+  AND o.o_orderdate < TIMESTAMP '{date}'
+  AND l.l_shipdate > TIMESTAMP '{date}'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT {k}
+"""
