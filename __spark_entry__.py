@@ -406,6 +406,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.read.parquet(f"{sf_dir}/orders.parquet"),
             spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
         ),
+        "tpch_q5_regional_volume": lambda spark, sf_dir: relational.regional_supplier_volume(
+            *[
+                spark.read.parquet(f"{sf_dir}/{t}.parquet")
+                for t in ("region", "nation", "supplier", "customer", "orders", "lineitem")
+            ]
+        ),
+        "tpch_q14_type_share": lambda spark, sf_dir: relational.type_share_revenue(
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+            spark.read.parquet(f"{sf_dir}/part.parquet"),
+        ),
         # as-of + range joins (point-in-time / interval attribution)
         "asof_attribution": _asof_attribution,
         "range_session_attribution": _range_session_attribution(_GAP_30M),
@@ -549,6 +559,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tpch_q1_pricing_summary": oracles_beyond.pricing_summary(),
         "tpch_q3_shipping_priority": oracles_beyond.shipping_priority(),
+        "tpch_q5_regional_volume": oracles_beyond.regional_supplier_volume(),
+        "tpch_q14_type_share": oracles_beyond.type_share_revenue(),
         "asof_attribution": oracles.asof_attribution(),
         "range_session_attribution": oracles.range_session_attribution(_GAP_30M_MS),
         "text_stats": oracles_beyond.text_stats(),

@@ -113,3 +113,98 @@ def shipping_priority(
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(k)
     )
+
+
+def regional_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    supplier: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation from local-supplier orders — the
+    full 6-table snowflake join (region→nation→{supplier, customer} →
+    orders→lineitem, with the Q5 locality condition that the supplier and
+    the customer share a nation), one order-date year, revenue
+    sum(extprice·(1-disc)) per nation, revenue desc (n_name asc ties).
+
+    Scale shape: facts join facts first — customer⋈orders on custkey,
+    ⋈lineitem on orderkey (the one big shuffle edge), then the supplier
+    dimension with the LOCALITY predicate applied AT that join
+    (l_suppkey = s_suppkey AND c_nationkey = s_nationkey, the Q5
+    condition as a join predicate, not a pre-join of two dimensions —
+    joining supplier×customer on nationkey first would build a per-nation
+    near-cartesian intermediate), then the filtered region→nation chain.
+    The three dimension sides broadcast under AQE. Integer-cents revenue
+    as everywhere in this module."""
+    ep_c = _cents("l_extendedprice")
+    disc_pct = _cents("l_discount")
+    rev_u = ep_c * (F.lit(100) - disc_pct)
+    dfrom = F.lit(date_from).cast("timestamp")
+    dto = F.lit(date_to).cast("timestamp")
+    nations = (
+        region.filter(F.col("r_name") == region_name)
+        .join(nation, F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        customer.select("c_custkey", "c_nationkey")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= dfrom) & (F.col("o_orderdate") < dto)
+            ).select("o_orderkey", "o_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            lineitem.select("l_orderkey", "l_suppkey", rev_u.alias("rev_u")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            supplier.select("s_suppkey", "s_nationkey"),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nations, F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("rev_u").alias("rev_u"))
+        .select("n_name", (F.col("rev_u") / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def type_share_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    p_type: str = "ECONOMY",
+    date_from: str = "1996-03-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q14 shape (promo-revenue ratio): the percentage of one
+    month's discounted revenue coming from parts of one type — a
+    conditional-sum-over-sum ratio after a lineitem⋈part join.
+
+    The ratio divides two exact integer-cent·percent sums (one division,
+    then ·100.0 — both correctly rounded), so the double replays across
+    engines. Scale shape: part is the broadcast side; lineitem's month
+    filter pushes into the scan; map-side partial agg feeds a single
+    global row."""
+    ep_c = _cents("l_extendedprice")
+    disc_pct = _cents("l_discount")
+    rev_u = ep_c * (F.lit(100) - disc_pct)
+    dfrom = F.lit(date_from).cast("timestamp")
+    dto = F.lit(date_to).cast("timestamp")
+    joined = lineitem.filter(
+        (F.col("l_shipdate") >= dfrom) & (F.col("l_shipdate") < dto)
+    ).join(part, F.col("l_partkey") == F.col("p_partkey"))
+    typed = F.when(F.col("p_type") == p_type, rev_u).otherwise(F.lit(0))
+    return joined.agg(
+        F.sum(typed).alias("tr"), F.sum(rev_u).alias("ar")
+    ).select(
+        ((F.col("tr") / F.col("ar")) * 100.0).alias("type_revenue_pct"),
+        (F.col("tr") / 10000.0).alias("type_revenue"),
+        (F.col("ar") / 10000.0).alias("total_revenue"),
+    )

@@ -1052,3 +1052,55 @@ GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
 ORDER BY revenue DESC, l_orderkey ASC
 LIMIT {k}
 """
+
+
+def regional_supplier_volume(
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> str:
+    """SQL twin of relational.regional_supplier_volume (integer-cents
+    revenue; same locality join condition)."""
+    return f"""
+SELECT n.n_name,
+  SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+FROM region r
+JOIN nation n ON r.r_regionkey = n.n_regionkey
+JOIN supplier s ON n.n_nationkey = s.s_nationkey
+JOIN customer c ON c.c_nationkey = s.s_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey AND l.l_suppkey = s.s_suppkey
+WHERE r.r_name = '{region_name}'
+  AND o.o_orderdate >= TIMESTAMP '{date_from}'
+  AND o.o_orderdate < TIMESTAMP '{date_to}'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n.n_name ASC
+"""
+
+
+def type_share_revenue(
+    p_type: str = "ECONOMY",
+    date_from: str = "1996-03-01",
+    date_to: str = "1996-04-01",
+) -> str:
+    """SQL twin of relational.type_share_revenue (one division then *100.0
+    over two exact integer sums)."""
+    rev = (
+        "CAST(round(l.l_extendedprice * 100) AS BIGINT)"
+        " * (100 - CAST(round(l.l_discount * 100) AS BIGINT))"
+    )
+    return f"""
+WITH g AS (
+  SELECT
+    SUM(CASE WHEN p.p_type = '{p_type}' THEN {rev} ELSE 0 END) AS tr,
+    SUM({rev}) AS ar
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '{date_from}'
+    AND l.l_shipdate < TIMESTAMP '{date_to}'
+)
+SELECT (tr / ar) * 100.0 AS type_revenue_pct,
+  tr / 10000.0 AS type_revenue,
+  ar / 10000.0 AS total_revenue
+FROM g
+"""
