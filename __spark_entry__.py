@@ -437,6 +437,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_topk_per_lang": _on_table("documents", text.ngram_topk_per_lang),
         # materialized temperature resampling (salted deterministic draw)
         "resample_corpus": _on_table("documents", text.resample_corpus),
+        # RAG/embedding prep: fixed-size overlapping token chunks
+        "chunk_documents": _on_table("documents", text.chunk_documents),
+        # ingest triage: per-column null/cardinality profile
+        "profile_documents": _on_table("documents", text.profile_table),
         # GPT-3/Pile-style n-gram decontamination of train vs test split
         "decontaminate": _on_table("documents", pipeline.decontaminate),
         # characteristic terms per doc (hash-exact linear-idf variant)
@@ -574,6 +578,8 @@ def oracle_sql() -> dict[str, str]:
         "source_mix_weights": oracles_beyond.source_mix_weights(group_col="lang"),
         "ngram_topk_per_lang": oracles_beyond.ngram_topk_per_lang(),
         "resample_corpus": oracles_beyond.resample_corpus(),
+        "chunk_documents": oracles_beyond.chunk_documents(),
+        "profile_documents": oracles_beyond.profile_documents(),
         "decontaminate": oracles_beyond.decontaminate(),
         "tfidf_top_terms": oracles_beyond.tfidf_top_terms(),
         "length_percentiles": oracles_beyond.length_percentiles(),

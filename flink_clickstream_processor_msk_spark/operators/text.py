@@ -509,3 +509,101 @@ def resample_corpus(documents: DataFrame, group_col: str = "lang") -> DataFrame:
         .filter(draw < F.col("weight") * F.lit(float(1 << 20)))
         .select("doc_id", group_col, "weight")
     )
+
+
+#: chunking defaults: 64-token chunks, stride 48 (16-token overlap) — the
+#: common embedding/RAG prep shape; both constants are mirrored into the
+#: SQL twin via oracles_beyond.chunk_documents' parameters
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_documents(
+    documents: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Fixed-size overlapping token chunking — the embedding/RAG prep
+    step: each document becomes ``1 + ceil((n - chunk)/stride)`` chunks of
+    ``chunk_tokens`` whitespace tokens starting every ``stride`` tokens
+    (trailing chunk may be shorter; docs with ≤ chunk tokens — or no
+    tokens — are one whole-text chunk, the shared short-input convention).
+    Output is (doc_id, chunk_start, chunk_len, chunk_hash): offsets +
+    md5-derived content hash, not the text itself — the id/hash projection
+    a downstream embedding job joins back on, and what a scalar-only
+    oracle can compare.
+
+    Per-row map (Arrow-batched: per-chunk join+md5 is the measured
+    HOF-interpretation case) followed by one explode — zero shuffle; at
+    100 TB chunking is embarrassingly parallel and output size is
+    n_tokens/stride rows per doc."""
+    import hashlib as _hl
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(
+        T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("chunk_start", T.IntegerType()),
+                    T.StructField("chunk_len", T.IntegerType()),
+                    T.StructField("chunk_hash", T.LongType()),
+                ]
+            )
+        )
+    )
+    def chunks(texts: pd.Series) -> pd.Series:
+        ws = _re.compile(r"\s+", _re.ASCII)
+
+        def go(text: str | None):
+            if text is None:
+                return None
+            words = [w for w in ws.split(text) if w]
+            n = len(words)
+            if n <= chunk_tokens:
+                k = 1
+            else:
+                import math
+
+                k = 1 + math.ceil((n - chunk_tokens) / stride)
+            out = []
+            for i in range(k):
+                start = i * stride
+                piece = words[start : start + chunk_tokens]
+                h = int(_hl.md5(" ".join(piece).encode()).hexdigest()[:15], 16)
+                out.append((start, len(piece), h))
+            return out
+
+        return texts.map(go)
+
+    return (
+        parallelized(documents)
+        .select("doc_id", F.explode(chunks("text")).alias("c"))
+        .select("doc_id", "c.chunk_start", "c.chunk_len", "c.chunk_hash")
+    )
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Data-quality profile: one row per column with row/non-null/exact
+    distinct counts — the triage pass a pipeline runs on a new corpus drop
+    before trusting it (null bursts and cardinality collapses are the two
+    classic ingest regressions).
+
+    Scale shape: one aggregation pass per column (each an exact
+    COUNT(DISTINCT) — a full shuffle on that column's values). Exact
+    distincts are the oracle-checkable choice; at 100 TB the same plan
+    with `approx_count_distinct` (HyperLogLog, no shuffle of distinct
+    values) is the production knob and drops in per column."""
+    from functools import reduce
+
+    cols = columns if columns is not None else df.columns
+    parts = [
+        df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(c).alias("n_nonnull"),
+            F.countDistinct(c).alias("n_distinct"),
+        ).select(F.lit(c).alias("col_name"), "n_rows", "n_nonnull", "n_distinct")
+        for c in cols
+    ]
+    return reduce(lambda a, b: a.unionAll(b), parts)

@@ -1104,3 +1104,42 @@ SELECT (tr / ar) * 100.0 AS type_revenue_pct,
   ar / 10000.0 AS total_revenue
 FROM g
 """
+
+
+def chunk_documents(chunk_tokens: int = 64, stride: int = 48) -> str:
+    """SQL twin of text.chunk_documents (same chunk-count formula —
+    float division then ceil, both correctly rounded — and the same
+    ''.join/md5 per chunk)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS.format(x="text")} AS w FROM documents
+  WHERE text IS NOT NULL
+),
+counted AS (
+  SELECT doc_id, w, len(w) AS n,
+    CASE WHEN len(w) <= {chunk_tokens} THEN 1
+         ELSE 1 + CAST(ceil((len(w) - {chunk_tokens}) / {float(stride)}) AS INTEGER)
+    END AS k
+  FROM toks
+),
+idx AS (
+  SELECT doc_id, w, CAST(unnest(range(0, k)) AS INTEGER) * {stride} AS chunk_start
+  FROM counted
+)
+SELECT doc_id,
+  chunk_start,
+  CAST(len(w[chunk_start + 1 : chunk_start + {chunk_tokens}]) AS INTEGER) AS chunk_len,
+  {_h60(f"COALESCE(array_to_string(w[chunk_start + 1 : chunk_start + {chunk_tokens}], ' '), '')")} AS chunk_hash
+FROM idx
+"""
+
+
+def profile_documents() -> str:
+    """SQL twin of text.profile_table over the documents table (integer
+    counts only — nothing to drift)."""
+    branches = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows, COUNT({c}) AS n_nonnull,"
+        f" COUNT(DISTINCT {c}) AS n_distinct FROM documents"
+        for c in ("doc_id", "text", "lang", "source", "n_chars")
+    )
+    return branches

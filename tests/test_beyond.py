@@ -553,3 +553,33 @@ def test_ivfpq_candidates_come_from_probed_cells(spark):
     assert out and all(cell_of[r["vec_id"]] in probes for r in out)
     dists = [r["adc_dist"] for r in out]
     assert dists == sorted(dists)
+
+
+def test_chunk_documents_boundary_semantics(spark):
+    """n <= chunk -> one whole chunk; n = chunk+1 -> two chunks with the
+    second holding the stride tail; NULL text -> no rows."""
+    rows = [
+        (0, "w " * 64, "en"),            # exactly chunk_tokens -> 1 chunk
+        (1, "w " * 65, "en"),            # one over -> starts 0 and 48
+        (2, None, "en"),
+        (3, "a b", "en"),                # short -> one 2-token chunk
+    ]
+    out = {}
+    for r in text.chunk_documents(_docs_ids(spark, rows)).collect():
+        out.setdefault(r["doc_id"], []).append((r["chunk_start"], r["chunk_len"]))
+    assert out[0] == [(0, 64)]
+    assert sorted(out[1]) == [(0, 64), (48, 17)]
+    assert 2 not in out
+    assert out[3] == [(0, 2)]
+
+
+def test_profile_table_counts_nulls_and_cardinality(spark):
+    rows = [(0, "x", "en"), (1, None, "en"), (2, "x", "fr")]
+    out = {
+        r["col_name"]: (r["n_rows"], r["n_nonnull"], r["n_distinct"])
+        for r in text.profile_table(
+            _docs_ids(spark, rows), ["text", "lang"]
+        ).collect()
+    }
+    assert out["text"] == (3, 2, 1)  # one NULL, two equal values
+    assert out["lang"] == (3, 3, 2)
