@@ -107,6 +107,41 @@ def build(spark: SparkSession, sf_dir: str, out_dir: str, factor: int) -> None:
         base = base.unionByName(r)
     base.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
+    # warehouse: replicate the FACT tables (shifted order keys; replicas
+    # reuse the same customers, who simply have 10x orders) against fixed
+    # dimension tables — the realistic growth mode for the relational
+    # queries (dims broadcast at any factor; only fact volume scales).
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    reps = [
+        li.select(
+            (F.col("l_orderkey") + F.lit(i * ID_STRIDE)).alias("l_orderkey"),
+            *[c for c in li.columns if c != "l_orderkey"],
+        )
+        for i in range(factor)
+    ]
+    base = reps[0]
+    for r in reps[1:]:
+        base = base.unionByName(r)
+    base.write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    reps = [
+        orders.select(
+            (F.col("o_orderkey") + F.lit(i * ID_STRIDE)).alias("o_orderkey"),
+            *[c for c in orders.columns if c != "o_orderkey"],
+        )
+        for i in range(factor)
+    ]
+    base = reps[0]
+    for r in reps[1:]:
+        base = base.unionByName(r)
+    base.write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+
+    for dim in ("region", "nation", "supplier", "customer", "part"):
+        spark.read.parquet(f"{sf_dir}/{dim}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{dim}.parquet")
+
     open(os.path.join(out_dir, "_DONE"), "w").close()
     print(f"built {out_dir} at {factor}x")
 
