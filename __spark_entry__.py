@@ -439,8 +439,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_corpus": _on_table("documents", text.resample_corpus),
         # RAG/embedding prep: fixed-size overlapping token chunks
         "chunk_documents": _on_table("documents", text.chunk_documents),
-        # ingest triage: per-column null/cardinality profile
-        "profile_documents": _on_table("documents", text.profile_table),
+        # ingest triage: per-column null/cardinality profile (pinned to the
+        # same column tuple the oracle is generated from)
+        "profile_documents": _on_table(
+            "documents",
+            lambda df: text.profile_table(
+                df, list(text.DOCUMENTS_PROFILE_COLUMNS)
+            ),
+        ),
         # GPT-3/Pile-style n-gram decontamination of train vs test split
         "decontaminate": _on_table("documents", pipeline.decontaminate),
         # characteristic terms per doc (hash-exact linear-idf variant)

@@ -113,14 +113,14 @@ def shingle_hashes(documents: DataFrame) -> DataFrame:
     don't codegen) and parses hex through `conv` — measured 5× slower than
     hashlib's C md5 at sf0.1. Same formula as the SQL oracle either way.
     """
-    import hashlib as _hl
-    import re as _re
+    from flink_clickstream_processor_msk_spark.functions.grams import (
+        ascii_words,
+        md5_60,
+        word_grams,
+    )
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sh28(texts: pd.Series) -> pd.Series:
-        # re.ASCII: match the JVM/SQL tokenizers' ASCII-only \s, not
-        # Python's Unicode-aware one (lockstep rule, CLAUDE.md)
-        ws = _re.compile(r"\s+", _re.ASCII)
         # shingles repeat across documents (boilerplate, common phrases);
         # one md5 per distinct shingle per Arrow batch, dict hits after
         cache: dict[str, int] = {}
@@ -128,14 +128,12 @@ def shingle_hashes(documents: DataFrame) -> DataFrame:
         def go(text: str | None) -> list[int] | None:
             if text is None:
                 return None  # NULL propagation, as the Catalyst form had
-            words = [w for w in ws.split(text) if w]
-            n = max(len(words) - (SHINGLE_K - 1), 1)
-            grams = {" ".join(words[i : i + SHINGLE_K]) for i in range(n)}
+            grams = set(word_grams(ascii_words(text), SHINGLE_K))
             out = set()
             for g in grams:
                 h = cache.get(g)
                 if h is None:
-                    h = int(_hl.md5(g.encode()).hexdigest()[:15], 16) % H28_MOD
+                    h = md5_60(g) % H28_MOD
                     cache[g] = h
                 out.add(h)
             return sorted(out)
@@ -770,24 +768,24 @@ def dup_span_stats(documents: DataFrame, width: int = 8) -> DataFrame:
     `_materialized` (one kernel pass); both aggregations are
     map-side-combined groupBys keyed on the hash — no all-pairs term, cost
     O(windows) + O(duplicated windows)."""
-    import re as _re
+    from flink_clickstream_processor_msk_spark.functions.grams import (
+        ascii_words,
+        md5_60,
+        word_grams,
+    )
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def span_hashes(texts: pd.Series) -> pd.Series:
-        ws = _re.compile(r"\s+", _re.ASCII)
         cache: dict[str, int] = {}
 
         def go(text: str | None) -> list[int] | None:
             if text is None:
                 return None
-            words = [w for w in ws.split(text) if w]
-            n = max(len(words) - (width - 1), 1)
             out = []
-            for i in range(n):
-                g = " ".join(words[i : i + width])
+            for g in word_grams(ascii_words(text), width):
                 h = cache.get(g)
                 if h is None:
-                    h = int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                    h = md5_60(g)
                     cache[g] = h
                 out.append(h)
             return out

@@ -536,6 +536,35 @@ def build_pq_index(
     return cbs, index
 
 
+def _adc_lut(
+    cbs: list[list[list[float]]], q: list[float]
+) -> list[list[float]]:
+    """Per-(subspace, centroid) squared-L2 partials between the query's
+    subspace slices and the codebooks — THE one place the ADC fold
+    contract lives on the Spark side (sequential `_py_d2`, ascending
+    dims), shared by ann_pq_topk and ann_ivfpq_topk so an eps/fold change
+    cannot desync them."""
+    d0 = len(cbs[0][0])
+    return [
+        [_py_d2(q[s * d0 : (s + 1) * d0], c) for c in cbs[s]]
+        for s in range(len(cbs))
+    ]
+
+
+def _adc_score(lut: list[list[float]]):
+    """codes → ADC distance: m literal-array lookups summed in a FIXED
+    left-to-right chain (ascending subspace), matching the oracle's
+    ordered-list fold."""
+    score = None
+    for s, row in enumerate(lut):
+        term = F.element_at(
+            F.array(*[F.lit(float(v)) for v in row]),
+            F.col("codes").getItem(s) + F.lit(1),
+        )
+        score = term if score is None else score + term
+    return score
+
+
 def ann_pq_topk(
     embeddings: DataFrame,
     query_vec_id: int,
@@ -559,19 +588,8 @@ def ann_pq_topk(
     cbs, codes = (
         index if index is not None else build_pq_index(embeddings, m, k_cb)
     )
-    d0 = len(cbs[0][0])
     q = _query_vector(embeddings, query_vec_id)
-    lut = [
-        [_py_d2(q[s * d0 : (s + 1) * d0], c) for c in cbs[s]]
-        for s in range(len(cbs))
-    ]
-    score = None
-    for s, row in enumerate(lut):
-        term = F.element_at(
-            F.array(*[F.lit(float(v)) for v in row]),
-            F.col("codes").getItem(s) + F.lit(1),
-        )
-        score = term if score is None else score + term
+    score = _adc_score(_adc_lut(cbs, q))
     return (
         codes.filter(F.col("vec_id") != query_vec_id)
         .select("vec_id", score.alias("adc_dist"))
@@ -609,22 +627,11 @@ def ann_ivfpq_topk(
     cbs, codes = (
         pq_index if pq_index is not None else build_pq_index(embeddings)
     )
-    d0 = len(cbs[0][0])
     q = _query_vector_from_index(cells, query_vec_id)
     probes = sorted(
         range(len(cents)), key=lambda i: (-_py_cosine(cents[i], q), i)
     )[:n_probe]
-    lut = [
-        [_py_d2(q[s * d0 : (s + 1) * d0], c) for c in cbs[s]]
-        for s in range(len(cbs))
-    ]
-    score = None
-    for s, row in enumerate(lut):
-        term = F.element_at(
-            F.array(*[F.lit(float(v)) for v in row]),
-            F.col("codes").getItem(s) + F.lit(1),
-        )
-        score = term if score is None else score + term
+    score = _adc_score(_adc_lut(cbs, q))
     return (
         cells.filter(
             F.col("cell").isin(probes) & (F.col("vec_id") != query_vec_id)

@@ -138,20 +138,21 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     shared shingle convention — fewer than k tokens → whole text as one
     gram; formula mirrored by oracles_beyond._shingles). The fractions are
     single int/int IEEE divisions, bit-identical to the SQL twin."""
-    import re as _re
+    from flink_clickstream_processor_msk_spark.functions.grams import (
+        ascii_words,
+        word_grams,
+    )
 
     @F.pandas_udf("n_2grams int, dup_2gram_frac double, dup_3gram_frac double")
     def rep(texts: pd.Series) -> pd.DataFrame:
-        ws = _re.compile(r"\s+", _re.ASCII)
-
         def frac(words: list[str], k: int) -> tuple[int, float]:
-            n = max(len(words) - (k - 1), 1)
-            grams = [" ".join(words[i : i + k]) for i in range(n)]
+            grams = word_grams(words, k)
+            n = len(grams)
             return n, (n - len(set(grams))) / n
 
         out = {"n_2grams": [], "dup_2gram_frac": [], "dup_3gram_frac": []}
         for text in texts:
-            words = [w for w in ws.split(text) if w] if text is not None else []
+            words = ascii_words(text) if text is not None else []
             if text is None:
                 out["n_2grams"].append(None)
                 out["dup_2gram_frac"].append(None)
@@ -259,12 +260,14 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     lambdas don't codegen and `conv` hex parsing loses ~5× to hashlib's C
     md5 (measured at sf0.1). The single whole-text hash stays Catalyst.
     """
-    import hashlib as _hl
-    import re as _re
+    from flink_clickstream_processor_msk_spark.functions.grams import (
+        ascii_words,
+        md5_60,
+        word_grams,
+    )
 
     @F.pandas_udf("min_shingle_hash long, max_shingle_hash long")
     def minmax(texts: pd.Series) -> pd.DataFrame:
-        ws = _re.compile(r"\s+", _re.ASCII)
         # shingles repeat across documents: one md5 per distinct shingle
         # per Arrow batch (same measured win as dedup.shingle_hashes)
         cache: dict[str, int] = {}
@@ -272,14 +275,11 @@ def fingerprints(documents: DataFrame) -> DataFrame:
         def go(text: str | None) -> tuple[int | None, int | None]:
             if text is None:
                 return None, None
-            words = [w for w in ws.split(text) if w]
-            n = max(len(words) - (SHINGLE_K - 1), 1)
             hashes = []
-            for i in range(n):
-                g = " ".join(words[i : i + SHINGLE_K])
+            for g in word_grams(ascii_words(text), SHINGLE_K):
                 h = cache.get(g)
                 if h is None:
-                    h = int(_hl.md5(g.encode()).hexdigest()[:15], 16)
+                    h = md5_60(g)
                     cache[g] = h
                 hashes.append(h)
             return min(hashes), max(hashes)
@@ -349,21 +349,20 @@ def ngram_topk_per_lang(documents: DataFrame, n: int = 2, k: int = 5) -> DataFra
     histogram on lang — its partition size is distinct-grams-per-language,
     which grows sublinearly with corpus size, so the per-lang sort is not
     the 100 TB bottleneck the raw explode would be."""
-    import re as _re
-
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
+    from flink_clickstream_processor_msk_spark.functions.grams import (
+        ascii_words,
+        word_grams,
+    )
+
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def grams(texts: pd.Series) -> pd.Series:
-        ws = _re.compile(r"\s+", _re.ASCII)
-
         def go(text: str | None) -> list[str] | None:
             if text is None:
                 return None
-            words = [w for w in ws.split(text) if w]
-            m = max(len(words) - (n - 1), 1)
-            return [" ".join(words[i : i + n]) for i in range(m)]
+            return word_grams(ascii_words(text), n)
 
         return texts.map(go)
 
@@ -398,9 +397,14 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     ngram_topk_per_lang."""
     from pyspark.sql import Window
 
+    from pyspark.storagelevel import StorageLevel
+
+    # the exploded token table feeds tf, dfreq, AND (via tf) the N scalar
+    # — three branches over differing aggregates leave no exchange to
+    # reuse, so materialize once (the dedup-signature rule)
     tok = documents.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = (
         tok.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
@@ -537,10 +541,12 @@ def chunk_documents(
     HOF-interpretation case) followed by one explode — zero shuffle; at
     100 TB chunking is embarrassingly parallel and output size is
     n_tokens/stride rows per doc."""
-    import hashlib as _hl
-    import re as _re
-
     from pyspark.sql import types as T
+
+    from flink_clickstream_processor_msk_spark.functions.grams import (
+        ascii_words,
+        md5_60,
+    )
 
     @F.pandas_udf(
         T.ArrayType(
@@ -554,12 +560,10 @@ def chunk_documents(
         )
     )
     def chunks(texts: pd.Series) -> pd.Series:
-        ws = _re.compile(r"\s+", _re.ASCII)
-
         def go(text: str | None):
             if text is None:
                 return None
-            words = [w for w in ws.split(text) if w]
+            words = ascii_words(text)
             n = len(words)
             if n <= chunk_tokens:
                 k = 1
@@ -571,7 +575,7 @@ def chunk_documents(
             for i in range(k):
                 start = i * stride
                 piece = words[start : start + chunk_tokens]
-                h = int(_hl.md5(" ".join(piece).encode()).hexdigest()[:15], 16)
+                h = md5_60(" ".join(piece))
                 out.append((start, len(piece), h))
             return out
 
@@ -582,6 +586,12 @@ def chunk_documents(
         .select("doc_id", F.explode(chunks("text")).alias("c"))
         .select("doc_id", "c.chunk_start", "c.chunk_len", "c.chunk_hash")
     )
+
+
+#: the documents table's contract columns — the single source for BOTH the
+#: driver profile query and its SQL oracle, so a driver-side schema change
+#: breaks loudly (column missing) instead of silently hash-mismatching
+DOCUMENTS_PROFILE_COLUMNS = ("doc_id", "text", "lang", "source", "n_chars")
 
 
 def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:

@@ -40,15 +40,21 @@ def _h60(x: str) -> str:
 
 
 def _shingles(words: str, k: int = SHINGLE_K) -> str:
-    # COALESCE: an empty token list slices to an empty array, whose
-    # array_to_string is NULL in DuckDB — but the Python kernels' shared
-    # convention is ''.join(no words) = ''. Without the guard, empty-text
-    # documents produce [NULL] grams here (stripped by list_distinct,
-    # never joinable) vs [''] on the Spark side — a silent cross-engine
-    # divergence on an input class the driver could introduce any round.
+    # Two NULL-adjacent input classes must replay the Python kernels'
+    # conventions exactly (none exist in current tiers, but the driver
+    # regenerates data between rounds):
+    # - EMPTY token list (empty/whitespace-only text): the kernels emit
+    #   the single '' whole-text gram (''.join of no words), but DuckDB's
+    #   array_to_string over the empty slice is NULL → COALESCE to ''.
+    # - NULL text: the kernels propagate None → NO grams; but
+    #   greatest(len(NULL)-2,1)=1 would run the comprehension once and
+    #   the COALESCE would fabricate a '' gram → the outer CASE returns
+    #   NULL instead (unnest/list_transform of NULL yield no rows/NULL,
+    #   matching the Spark side's NULL array).
     return (
+        f"CASE WHEN {words} IS NULL THEN NULL ELSE "
         f"[COALESCE(array_to_string({words}[i:i+{k - 1}], ' '), '') "
-        f"for i in range(1, greatest(len({words}) - {k - 1}, 1) + 1)]"
+        f"for i in range(1, greatest(len({words}) - {k - 1}, 1) + 1)] END"
     )
 
 
@@ -115,13 +121,12 @@ def repetition_filter(
     text.repetition_stats's pandas UDF), integer counts divided once so
     the doubles are bit-identical.
 
-    Token-less documents (empty/whitespace-only text) need an explicit
-    0.0 branch: `_shingles` over an empty token list yields [NULL]
-    (array_to_string of an empty slice is NULL) and list_distinct strips
-    NULLs, which would read as frac 1.0 — while the Python UDF's
-    ''.join-of-empty convention yields [''] and 0.0. The guard keeps the
-    engines in lockstep on that input class (none in current tiers, but
-    the driver regenerates data between rounds)."""
+    Token-less documents (empty/whitespace-only text) keep an explicit
+    0.0 branch (the Python kernel's whole-text-gram convention gives one
+    distinct gram → frac 0.0); NULL text propagates NULL fracs through
+    `_shingles`' CASE and the WHERE drops the row, matching the Spark
+    side's NULL-propagating filter. Both classes are pinned by the
+    parquet round-trip lockstep tests in tests/test_beyond.py."""
     return f"""
 WITH toks AS (
   SELECT doc_id, {_TOKENS.format(x="text")} AS w FROM documents
@@ -861,15 +866,13 @@ WHERE (({_h60("d.doc_id::VARCHAR || ':resample'")}) % {1 << 20})
 """
 
 
-def ann_pq_topk(
-    query_vec_id: int, k: int, m: int = 8, k_cb: int = 16, dim: int = 64
-) -> str:
-    """SQL twin of similarity.ann_pq_topk: same deterministic sub-codebooks
-    (subspace slices of the k_cb smallest vec_ids), same argmin-squared-L2
-    assignment (d2 asc, first centroid wins ties — the Spark builder's
-    near-tie fallback recomputes with these sequential folds), same ADC
-    scoring (per-subspace LUT partials summed in ascending-subspace order
-    via an ordered list fold, matching Spark's left-to-right add chain)."""
+def _pq_coding_ctes(query_vec_id: int, m: int, k_cb: int, dim: int) -> str:
+    """The PQ coding pipeline as a reusable CTE fragment — base (doubled
+    vectors), sub-codebooks, per-subspace argmin assignment, the query
+    LUT, and ordered-fold ADC scores. THE one place the PQ/ADC SQL
+    contract lives; ann_pq_topk and ann_ivfpq_topk both compose it, so a
+    formula change cannot desync the two oracles (mirror of the Spark
+    side's shared _adc_lut/_adc_score)."""
     d0 = dim // m
     d2_ec = (
         f"list_sum(list_transform(range(1, {d0 + 1}), "
@@ -877,87 +880,9 @@ def ann_pq_topk(
     )
     d2_qc = (
         f"list_sum(list_transform(range(1, {d0 + 1}), "
-        f"i -> (q.v[cb.s*{d0} + i] - cb.cvec[i]) * (q.v[cb.s*{d0} + i] - cb.cvec[i])))"
+        f"i -> (pqq.v[cb.s*{d0} + i] - cb.cvec[i]) * (pqq.v[cb.s*{d0} + i] - cb.cvec[i])))"
     )
-    return f"""
-WITH base AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
-),
-subs AS (SELECT unnest(range(0, {m})) AS s),
-cb AS (
-  SELECT subs.s AS s,
-    row_number() OVER (PARTITION BY subs.s ORDER BY b.vec_id) - 1 AS cidx,
-    b.v[subs.s*{d0} + 1 : subs.s*{d0} + {d0}] AS cvec
-  FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT {k_cb}) b
-  CROSS JOIN subs
-),
-assign AS (
-  SELECT vec_id, s, cidx FROM (
-    SELECT e.vec_id, cb.s, cb.cidx,
-      row_number() OVER (
-        PARTITION BY e.vec_id, cb.s ORDER BY {d2_ec} ASC, cb.cidx ASC
-      ) AS rn
-    FROM base e CROSS JOIN cb
-  ) WHERE rn = 1
-),
-q AS (SELECT v FROM base WHERE vec_id = {query_vec_id}),
-lut AS (SELECT cb.s, cb.cidx, {d2_qc} AS pd FROM cb, q),
-scored AS (
-  SELECT a.vec_id, list_sum(list(l.pd ORDER BY a.s)) AS adc_dist
-  FROM assign a JOIN lut l ON a.s = l.s AND a.cidx = l.cidx
-  GROUP BY a.vec_id
-)
-SELECT vec_id, adc_dist FROM scored
-WHERE vec_id != {query_vec_id}
-ORDER BY adc_dist ASC, vec_id ASC
-LIMIT {k}
-"""
-
-
-def ann_ivfpq_topk(
-    query_vec_id: int,
-    k: int,
-    n_centroids: int = 16,
-    n_probe: int = 4,
-    m: int = 8,
-    k_cb: int = 16,
-    dim: int = 64,
-) -> str:
-    """SQL twin of similarity.ann_ivfpq_topk: the ann_ivf_topk routing
-    CTEs (cosine argmax assignment, n_probe nearest cells) composed with
-    the ann_pq_topk coding/LUT CTEs — candidates are the probed cells'
-    vectors, ranked by the same ordered-fold ADC distance."""
-    d0 = dim // m
-    cos_ec = _COS.format(a="e.embedding", b="c.cvec")
-    cos_qc = _COS.format(a="iq.embedding", b="c.cvec")
-    d2_ec = (
-        f"list_sum(list_transform(range(1, {d0 + 1}), "
-        f"i -> (e.v[cb.s*{d0} + i] - cb.cvec[i]) * (e.v[cb.s*{d0} + i] - cb.cvec[i])))"
-    )
-    d2_qc = (
-        f"list_sum(list_transform(range(1, {d0 + 1}), "
-        f"i -> (pq.v[cb.s*{d0} + i] - cb.cvec[i]) * (pq.v[cb.s*{d0} + i] - cb.cvec[i])))"
-    )
-    return f"""
-WITH ivf_cents AS (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS cvec
-  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_centroids})
-),
-iq AS (SELECT embedding FROM embeddings WHERE vec_id = {query_vec_id}),
-probe AS (
-  SELECT cidx FROM ivf_cents c, iq ORDER BY {cos_qc} DESC, cidx ASC LIMIT {n_probe}
-),
-cell_of AS (
-  SELECT vec_id, cidx FROM (
-    SELECT e.vec_id, c.cidx,
-      row_number() OVER (
-        PARTITION BY e.vec_id ORDER BY {cos_ec} DESC, c.cidx ASC
-      ) AS rn
-    FROM embeddings e CROSS JOIN ivf_cents c
-  ) WHERE rn = 1
-),
-base AS (
+    return f"""base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
@@ -978,15 +903,69 @@ pq_assign AS (
     FROM base e CROSS JOIN cb
   ) WHERE rn = 1
 ),
-pq AS (SELECT v FROM base WHERE vec_id = {query_vec_id}),
-lut AS (SELECT cb.s, cb.cidx, {d2_qc} AS pd FROM cb, pq),
-scored AS (
+pqq AS (SELECT v FROM base WHERE vec_id = {query_vec_id}),
+lut AS (SELECT cb.s, cb.cidx, {d2_qc} AS pd FROM cb, pqq),
+pq_scored AS (
   SELECT a.vec_id, list_sum(list(l.pd ORDER BY a.s)) AS adc_dist
   FROM pq_assign a JOIN lut l ON a.s = l.s AND a.cidx = l.cidx
   GROUP BY a.vec_id
-)
+)"""
+
+
+def ann_pq_topk(
+    query_vec_id: int, k: int, m: int = 8, k_cb: int = 16, dim: int = 64
+) -> str:
+    """SQL twin of similarity.ann_pq_topk: same deterministic sub-codebooks
+    (subspace slices of the k_cb smallest vec_ids), same argmin-squared-L2
+    assignment (d2 asc, first centroid wins ties — the Spark builder's
+    near-tie fallback recomputes with these sequential folds), same ADC
+    scoring (per-subspace LUT partials summed in ascending-subspace order
+    via an ordered list fold, matching Spark's left-to-right add chain)."""
+    return f"""
+WITH {_pq_coding_ctes(query_vec_id, m, k_cb, dim)}
+SELECT vec_id, adc_dist FROM pq_scored
+WHERE vec_id != {query_vec_id}
+ORDER BY adc_dist ASC, vec_id ASC
+LIMIT {k}
+"""
+
+
+def ann_ivfpq_topk(
+    query_vec_id: int,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k_cb: int = 16,
+    dim: int = 64,
+) -> str:
+    """SQL twin of similarity.ann_ivfpq_topk: the ann_ivf_topk routing
+    CTEs (cosine argmax assignment, n_probe nearest cells) composed with
+    the shared _pq_coding_ctes fragment — candidates are the probed
+    cells' vectors, ranked by the same ordered-fold ADC distance."""
+    cos_ec = _COS.format(a="e.embedding", b="c.cvec")
+    cos_qc = _COS.format(a="iq.embedding", b="c.cvec")
+    return f"""
+WITH ivf_cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_centroids})
+),
+iq AS (SELECT embedding FROM embeddings WHERE vec_id = {query_vec_id}),
+probe AS (
+  SELECT cidx FROM ivf_cents c, iq ORDER BY {cos_qc} DESC, cidx ASC LIMIT {n_probe}
+),
+cell_of AS (
+  SELECT vec_id, cidx FROM (
+    SELECT e.vec_id, c.cidx,
+      row_number() OVER (
+        PARTITION BY e.vec_id ORDER BY {cos_ec} DESC, c.cidx ASC
+      ) AS rn
+    FROM embeddings e CROSS JOIN ivf_cents c
+  ) WHERE rn = 1
+),
+{_pq_coding_ctes(query_vec_id, m, k_cb, dim)}
 SELECT sc.vec_id, sc.adc_dist
-FROM scored sc
+FROM pq_scored sc
 JOIN cell_of co ON sc.vec_id = co.vec_id
 WHERE co.cidx IN (SELECT cidx FROM probe) AND sc.vec_id != {query_vec_id}
 ORDER BY sc.adc_dist ASC, sc.vec_id ASC
@@ -1137,9 +1116,13 @@ FROM idx
 def profile_documents() -> str:
     """SQL twin of text.profile_table over the documents table (integer
     counts only — nothing to drift)."""
+    from flink_clickstream_processor_msk_spark.operators.text import (
+        DOCUMENTS_PROFILE_COLUMNS,
+    )
+
     branches = "\nUNION ALL\n".join(
         f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows, COUNT({c}) AS n_nonnull,"
         f" COUNT(DISTINCT {c}) AS n_distinct FROM documents"
-        for c in ("doc_id", "text", "lang", "source", "n_chars")
+        for c in DOCUMENTS_PROFILE_COLUMNS
     )
     return branches

@@ -468,6 +468,7 @@ def test_span_and_decontaminate_oracle_lockstep_on_empty_text(spark, tmp_path):
         (0, "", "en"),                         # train, empty -> contaminated
         (1, "   ", "en"),                      # train, whitespace-only -> same
         (2, "plain unique text right here", "en"),
+        (4, None, "en"),                       # train, NULL -> NO grams, clean
     ]
     df = _docs_ids(spark, rows)
     pq = str(tmp_path / "documents.parquet")
@@ -479,11 +480,16 @@ def test_span_and_decontaminate_oracle_lockstep_on_empty_text(spark, tmp_path):
     for fn, sql in (
         (dedup.dup_span_stats(df), oracles_beyond.dup_span_stats()),
         (pipeline.decontaminate(df), oracles_beyond.decontaminate()),
+        (text.fingerprints(df), oracles_beyond.fingerprints()),
+        (text.repetition_filter(df), oracles_beyond.repetition_filter()),
+        (dedup.minhash_near_duplicates(df), oracles_beyond.minhash_near_duplicates()),
     ):
         result = compare(fn, con.execute(sql).df())
         assert result["ok"], result
     flags = {r["doc_id"]: r["contaminated"] for r in pipeline.decontaminate(df).collect()}
-    assert flags == {0: 1, 1: 1, 2: 0}
+    # NULL text grams to NOTHING on both engines (the CASE in _shingles);
+    # empty text grams to the single '' gram on both (the COALESCE)
+    assert flags == {0: 1, 1: 1, 2: 0, 4: 0}
 
 
 def test_resample_corpus_weighted_keep(spark):

@@ -42,6 +42,27 @@ DEFAULT_QUERIES = [
 ]
 
 
+def _replicate(df, key_cols: tuple[str, ...], out_path: str, factor: int) -> None:
+    """Union ``factor`` copies of ``df`` with the integer ``key_cols``
+    shifted by i*ID_STRIDE per replica (disjoint key populations), write
+    parquet — the one replication kernel every table build shares."""
+    reps = [
+        df.select(
+            *[
+                (F.col(c) + F.lit(i * ID_STRIDE)).alias(c)
+                if c in key_cols
+                else c
+                for c in df.columns
+            ]
+        )
+        for i in range(factor)
+    ]
+    base = reps[0]
+    for r in reps[1:]:
+        base = base.unionByName(r)
+    base.write.mode("overwrite").parquet(out_path)
+
+
 def build(spark: SparkSession, sf_dir: str, out_dir: str, factor: int) -> None:
     if os.path.exists(os.path.join(out_dir, "_DONE")):
         print(f"reusing {out_dir}")
@@ -58,20 +79,10 @@ def build(spark: SparkSession, sf_dir: str, out_dir: str, factor: int) -> None:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    reps = [
-        ev.select(
-            (F.col("user_id") + F.lit(i * ID_STRIDE)).alias("user_id"),
-            (F.col("event_id") + F.lit(i * ID_STRIDE)).alias("event_id"),
-            "ts",
-            "event_type",
-        )
-        for i in range(factor)
-    ]
-    base = reps[0]
-    for r in reps[1:]:
-        base = base.unionByName(r)
-    base.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    _replicate(ev, ("user_id", "event_id"), f"{out_dir}/events.parquet", factor)
 
     # documents: per-replica text perturbation (suffix token) — replicas are
     # near-dups of each other, not exact dups, so MinHash/ngram candidate
@@ -95,47 +106,24 @@ def build(spark: SparkSession, sf_dir: str, out_dir: str, factor: int) -> None:
     base.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    reps = [
-        emb.select(
-            (F.col("vec_id") + F.lit(i * ID_STRIDE)).alias("vec_id"),
-            *[c for c in emb.columns if c != "vec_id"],
-        )
-        for i in range(factor)
-    ]
-    base = reps[0]
-    for r in reps[1:]:
-        base = base.unionByName(r)
-    base.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+    _replicate(emb, ("vec_id",), f"{out_dir}/embeddings.parquet", factor)
 
     # warehouse: replicate the FACT tables (shifted order keys; replicas
     # reuse the same customers, who simply have 10x orders) against fixed
     # dimension tables — the realistic growth mode for the relational
     # queries (dims broadcast at any factor; only fact volume scales).
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    reps = [
-        li.select(
-            (F.col("l_orderkey") + F.lit(i * ID_STRIDE)).alias("l_orderkey"),
-            *[c for c in li.columns if c != "l_orderkey"],
-        )
-        for i in range(factor)
-    ]
-    base = reps[0]
-    for r in reps[1:]:
-        base = base.unionByName(r)
-    base.write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
-
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    reps = [
-        orders.select(
-            (F.col("o_orderkey") + F.lit(i * ID_STRIDE)).alias("o_orderkey"),
-            *[c for c in orders.columns if c != "o_orderkey"],
-        )
-        for i in range(factor)
-    ]
-    base = reps[0]
-    for r in reps[1:]:
-        base = base.unionByName(r)
-    base.write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+    _replicate(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        ("l_orderkey",),
+        f"{out_dir}/lineitem.parquet",
+        factor,
+    )
+    _replicate(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        ("o_orderkey",),
+        f"{out_dir}/orders.parquet",
+        factor,
+    )
 
     for dim in ("region", "nation", "supplier", "customer", "part"):
         spark.read.parquet(f"{sf_dir}/{dim}.parquet").write.mode(
