@@ -105,8 +105,11 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
 
 # --- MinHash + LSH ---------------------------------------------------------
 
-def shingle_hashes(documents: DataFrame) -> DataFrame:
-    """(doc_id, distinct word-3-gram hash array) — basis for MinHash & Jaccard.
+def shingle_hashes(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, distinct word-k-gram hash array) — basis for MinHash &
+    Jaccard; ``k`` defaults to the repo-wide SHINGLE_K (3, the
+    oracle-checked config) and is tunable per caller (decontamination at
+    GPT-3/Pile-practice k=13, for instance — see pipeline.decontaminate).
 
     Arrow-batched Python, not Catalyst expressions, deliberately: md5 over
     ~150 shingles/doc inside `transform` lambdas runs interpreted (HOFs
@@ -128,7 +131,7 @@ def shingle_hashes(documents: DataFrame) -> DataFrame:
         def go(text: str | None) -> list[int] | None:
             if text is None:
                 return None  # NULL propagation, as the Catalyst form had
-            grams = set(word_grams(ascii_words(text), SHINGLE_K))
+            grams = set(word_grams(ascii_words(text), k))
             out = set()
             for g in grams:
                 h = cache.get(g)

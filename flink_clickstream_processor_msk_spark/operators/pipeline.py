@@ -66,11 +66,18 @@ def clean_corpus(
     )
 
 
-def decontaminate(documents: DataFrame, test_pct: int = 10) -> DataFrame:
+def decontaminate(
+    documents: DataFrame, test_pct: int = 10, k: int | None = None
+) -> DataFrame:
     """Test-set decontamination by word-shingle overlap: flag every TRAIN
-    document that shares any word-3-gram with any TEST document (GPT-3 /
+    document that shares any word-k-gram with any TEST document (GPT-3 /
     Pile-style n-gram decontamination, applied to the held-out split that
     :func:`~...text.train_test_split` defines with the same md5 bucket).
+    ``k`` defaults to the repo-wide SHINGLE_K (3 — the oracle-checked
+    driver config; the fixture docs are too short for published practice's
+    13-grams to ever overlap); published decontamination runs pass k=13
+    (GPT-3 appendix C / Pile) and the kernel is identical
+    (tests/test_beyond.py pins k=13 against a pure-Python model).
     Returns ``(doc_id, contaminated)`` for the train split — the flag, not
     a silent drop, so pipelines can audit how much the filter removes.
 
@@ -89,9 +96,11 @@ def decontaminate(documents: DataFrame, test_pct: int = 10) -> DataFrame:
     grams); it is materialized so the Arrow-batched md5 kernel — the
     dominant map cost — runs over the corpus once, not once per side
     (the ``_materialized`` signature-table rule from the dedup suite)."""
+    from flink_clickstream_processor_msk_spark.operators.text import SHINGLE_K
+
     is_test = (h60(F.col("doc_id").cast("string")) % 100) < test_pct
     g = _materialized(
-        shingle_hashes(documents).select(
+        shingle_hashes(documents, k=SHINGLE_K if k is None else k).select(
             "doc_id", is_test.alias("is_test"), F.explode("shingles").alias("gram")
         )
     )

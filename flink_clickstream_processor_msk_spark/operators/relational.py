@@ -208,3 +208,112 @@ def type_share_revenue(
         (F.col("tr") / 10000.0).alias("type_revenue"),
         (F.col("ar") / 10000.0).alias("total_revenue"),
     )
+
+
+def pricing_rollup(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1 shape under ``ROLLUP(l_returnflag, l_linestatus)``: the
+    per-group rows PLUS per-returnflag subtotals and a grand total, each
+    tagged with the standard grouping-id bitmask (0 = leaf, 1 = linestatus
+    rolled up, 3 = grand total) so subtotal rows are distinguishable from
+    hypothetical NULL group values.
+
+    Scale shape: grouping sets plan as ONE scan + one Expand (one
+    duplicated stream per grouping set) + one map-side-combined aggregate
+    — a rollup over g sets costs g× the aggregate's shuffle rows (still
+    groups × partitions, tiny), never g scans. Integer-cents sums as
+    everywhere in this module; DuckDB's ROLLUP emits the identical rows
+    and GROUPING() bitmask, so the oracle is direct."""
+    qty_c = _cents("l_quantity")
+    ep_c = _cents("l_extendedprice")
+    disc_pct = _cents("l_discount")
+    disc_price_u = ep_c * (F.lit(100) - disc_pct)
+    g = (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.sum(qty_c).alias("qc"),
+            F.sum(disc_price_u).alias("dc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return g.select(
+        "gid",
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("qc") / 100.0).alias("sum_qty"),
+        (F.col("dc") / 10000.0).alias("sum_disc_price"),
+        F.col("n").alias("count_order"),
+    ).orderBy("gid", "l_returnflag", "l_linestatus")
+
+
+def no_return_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Per-nation count of customers who HAVE placed orders (semi-join)
+    but have NO order containing a returned line item (anti-join on
+    l_returnflag = 'R') — the TPC-H Q21/Q22-style EXISTS / NOT EXISTS
+    pair expressed as Spark's native LeftSemi and LeftAnti joins.
+
+    Scale shape: both probe sides reduce to bare key columns before the
+    join (the semi probe is orders' custkeys, the anti probe is the
+    custkeys of orders having a flagged item — the returnflag filter
+    pushes into the lineitem scan); semi/anti joins shuffle only keys and
+    emit at most one row per left row, so no intermediate ever exceeds
+    |customer|. The nation dimension broadcasts; the final aggregate is
+    per-nation (tiny)."""
+    with_orders = customer.select("c_custkey", "c_nationkey").join(
+        orders.select("o_custkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_semi",
+    )
+    returning_custkeys = orders.select("o_orderkey", "o_custkey").join(
+        lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+        "left_semi",
+    ).select("o_custkey")
+    return (
+        with_orders.join(
+            returning_custkeys,
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.asc("n_name"))
+    )
+
+
+def nation_trade_roles(
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    min_supplier_acctbal: float = 5000.0,
+) -> DataFrame:
+    """Set-operation classification of nations by trade role: nations with
+    both customers and well-capitalized suppliers (INTERSECT), customer
+    nations without such suppliers (EXCEPT), and the reverse — Spark's
+    `intersect` / `subtract` (SQL INTERSECT / EXCEPT DISTINCT semantics)
+    over the two nation-key sets, union-ed with a role tag. The acctbal
+    threshold keeps the three sets non-degenerate on the fixture.
+
+    Scale shape: set ops on bare int keys — each branch is a distinct-
+    aggregate + join on the key column (Catalyst rewrites INTERSECT/EXCEPT
+    to semi/anti joins over distincts); nothing wider than (key) ever
+    shuffles, and the nation name join broadcasts."""
+    cn = customer.select(F.col("c_nationkey").alias("nationkey"))
+    sn = supplier.filter(F.col("s_acctbal") >= min_supplier_acctbal).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    roles = (
+        cn.intersect(sn).withColumn("role", F.lit("both"))
+        .unionByName(cn.subtract(sn).withColumn("role", F.lit("customer_only")))
+        .unionByName(sn.subtract(cn).withColumn("role", F.lit("supplier_only")))
+    )
+    return roles.join(
+        nation, F.col("nationkey") == F.col("n_nationkey")
+    ).select("n_name", "role")

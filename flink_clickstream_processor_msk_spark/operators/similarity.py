@@ -484,29 +484,18 @@ def pq_codebooks(
     return [[v[s * d0 : (s + 1) * d0] for v in vecs] for s in range(m)]
 
 
-def build_pq_index(
-    embeddings: DataFrame,
-    m: int = PQ_M,
-    k_cb: int = PQ_K,
-    codebooks: list[list[list[float]]] | None = None,
-) -> tuple[list[list[list[float]]], DataFrame]:
-    """The build side of the PQ index: (codebooks, codes table).
-
-    Each vector compresses to ``m`` nibble codes — (vec_id, codes) is the
-    WHOLE scan target at query time, 16× smaller than the float32 rows
-    (64×4 bytes → m×1), which is the 100 TB play: ADC scoring reads only
-    the code table; raw vectors are touched never (vs q8's 4× and
-    IVF's partition pruning — PQ trades recall for the smallest scan).
-    Assignment per subspace is argmin squared-L2, first centroid wins
-    ties; numpy-batched with the near-tie sequential-fold fallback (the
-    `_make_cell_udf` contract), so codes replay bit-identically in the
-    DuckDB oracle."""
+def _make_pq_codes_udf(sc, cbs: list[list[list[float]]]):
+    """Arrow-batched per-subspace argmin-squared-L2 assignment (first
+    centroid wins ties; near-tie rows recomputed with the sequential
+    `_py_d2` fold so codes replay bit-identically in the DuckDB oracle —
+    the `_make_cell_udf` contract, per subspace). Shared by the index
+    build and the Lloyd's codebook refiner; returns (udf, broadcast) so
+    iterative callers can unpersist the broadcast."""
     import numpy as np
     from pyspark.sql import types as T
 
-    cbs = codebooks if codebooks is not None else pq_codebooks(embeddings, m, k_cb)
     d0 = len(cbs[0][0])
-    bc = embeddings.sparkSession.sparkContext.broadcast(cbs)
+    bc = sc.broadcast([[list(map(float, c)) for c in cb] for cb in cbs])
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def codes_udf(emb: pd.Series) -> pd.Series:
@@ -530,10 +519,97 @@ def build_pq_index(
             out[:, s] = best
         return pd.Series([[int(c) for c in row] for row in out])
 
+    return codes_udf, bc
+
+
+def build_pq_index(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    k_cb: int = PQ_K,
+    codebooks: list[list[list[float]]] | None = None,
+) -> tuple[list[list[list[float]]], DataFrame]:
+    """The build side of the PQ index: (codebooks, codes table).
+
+    Each vector compresses to ``m`` nibble codes — (vec_id, codes) is the
+    WHOLE scan target at query time, 16× smaller than the float32 rows
+    (64×4 bytes → m×1), which is the 100 TB play: ADC scoring reads only
+    the code table; raw vectors are touched never (vs q8's 4× and
+    IVF's partition pruning — PQ trades recall for the smallest scan).
+    Assignment per subspace is argmin squared-L2, first centroid wins
+    ties; numpy-batched with the near-tie sequential-fold fallback (the
+    `_make_cell_udf` contract), so codes replay bit-identically in the
+    DuckDB oracle. Pass ``codebooks=pq_refine_codebooks(...)`` for the
+    production-quality Lloyd's-refined index."""
+    cbs = codebooks if codebooks is not None else pq_codebooks(embeddings, m, k_cb)
+    codes_udf, _bc = _make_pq_codes_udf(embeddings.sparkSession.sparkContext, cbs)
     index = _materialized(
         embeddings.select("vec_id", codes_udf("embedding").alias("codes"))
     )
     return cbs, index
+
+
+def pq_refine_codebooks(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]] | None = None,
+    m: int = PQ_M,
+    k_cb: int = PQ_K,
+    iterations: int = 2,
+    round_digits: int = KMEANS_ROUND_DIGITS,
+) -> list[list[list[float]]]:
+    """Lloyd's k-means refinement of the PQ sub-codebooks — the
+    :func:`kmeans_refine_centroids` pattern applied per subspace, exactly
+    as its docstring promised: each iteration assigns every vector's
+    subspace slices to their nearest sub-centroids (the shared
+    `_make_pq_codes_udf` kernel — ALL m subspaces in one distributed
+    pass), then reduces per-(subspace, code) slice means via one
+    map-side-combined groupBy; only m×k_cb×(d0+1) numbers reach the
+    driver per iteration. Empty codes keep their previous centroid.
+
+    Same engine-parity contract as the IVF refiner: per-dim means round
+    to the ``round_digits`` grid so Spark's shuffle-order sum and the
+    oracle's sequential fold land on identical centroids, letting the
+    fixed-iteration loop unroll into DuckDB CTEs
+    (oracles_beyond.ann_pq_kmeans_topk) for full hash-checking."""
+    sc = embeddings.sparkSession.sparkContext
+    cbs = (
+        [[list(map(float, c)) for c in cb] for cb in codebooks]
+        if codebooks is not None
+        else pq_codebooks(embeddings, m, k_cb)
+    )
+    d0 = len(cbs[0][0])
+    broadcasts = []
+    for _ in range(iterations):
+        codes_udf, bc = _make_pq_codes_udf(sc, cbs)
+        broadcasts.append(bc)
+        means = (
+            embeddings.select(
+                F.col("embedding").cast("array<double>").alias("v"),
+                F.posexplode(codes_udf("embedding")).alias("s", "code"),
+            )
+            .groupBy("s", "code")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.round(
+                        F.sum(F.element_at("v", F.col("s") * d0 + d + 1))
+                        / F.count(F.lit(1)),
+                        round_digits,
+                    ).alias(f"m{d}")
+                    for d in range(d0)
+                ],
+            )
+            .collect()
+        )
+        new = [[list(c) for c in cb] for cb in cbs]
+        for row in means:
+            if row["n"] > 0:
+                new[row["s"]][row["code"]] = [
+                    float(row[f"m{d}"]) for d in range(d0)
+                ]
+        cbs = new
+    for bc in broadcasts:
+        bc.unpersist()
+    return cbs
 
 
 def _adc_lut(

@@ -866,13 +866,26 @@ WHERE (({_h60("d.doc_id::VARCHAR || ':resample'")}) % {1 << 20})
 """
 
 
-def _pq_coding_ctes(query_vec_id: int, m: int, k_cb: int, dim: int) -> str:
+def _pq_coding_ctes(
+    query_vec_id: int,
+    m: int,
+    k_cb: int,
+    dim: int,
+    iterations: int = 0,
+    round_digits: int = 6,
+) -> str:
     """The PQ coding pipeline as a reusable CTE fragment — base (doubled
     vectors), sub-codebooks, per-subspace argmin assignment, the query
     LUT, and ordered-fold ADC scores. THE one place the PQ/ADC SQL
-    contract lives; ann_pq_topk and ann_ivfpq_topk both compose it, so a
-    formula change cannot desync the two oracles (mirror of the Spark
-    side's shared _adc_lut/_adc_score)."""
+    contract lives; ann_pq_topk, ann_ivfpq_topk, and ann_pq_kmeans_topk
+    all compose it, so a formula change cannot desync the oracles (mirror
+    of the Spark side's shared _adc_lut/_adc_score).
+
+    ``iterations`` > 0 unrolls that many Lloyd's refinement passes over
+    the seed sub-codebooks (assign → per-(subspace, code) slice means
+    rounded to the ``round_digits`` grid, empty codes keep their
+    centroid) — the SQL twin of similarity.pq_refine_codebooks, same
+    engine-parity contract as ann_ivf_kmeans_topk's unrolled loop."""
     d0 = dim // m
     d2_ec = (
         f"list_sum(list_transform(range(1, {d0 + 1}), "
@@ -882,18 +895,48 @@ def _pq_coding_ctes(query_vec_id: int, m: int, k_cb: int, dim: int) -> str:
         f"list_sum(list_transform(range(1, {d0 + 1}), "
         f"i -> (pqq.v[cb.s*{d0} + i] - cb.cvec[i]) * (pqq.v[cb.s*{d0} + i] - cb.cvec[i])))"
     )
+    refine = []
+    for it in range(1, iterations + 1):
+        prev = f"cb{it - 1}"
+        refine.append(
+            f"""pq_ref_assign{it} AS (
+  SELECT vec_id, s, cidx FROM (
+    SELECT e.vec_id, cb.s, cb.cidx,
+      row_number() OVER (
+        PARTITION BY e.vec_id, cb.s ORDER BY {d2_ec} ASC, cb.cidx ASC
+      ) AS rn
+    FROM base e CROSS JOIN {prev} cb
+  ) WHERE rn = 1
+),
+pq_gather{it} AS (
+  SELECT a.s, a.cidx, count(*) AS n, list(e.v ORDER BY e.vec_id) AS vecs
+  FROM pq_ref_assign{it} a JOIN base e USING (vec_id)
+  GROUP BY a.s, a.cidx
+),
+cb{it} AS (
+  SELECT p.s, p.cidx,
+    CASE WHEN g.n IS NULL THEN p.cvec
+         ELSE list_transform(range(1, {d0 + 1}), d ->
+                round(list_sum(list_transform(g.vecs, v -> v[p.s*{d0} + d])) / g.n,
+                      {round_digits}))
+    END AS cvec
+  FROM {prev} p LEFT JOIN pq_gather{it} g ON p.s = g.s AND p.cidx = g.cidx
+)"""
+        )
+    refine_sql = (",\n" + ",\n".join(refine)) if refine else ""
     return f"""base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
 subs AS (SELECT unnest(range(0, {m})) AS s),
-cb AS (
+cb0 AS (
   SELECT subs.s AS s,
     row_number() OVER (PARTITION BY subs.s ORDER BY b.vec_id) - 1 AS cidx,
     b.v[subs.s*{d0} + 1 : subs.s*{d0} + {d0}] AS cvec
   FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT {k_cb}) b
   CROSS JOIN subs
-),
+){refine_sql},
+cb AS (SELECT s, cidx, cvec FROM cb{iterations}),
 pq_assign AS (
   SELECT vec_id, s, cidx FROM (
     SELECT e.vec_id, cb.s, cb.cidx,
@@ -923,6 +966,29 @@ def ann_pq_topk(
     via an ordered list fold, matching Spark's left-to-right add chain)."""
     return f"""
 WITH {_pq_coding_ctes(query_vec_id, m, k_cb, dim)}
+SELECT vec_id, adc_dist FROM pq_scored
+WHERE vec_id != {query_vec_id}
+ORDER BY adc_dist ASC, vec_id ASC
+LIMIT {k}
+"""
+
+
+def ann_pq_kmeans_topk(
+    query_vec_id: int,
+    k: int,
+    m: int = 8,
+    k_cb: int = 16,
+    dim: int = 64,
+    iterations: int = 2,
+    round_digits: int = 6,
+) -> str:
+    """SQL twin of similarity.pq_refine_codebooks + ann_pq_topk: the
+    fixed-iteration per-subspace Lloyd's loop unrolled into CTEs (the
+    `iterations` knob of the shared _pq_coding_ctes fragment), then the
+    standard ADC scoring against the refined sub-codebooks — the PQ
+    analog of ann_ivf_kmeans_topk, same rounded-mean parity contract."""
+    return f"""
+WITH {_pq_coding_ctes(query_vec_id, m, k_cb, dim, iterations, round_digits)}
 SELECT vec_id, adc_dist FROM pq_scored
 WHERE vec_id != {query_vec_id}
 ORDER BY adc_dist ASC, vec_id ASC
@@ -1082,6 +1148,69 @@ SELECT (tr / ar) * 100.0 AS type_revenue_pct,
   tr / 10000.0 AS type_revenue,
   ar / 10000.0 AS total_revenue
 FROM g
+"""
+
+
+def pricing_rollup(cutoff: str = "1998-09-02") -> str:
+    """SQL twin of relational.pricing_rollup (DuckDB ROLLUP emits the same
+    subtotal rows; GROUPING() uses the same first-arg-is-MSB bitmask as
+    Spark's grouping_id; integer-cents sums as in pricing_summary)."""
+    return f"""
+WITH c AS (
+  SELECT l_returnflag, l_linestatus,
+    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+    CAST(round(l_extendedprice * 100) AS BIGINT) AS ep_c,
+    CAST(round(l_discount * 100) AS BIGINT) AS disc_pct
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '{cutoff}'
+)
+SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+  l_returnflag, l_linestatus,
+  SUM(qty_c) / 100.0 AS sum_qty,
+  SUM(ep_c * (100 - disc_pct)) / 10000.0 AS sum_disc_price,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM c
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
+def no_return_customers() -> str:
+    """SQL twin of relational.no_return_customers (EXISTS / NOT EXISTS ≡
+    the Spark plan's LeftSemi / LeftAnti joins — integer counts only)."""
+    return """
+SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R')
+GROUP BY n.n_name
+ORDER BY n_customers DESC, n.n_name ASC
+"""
+
+
+def nation_trade_roles(min_supplier_acctbal: float = 5000.0) -> str:
+    """SQL twin of relational.nation_trade_roles (INTERSECT / EXCEPT have
+    identical distinct-set semantics to Spark's intersect / subtract)."""
+    return f"""
+WITH cn AS (SELECT c_nationkey AS nationkey FROM customer),
+sn AS (
+  SELECT s_nationkey AS nationkey FROM supplier
+  WHERE s_acctbal >= {min_supplier_acctbal}
+),
+roles AS (
+  SELECT nationkey, 'both' AS role
+  FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+  UNION ALL
+  SELECT nationkey, 'customer_only' AS role
+  FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+  UNION ALL
+  SELECT nationkey, 'supplier_only' AS role
+  FROM (SELECT nationkey FROM sn EXCEPT SELECT nationkey FROM cn)
+)
+SELECT n.n_name, r.role
+FROM roles r JOIN nation n ON r.nationkey = n.n_nationkey
 """
 
 

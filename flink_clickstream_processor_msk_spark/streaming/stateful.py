@@ -33,6 +33,7 @@ from typing import Any
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -168,4 +169,63 @@ def sessionize_with_state(clickevents: DataFrame, gap: str = "1 second") -> Data
         stateStructType=SESSION_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def session_stats_from_state(
+    sessions: DataFrame,
+    window: str = "10 seconds",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Q1→Q2 cascade over the CUSTOM stateful sessionizer, in one streaming
+    query: re-assign event time at the session's output timestamp
+    (``windowEndTime − 1 ms`` = Flink's ``window.maxTimestamp()``,
+    SURVEY.md §2.3.7), re-watermark it, and run the same global tumbling
+    count/ratio aggregate as operators.session_stats — byte-identical
+    output schema and values (tests assert equality with the batch chain).
+
+    Why the explicit ``withWatermark``: ``applyInPandasWithState`` output
+    carries no event-time attribute (unlike the built-in `session_window`,
+    whose chained form Spark ≥ 3.4 tracks through one global watermark), so
+    the cascade's second stateful operator needs its own watermark on the
+    derived column. Zero-delay is safe here: a session is only emitted once
+    the upstream watermark passes its end, so every later emission has a
+    strictly larger end than the inner watermark — no late drops by
+    construction (same argument as the reference's in-order guarantee).
+
+    Spark's STATIC multi-stateful checker cannot see that guarantee (it
+    rejects any arbitrary-stateful → aggregate chain as a "possible
+    correctness issue"), so running this cascade requires
+    ``spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false``
+    for the query — the documented opt-out for exactly this
+    proven-in-order pattern; the equality-with-batch test is the proof.
+
+    Scale: the sessionizer's userid shuffle feeds a partial-aggregated
+    all-to-one window count — identical shape to the built-in chained path."""
+    buy = F.col("orderCheckoutEventCount") != 0
+    return (
+        sessions.withColumn(
+            "_session_out_ts", F.timestamp_millis(F.col("windowEndTime") - 1)
+        )
+        .withWatermark("_session_out_ts", watermark_delay)
+        .groupBy(F.window("_session_out_ts", window).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("userSessionCount"),
+            F.count(F.when(buy, F.lit(1)))
+            .cast("int")
+            .alias("userSessionCountWithOrderCheckout"),
+        )
+        .select(
+            "userSessionCount",
+            "userSessionCountWithOrderCheckout",
+            F.floor(
+                F.col("userSessionCountWithOrderCheckout")
+                * 100
+                / F.col("userSessionCount")
+            )
+            .cast("double")
+            .alias("percentSessionswithBuy"),
+            F.unix_millis(F.col("bucket.start")).alias("windowBeginTime"),
+            F.unix_millis(F.col("bucket.end")).alias("windowEndTime"),
+        )
     )

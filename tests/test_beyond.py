@@ -589,3 +589,69 @@ def test_profile_table_counts_nulls_and_cardinality(spark):
     }
     assert out["text"] == (3, 2, 1)  # one NULL, two equal values
     assert out["lang"] == (3, 3, 2)
+
+
+def test_profile_table_single_scan(spark, tmp_path):
+    """All per-column distincts ride ONE aggregation (Expand), so the plan
+    scans the input exactly once — the per-column agg+union shape scanned
+    it once per column (VERDICT r5 #3)."""
+    path = str(tmp_path / "docs")
+    _docs_ids(spark, [(0, "x", "en"), (1, "y", "fr")]).write.parquet(path)
+    df = spark.read.parquet(path)
+    q = text.profile_table(df, ["text", "lang", "source"])
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+
+
+def test_decontaminate_k13_matches_python_model(spark):
+    """Published-practice gram width (GPT-3 appendix C / Pile use 13-grams)
+    against a pure-Python overlap model: a train doc sharing a full
+    13-gram with the test split is flagged; one sharing only 12 contiguous
+    words is NOT (it would be at the default k=3)."""
+    from flink_clickstream_processor_msk_spark.functions.grams import (
+        ascii_words,
+        md5_60,
+        word_grams,
+    )
+    from flink_clickstream_processor_msk_spark.operators import pipeline
+
+    w = [f"w{i}" for i in range(14)]
+    rows = [
+        (18, " ".join(w), "en"),                      # test split (md5 bucket)
+        (0, " ".join(["pre", *w[:13], "post"]), "en"),  # shares w0..w12 13-gram
+        (1, " ".join([*w[:12], "different", "tail"]), "en"),  # only 12 shared
+        (2, "totally unrelated words here", "en"),
+        (3, None, "en"),
+    ]
+    df = _docs_ids(spark, rows)
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in pipeline.decontaminate(df, k=13).collect()
+    }
+
+    # pure-Python model with the same split + gram-hash formulas
+    def grams13(t):
+        if t is None:
+            return set()
+        return {
+            md5_60(g) % (1 << 28) for g in word_grams(ascii_words(t), 13)
+        }
+
+    split = {i: (md5_60(str(i)) % 100) < 10 for i, _, _ in rows}
+    test_grams = set().union(*(grams13(t) for i, t, _ in rows if split[i]))
+    expected = {
+        i: int(bool(grams13(t) & test_grams))
+        for i, t, _ in rows
+        if not split[i]
+    }
+    assert split[18] and not any(split[i] for i in (0, 1, 2, 3))
+    assert expected == {0: 1, 1: 0, 2: 0, 3: 0}
+    assert out == expected
+
+    # same docs at the default width: the 12-word overlap IS contaminated
+    k3 = {
+        r["doc_id"]: r["contaminated"]
+        for r in pipeline.decontaminate(df).collect()
+    }
+    assert k3[1] == 1

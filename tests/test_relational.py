@@ -63,3 +63,76 @@ def test_q5_plan_has_no_cartesian_and_broadcasts_dimensions(spark):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_pricing_rollup_subtotals_and_grand_total(spark):
+    """ROLLUP emits leaf rows (gid 0), per-returnflag subtotals (gid 1,
+    linestatus NULL), and one grand total (gid 3) whose measures equal the
+    leaf sums; one scan + Expand, never one scan per grouping set."""
+    li = _lineitem(
+        spark,
+        [
+            (1, 10, 100.00, 0.00, 0.00, "A", "F", "1996-01-01"),
+            (2, 5, 50.00, 0.00, 0.00, "A", "O", "1996-01-02"),
+            (3, 1, 10.00, 0.00, 0.00, "R", "F", "1996-01-03"),
+        ],
+    )
+    rows = relational.pricing_rollup(li).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r["gid"], []).append(r)
+    assert len(by_gid[0]) == 3 and len(by_gid[1]) == 2 and len(by_gid[3]) == 1
+    grand = by_gid[3][0]
+    assert grand["l_returnflag"] is None and grand["l_linestatus"] is None
+    assert grand["count_order"] == 3 and grand["sum_qty"] == 16.0
+    sub_a = next(r for r in by_gid[1] if r["l_returnflag"] == "A")
+    assert sub_a["count_order"] == 2 and sub_a["sum_qty"] == 15.0
+    plan = relational.pricing_rollup(li)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
+
+
+def test_no_return_customers_semi_anti_semantics(spark):
+    """cust 1: orders, no returns -> counted. cust 2: order with an 'R'
+    item -> excluded. cust 3: no orders at all -> excluded."""
+    customer = spark.createDataFrame(
+        [(1, "c1", 0, 0.0, "B"), (2, "c2", 0, 0.0, "B"), (3, "c3", 1, 0.0, "B")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(10, 1), (20, 2)], "o_orderkey long, o_custkey long"
+    )
+    li = _lineitem(spark, [(20, 1, 10.00, 0.0, 0.0, "R", "F", "1996-01-01")])
+    nation = spark.createDataFrame(
+        [(0, "NA", 0), (1, "NB", 0)], "n_nationkey int, n_name string, n_regionkey int"
+    )
+    out = relational.no_return_customers(customer, orders, li, nation).collect()
+    assert [(r["n_name"], r["n_customers"]) for r in out] == [("NA", 1)]
+    plan = relational.no_return_customers(
+        customer, orders, li, nation
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_nation_trade_roles_set_algebra(spark):
+    """Nation 0: customers + rich supplier -> both. Nation 1: customers
+    only. Nation 2: rich supplier only. Poor suppliers don't count; the
+    three sets are distinct (set semantics despite duplicate input rows)."""
+    customer = spark.createDataFrame(
+        [(1, "c1", 0, 0.0, "B"), (2, "c2", 0, 0.0, "B"), (3, "c3", 1, 0.0, "B")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    supplier = spark.createDataFrame(
+        [(1, "s1", 0, 9000.0), (2, "s2", 2, 9000.0), (3, "s3", 1, 10.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    nation = spark.createDataFrame(
+        [(0, "NA", 0), (1, "NB", 0), (2, "NC", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    out = {
+        (r["n_name"], r["role"])
+        for r in relational.nation_trade_roles(customer, supplier, nation).collect()
+    }
+    assert out == {("NA", "both"), ("NB", "customer_only"), ("NC", "supplier_only")}

@@ -151,6 +151,81 @@ def test_session_emitted_when_watermark_stops_exactly_at_session_end(
     assert (1, BASE_TS, BASE_TS + 1_000, 1, 0, ("books",), 1) in got
 
 
+def test_stateful_cascade_session_to_tumbling_matches_batch(
+    spark, tmp_path_factory
+):
+    """Q1→Q2 in ONE streaming query over the CUSTOM stateful sessionizer:
+    applyInPandasWithState sessions cascade into the 10 s tumbling global
+    aggregate (re-watermarked on the session output timestamp), replayed
+    file-at-a-time; the finalized buckets must equal the batch chain.
+
+    Two sentinels, a gap apart: the first sentinel's SESSION must itself
+    close (it only does when the outer watermark passes it — i.e. after the
+    second sentinel) so the inner watermark advances past every real bucket
+    and the cascade's windows finalize."""
+    from flink_clickstream_processor_msk_spark.operators.session_stats import (
+        session_stats,
+    )
+    from flink_clickstream_processor_msk_spark.streaming.stateful import (
+        session_stats_from_state,
+    )
+
+    sentinel2 = {
+        "ts": BASE_TS + 2 * 10**9,
+        "seq": 10**9 + 1,
+        "userid": SENTINEL_USER,
+        "event_type": "view",
+        "product_type": "sentinel",
+    }
+    events = EVENTS + [sentinel2]
+    src = str(tmp_path_factory.mktemp("cascade-src"))
+    cols = [f.name for f in CLICK_EVENT.fields]
+    by_time = sorted(events, key=lambda e: e["ts"])
+    for chunk in (by_time[:4], by_time[4:8], by_time[8:9], by_time[9:]):
+        make_clickevents(spark, chunk).select(*cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = stream_clickevents(
+        spark, src, watermark="0 seconds", max_files_per_trigger=1
+    )
+    # Spark's static checker rejects any applyInPandasWithState → agg chain;
+    # this cascade is provably in-order (see session_stats_from_state
+    # docstring), so use the documented opt-out for the query's duration
+    check_conf = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    spark.conf.set(check_conf, "false")
+    try:
+        q = memory_sink(
+            session_stats_from_state(sessionize_with_state(stream)), "cascade_q2"
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set(check_conf, "true")
+
+    def canon(rows):
+        return sorted(
+            (
+                r["windowBeginTime"],
+                r["windowEndTime"],
+                r["userSessionCount"],
+                r["userSessionCountWithOrderCheckout"],
+                r["percentSessionswithBuy"],
+            )
+            for r in (x.asDict() for x in rows)
+            if r["windowBeginTime"] < BASE_TS + 10**8  # sentinel buckets out
+        )
+
+    got = canon(spark.sql("SELECT * FROM cascade_q2").collect())
+    want = canon(
+        session_stats(
+            sessionize(with_event_time(make_clickevents(spark, events)))
+        ).collect()
+    )
+    assert got == want
+    assert len(got) > 0
+
+
 def test_gap_to_millis():
     assert gap_to_millis("1 second") == 1_000
     assert gap_to_millis("30 minutes") == 1_800_000
