@@ -28,6 +28,9 @@ from flink_clickstream_processor_msk_spark.operators import (
     similarity,
     text,
 )
+from flink_clickstream_processor_msk_spark.operators import (
+    departments as departments_mod,
+)
 from flink_clickstream_processor_msk_spark.operators.departments import (
     department_counts,
 )
@@ -411,6 +414,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_buy_sessions_30m": _q1_buy(_GAP_30M),
         "q2_session_stats_30m": _q2(_GAP_30M, _WIN_6H),
         "q3_department_counts_30m": _q3(_GAP_30M, _WIN_6H),
+        # sliding event-time windows (the window kind the reference lacks;
+        # 1 h length / 30 min slide -> every event in 2 buckets)
+        "sliding_department_activity": lambda spark, sf_dir: (
+            departments_mod.sliding_department_activity(
+                read_clickevents(spark, sf_dir)
+            )
+        ),
         # multimodal columns (binary payloads + pandas-UDF compute)
         "multimodal_byte_stats": _on_table(
             "documents", lambda df: multimodal.byte_stats(multimodal.attach_media(df))
@@ -574,9 +584,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _TOPK,
             index=_ivf_index(spark, sf_dir),
         ),
-        # k-means-refined IVF: 2-iteration Lloyd's, unrolled into its oracle
-        "sim_ann_ivf_kmeans_topk": _ivf_kmeans_topk,
         # ---- redundant-coverage tail (see ordering note above) ----------
+        # k-means-refined IVF: oracle-distinct but its coverage is spanned
+        # in-window by sim_ann_pq_kmeans_topk (Lloyd's refinement contract)
+        # + sim_ann_ivf_topk (IVF probe); driver-green in r4/r5
+        "sim_ann_ivf_kmeans_topk": _ivf_kmeans_topk,
         # written-index probes: save → load → partition-pruned bucket/cell
         # scan; result-identical to the in-memory-index twins above
         "sim_ann_lsh_saved_topk": lambda spark, sf_dir: similarity.ann_lsh_topk(
@@ -606,6 +618,9 @@ def oracle_sql() -> dict[str, str]:
         "q1_user_sessions_1s": oracles.q1_user_sessions(_GAP_1S_MS),
         "q2_session_stats_1s": oracles.q2_session_stats(_GAP_1S_MS, _WIN_10S_MS),
         "q3_department_counts_1s": oracles.q3_department_counts(_GAP_1S_MS, _WIN_10S_MS),
+        "sliding_department_activity": oracles.sliding_department_activity(
+            3_600_000, 1_800_000
+        ),
         "q1_user_sessions_30m": oracles.q1_user_sessions(_GAP_30M_MS),
         "q1_buy_sessions_30m": oracles.q1_buy_sessions(_GAP_30M_MS),
         "q2_session_stats_30m": oracles.q2_session_stats(_GAP_30M_MS, _WIN_6H_MS),

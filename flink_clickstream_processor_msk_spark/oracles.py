@@ -240,3 +240,35 @@ SELECT
 FROM exploded
 GROUP BY departmentName, bucket
 """
+
+
+def sliding_department_activity(window_ms: int, slide_ms: int) -> str:
+    """SQL twin of departments.sliding_department_activity: each event is
+    assigned to ceil(window/slide) candidate epoch-aligned window starts
+    ((ts // slide) - j) * slide and kept where ts < start + window —
+    exactly Spark's sliding-window membership (slide form of F.window,
+    startTime offset 0). Integer millis only; nothing to drift."""
+    n = -(-window_ms // slide_ms)  # ceil
+    return f"""
+WITH {CLICKEVENTS_CTE.strip()},
+prod AS (
+  SELECT eventtimestamp, product_type
+  FROM clickevents
+  WHERE product_type IS NOT NULL AND product_type NOT IN ('', 'N/A')
+),
+wins AS (
+  SELECT product_type AS departmentName,
+    ((eventtimestamp // {slide_ms}) - j) * {slide_ms} AS windowBeginTime
+  FROM prod
+  CROSS JOIN (SELECT unnest(range(0, {n})) AS j) js
+  WHERE ((eventtimestamp // {slide_ms}) - j) * {slide_ms} + {window_ms}
+        > eventtimestamp
+)
+SELECT
+  departmentName,
+  CAST(count(*) AS INTEGER) AS eventCount,
+  windowBeginTime,
+  windowBeginTime + {window_ms} AS windowEndTime
+FROM wins
+GROUP BY departmentName, windowBeginTime
+"""

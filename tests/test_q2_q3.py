@@ -60,3 +60,30 @@ def test_q3_department_counts(spark):
     rows = department_counts(_sessions(spark, events)).collect()
     got = {(r["departmentName"], r["windowBeginTime"]): r["departmentCount"] for r in rows}
     assert got == {("a", T0): 2, ("b", T0): 1}
+
+
+def test_sliding_department_activity_membership(spark):
+    """Sliding membership: with 10 s windows sliding 5 s, an event at
+    T0+1 belongs to [T0-5, T0+5) and [T0, T0+10) only; an event exactly on
+    a slide boundary (T0+5000) belongs to [T0, T0+10) and [T0+5, T0+15).
+    Sentinel products ('', 'N/A', null) are excluded."""
+    from flink_clickstream_processor_msk_spark.operators.departments import (
+        sliding_department_activity,
+    )
+
+    events = [
+        {"ts": T0 + 1, "seq": 1, "userid": 1, "event_type": "view", "product_type": "a"},
+        {"ts": T0 + 5000, "seq": 2, "userid": 1, "event_type": "view", "product_type": "a"},
+        {"ts": T0 + 1, "seq": 3, "userid": 2, "event_type": "view", "product_type": "N/A"},
+        {"ts": T0 + 1, "seq": 4, "userid": 2, "event_type": "login", "product_type": ""},
+    ]
+    rows = sliding_department_activity(
+        make_clickevents(spark, events), window="10 seconds", slide="5 seconds"
+    ).collect()
+    got = {(r["windowBeginTime"], r["windowEndTime"]): r["eventCount"] for r in rows}
+    assert all(r["departmentName"] == "a" for r in rows)
+    assert got == {
+        (T0 - 5000, T0 + 5000): 1,   # first event only
+        (T0, T0 + 10_000): 2,        # both events
+        (T0 + 5000, T0 + 15_000): 1, # boundary event rolled forward
+    }

@@ -233,3 +233,56 @@ def test_stream_dedup_drops_replayed_events(spark, tmp_path_factory):
         for r in dedup_events(batch).select("userid", "globalseq").collect()
     ]
     assert sorted(batch_rows) == sorted(rows)
+
+
+def test_sliding_window_streaming_matches_batch(spark, tmp_path_factory):
+    """Sliding windows (the reference has none) under Structured Streaming:
+    the same sliding_department_activity declaration over a watermarked
+    stream, replayed file-at-a-time, equals batch on the same events —
+    overlapping buckets finalize exactly once each."""
+    from flink_clickstream_processor_msk_spark.operators.departments import (
+        sliding_department_activity,
+    )
+
+    src = str(tmp_path_factory.mktemp("sliding-src"))
+    cols = [f.name for f in CLICK_EVENT.fields]
+    by_time = sorted(EVENTS, key=lambda e: e["ts"])
+    for chunk in (by_time[:2], by_time[2:4], by_time[4:]):
+        make_clickevents(spark, chunk).select(*cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = stream_clickevents(
+        spark, src, watermark="0 seconds", max_files_per_trigger=1
+    )
+    q = memory_sink(
+        sliding_department_activity(
+            stream, window="10 seconds", slide="5 seconds"
+        ),
+        "s_sliding",
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    def canon(rows):
+        return sorted(
+            (
+                r["departmentName"],
+                r["windowBeginTime"],
+                r["windowEndTime"],
+                r["eventCount"],
+            )
+            for r in (x.asDict() for x in rows)
+            if r["windowBeginTime"] < BASE_TS + 10**8  # sentinel buckets out
+        )
+
+    got = canon(spark.sql("SELECT * FROM s_sliding").collect())
+    want = canon(
+        sliding_department_activity(
+            with_event_time(make_clickevents(spark, EVENTS)),
+            window="10 seconds",
+            slide="5 seconds",
+        ).collect()
+    )
+    assert got == want
+    assert len(got) > 0
