@@ -30,6 +30,36 @@ from pyspark.sql import functions as F
 DEFAULT_WINDOW = "10 seconds"
 
 
+def think_time_stats(clickevents: DataFrame) -> DataFrame:
+    """Per-event-type inter-event gap statistics — the time since the SAME
+    user's previous event (any type), attributed to the later event's
+    type: the classic clickstream "think time" metric, and the engine's
+    explicit lag()/analytic-window demonstration (the reference has no
+    analytic functions at all, SURVEY §2.2).
+
+    Scale shape: ONE shuffle on userid + a per-partition sort feeds the
+    lag window (identical partitioning to the sessionizer — on a bucketed
+    events table even that exchange disappears, tests/test_bucketing.py);
+    the per-type aggregate is map-side-combined into ≤|event types| rows.
+    avg is one sum/count double division (correctly rounded, so the DuckDB
+    twin replays it exactly); min/max/count are integers."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("userid").orderBy("eventtimestamp", "globalseq")
+    gap = F.col("eventtimestamp") - F.lag("eventtimestamp").over(w)
+    return (
+        clickevents.select("event_type", gap.alias("gap_ms"))
+        .filter(F.col("gap_ms").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_ms").alias("min_gap_ms"),
+            F.max("gap_ms").alias("max_gap_ms"),
+            (F.sum("gap_ms") / F.count(F.lit(1))).alias("avg_gap_ms"),
+        )
+    )
+
+
 def session_stats(user_sessions: DataFrame, window: str = DEFAULT_WINDOW) -> DataFrame:
     """UserIdSessionEvent rows (with `_session` window col) → UserIdAggEvent.
 

@@ -272,3 +272,27 @@ SELECT
 FROM wins
 GROUP BY departmentName, windowBeginTime
 """
+
+
+def think_time_stats() -> str:
+    """SQL twin of session_stats.think_time_stats: identical lag()
+    partition/order, integer gap sums far inside double-exact range, one
+    correctly-rounded sum/count division for the average."""
+    return f"""
+WITH {CLICKEVENTS_CTE.strip()},
+gaps AS (
+  SELECT event_type,
+    eventtimestamp - lag(eventtimestamp) OVER (
+      PARTITION BY userid ORDER BY eventtimestamp, globalseq
+    ) AS gap_ms
+  FROM clickevents
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT)   AS n_gaps,
+  CAST(min(gap_ms) AS BIGINT) AS min_gap_ms,
+  CAST(max(gap_ms) AS BIGINT) AS max_gap_ms,
+  SUM(gap_ms) / count(*)      AS avg_gap_ms
+FROM gaps
+WHERE gap_ms IS NOT NULL
+GROUP BY event_type
+"""

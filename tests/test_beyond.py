@@ -655,3 +655,22 @@ def test_decontaminate_k13_matches_python_model(spark):
         for r in pipeline.decontaminate(df).collect()
     }
     assert k3[1] == 1
+
+
+def test_profile_table_approx_single_pass_no_expand(spark, tmp_path):
+    """The production knob: HLL distincts need no Expand and no
+    distinct-value shuffle — one un-expanded pass — and land within the
+    configured error of the exact counts (trivially exact here)."""
+    path = str(tmp_path / "docs_approx")
+    rows = [(i, f"t{i % 7}", "en") for i in range(50)]
+    _docs_ids(spark, rows).write.parquet(path)
+    df = spark.read.parquet(path)
+    q = text.profile_table(df, ["text", "lang"], approx=True)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" not in plan
+    out = {r["col_name"]: r for r in q.collect()}
+    assert out["text"]["n_rows"] == 50 and out["text"]["n_nonnull"] == 50
+    # rsd 0.05 at tiny cardinalities: HLL is exact
+    assert out["text"]["n_distinct"] == 7
+    assert out["lang"]["n_distinct"] == 1

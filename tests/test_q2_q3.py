@@ -87,3 +87,28 @@ def test_sliding_department_activity_membership(spark):
         (T0, T0 + 10_000): 2,        # both events
         (T0 + 5000, T0 + 15_000): 1, # boundary event rolled forward
     }
+
+
+def test_think_time_stats_lag_semantics(spark):
+    """Gaps are per-user (no cross-user gap), attributed to the LATER
+    event's type; each user's first event produces no gap."""
+    from flink_clickstream_processor_msk_spark.operators.session_stats import (
+        think_time_stats,
+    )
+
+    events = [
+        {"ts": T0, "seq": 1, "userid": 1, "event_type": "view", "product_type": "a"},
+        {"ts": T0 + 100, "seq": 2, "userid": 1, "event_type": "order_checkout", "product_type": "a"},
+        {"ts": T0 + 400, "seq": 3, "userid": 1, "event_type": "view", "product_type": "a"},
+        {"ts": T0 + 50, "seq": 4, "userid": 2, "event_type": "view", "product_type": "b"},
+    ]
+    rows = {
+        r["event_type"]: r
+        for r in think_time_stats(make_clickevents(spark, events)).collect()
+    }
+    # user 2's lone event and each user's first event produce no gap
+    assert rows["order_checkout"]["n_gaps"] == 1
+    assert rows["order_checkout"]["min_gap_ms"] == 100
+    assert rows["view"]["n_gaps"] == 1  # T0+400 minus T0+100
+    assert rows["view"]["avg_gap_ms"] == 300.0
+    assert set(rows) == {"view", "order_checkout"}
