@@ -94,7 +94,7 @@ def main() -> None:
     # multiple timed passes: this host throttles intermittently under
     # sustained load (BASELINE.md caveat), so a single pass can read 20-30%
     # low; the spread pins the band, best-of-N is the steady-state estimate
-    n_runs = int(os.environ.get("BENCH_STREAMING_RUNS", "3"))
+    n_runs = max(1, int(os.environ.get("BENCH_STREAMING_RUNS", "3")))
     walls = sorted(_run_pipeline(spark, src, schema) for _ in range(n_runs))
     shutil.rmtree(src, ignore_errors=True)
     wall = walls[0]

@@ -31,7 +31,10 @@ from flink_clickstream_processor_msk_spark.operators.dedup import (
     minhash_duplicate_families,
     shingle_hashes,
 )
-from flink_clickstream_processor_msk_spark.operators.text import quality_filter
+from flink_clickstream_processor_msk_spark.operators.text import (
+    SHINGLE_K,
+    quality_filter,
+)
 
 
 def clean_corpus(
@@ -67,7 +70,7 @@ def clean_corpus(
 
 
 def decontaminate(
-    documents: DataFrame, test_pct: int = 10, k: int | None = None
+    documents: DataFrame, test_pct: int = 10, k: int = SHINGLE_K
 ) -> DataFrame:
     """Test-set decontamination by word-shingle overlap: flag every TRAIN
     document that shares any word-k-gram with any TEST document (GPT-3 /
@@ -96,11 +99,9 @@ def decontaminate(
     grams); it is materialized so the Arrow-batched md5 kernel — the
     dominant map cost — runs over the corpus once, not once per side
     (the ``_materialized`` signature-table rule from the dedup suite)."""
-    from flink_clickstream_processor_msk_spark.operators.text import SHINGLE_K
-
     is_test = (h60(F.col("doc_id").cast("string")) % 100) < test_pct
     g = _materialized(
-        shingle_hashes(documents, k=SHINGLE_K if k is None else k).select(
+        shingle_hashes(documents, k=k).select(
             "doc_id", is_test.alias("is_test"), F.explode("shingles").alias("gram")
         )
     )

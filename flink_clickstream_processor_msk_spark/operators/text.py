@@ -628,7 +628,12 @@ def profile_table(
     for i, c in enumerate(cols):
         aggs.append(F.count(c).alias(f"_nn{i}"))
         aggs.append(nd(c).alias(f"_nd{i}"))
-    pairs = ", ".join(f"'{c}', _nn{i}, _nd{i}" for i, c in enumerate(cols))
+    # column names become SQL string literals inside stack() — escape
+    # quotes so an arbitrary corpus schema can't break the parse
+    pairs = ", ".join(
+        "'{}', _nn{}, _nd{}".format(c.replace("'", "''"), i, i)
+        for i, c in enumerate(cols)
+    )
     return df.agg(*aggs).selectExpr(
         f"stack({len(cols)}, {pairs}) AS (col_name, n_nonnull, n_distinct)",
         "n_rows",

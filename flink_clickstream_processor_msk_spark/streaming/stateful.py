@@ -202,30 +202,13 @@ def session_stats_from_state(
 
     Scale: the sessionizer's userid shuffle feeds a partial-aggregated
     all-to-one window count — identical shape to the built-in chained path."""
-    buy = F.col("orderCheckoutEventCount") != 0
-    return (
-        sessions.withColumn(
-            "_session_out_ts", F.timestamp_millis(F.col("windowEndTime") - 1)
-        )
-        .withWatermark("_session_out_ts", watermark_delay)
-        .groupBy(F.window("_session_out_ts", window).alias("bucket"))
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("userSessionCount"),
-            F.count(F.when(buy, F.lit(1)))
-            .cast("int")
-            .alias("userSessionCountWithOrderCheckout"),
-        )
-        .select(
-            "userSessionCount",
-            "userSessionCountWithOrderCheckout",
-            F.floor(
-                F.col("userSessionCountWithOrderCheckout")
-                * 100
-                / F.col("userSessionCount")
-            )
-            .cast("double")
-            .alias("percentSessionswithBuy"),
-            F.unix_millis(F.col("bucket.start")).alias("windowBeginTime"),
-            F.unix_millis(F.col("bucket.end")).alias("windowEndTime"),
-        )
+    from flink_clickstream_processor_msk_spark.operators.session_stats import (
+        windowed_session_stats,
+    )
+
+    watermarked = sessions.withColumn(
+        "_session_out_ts", F.timestamp_millis(F.col("windowEndTime") - 1)
+    ).withWatermark("_session_out_ts", watermark_delay)
+    return windowed_session_stats(
+        watermarked, F.col("_session_out_ts"), window
     )
