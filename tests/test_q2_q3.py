@@ -112,3 +112,47 @@ def test_think_time_stats_lag_semantics(spark):
     assert rows["view"]["n_gaps"] == 1  # T0+400 minus T0+100
     assert rows["view"]["avg_gap_ms"] == 300.0
     assert set(rows) == {"view", "order_checkout"}
+
+
+def test_sliding_window_oracle_formula_matches_spark_dense_sweep(spark):
+    """The DuckDB oracle assigns each event to candidate window starts
+    ((ts // slide) - j) * slide, j < ceil(window/slide), filtered by
+    ts < start + window. Pin that formula against Spark's own window()
+    over a dense timestamp sweep crossing many boundaries, for a
+    divisible (10s/5s) AND a non-divisible (10s/3s) slide — the latter
+    makes the membership filter load-bearing (ceil gives 4 candidates
+    but some events belong to only 3 windows)."""
+    from flink_clickstream_processor_msk_spark.operators.departments import (
+        sliding_department_activity,
+    )
+
+    ts_list = [T0 + d for d in range(-7, 25_001, 499)] + [
+        T0, T0 + 4_999, T0 + 5_000, T0 + 9_999, T0 + 10_000, T0 + 15_000
+    ]
+    events = [
+        {"ts": t, "seq": i, "userid": 1, "event_type": "view", "product_type": "a"}
+        for i, t in enumerate(ts_list)
+    ]
+    df = make_clickevents(spark, events)
+
+    for win_ms, slide_ms, win_s, slide_s in (
+        (10_000, 5_000, "10 seconds", "5 seconds"),
+        (10_000, 3_000, "10 seconds", "3 seconds"),
+    ):
+        got = {
+            (r["windowBeginTime"], r["windowEndTime"]): r["eventCount"]
+            for r in sliding_department_activity(
+                df, window=win_s, slide=slide_s
+            ).collect()
+        }
+        # pure-Python twin of the SQL oracle's membership formula
+        from collections import Counter
+
+        n = -(-win_ms // slide_ms)
+        model = Counter()
+        for t in ts_list:
+            for j in range(n):
+                start = ((t // slide_ms) - j) * slide_ms
+                if start + win_ms > t:
+                    model[(start, start + win_ms)] += 1
+        assert got == dict(model), (win_s, slide_s)
