@@ -3,7 +3,9 @@ logical table.
 
 The reference consumes exactly one source (Kafka+Avro, CP:114-119); a
 warehouse-grade engine surface also ingests files (SURVEY §2.2 records the
-reference's "file-format scans: No" row). This module keeps format choice
+reference's "file-format scans: No" row). (`sources.tables.read_table`
+reads the NAMED fixture tables, parquet-only; this module reads any
+PATH in any supported format.) This module keeps format choice
 out of the operators: every operator takes a DataFrame, so any table a
 pipeline owns can arrive as parquet (the performance path — columnar,
 predicate pushdown, column pruning), JSONL (interchange dumps), or CSV
@@ -33,7 +35,7 @@ _CSV_OPTIONS = {
 }
 
 
-def read_table(
+def read_any(
     spark: SparkSession,
     path: str,
     fmt: str | None = None,
@@ -63,9 +65,9 @@ def read_table(
     raise ValueError(f"unsupported table format: {f!r}")
 
 
-def write_table(df: DataFrame, path: str, fmt: str | None = None) -> None:
-    """Write ``df`` in the format implied by ``path`` (see read_table) —
-    the test-pinned inverse of read_table for flat tables."""
+def write_any(df: DataFrame, path: str, fmt: str | None = None) -> None:
+    """Write ``df`` in the format implied by ``path`` (see read_any) —
+    the test-pinned inverse of read_any for flat tables."""
     f = fmt or _infer_format(path)
     if f == "parquet":
         df.write.mode("overwrite").parquet(path)
@@ -93,7 +95,7 @@ def convert_to_parquet(
     to parquet once, so every downstream query gets columnar pruning and
     pushdown instead of re-parsing text. Optional hive partitioning by
     low-cardinality columns (e.g. lang) for partition-pruned scans."""
-    df = read_table(spark, src_path, schema=schema)
+    df = read_any(spark, src_path, schema=schema)
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)

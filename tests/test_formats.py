@@ -25,8 +25,8 @@ def docs_in_three_formats(spark, tmp_path_factory):
     docs = spark.read.parquet(parquet_path)
     json_path = str(base / "documents.jsonl")
     csv_path = str(base / "documents.csv")
-    formats.write_table(docs, json_path)
-    formats.write_table(docs, csv_path)
+    formats.write_any(docs, json_path)
+    formats.write_any(docs, csv_path)
     return parquet_path, json_path, csv_path
 
 
@@ -34,21 +34,21 @@ def test_round_trip_rows_identical(spark, docs_in_three_formats):
     """Byte-level row equality across all three formats — including CSV
     with embedded quotes/newlines in the text column (multiLine+escape)."""
     parquet_path, json_path, csv_path = docs_in_three_formats
-    want = _canon(formats.read_table(spark, parquet_path))
-    assert _canon(formats.read_table(spark, json_path, schema=DOCS_SCHEMA)) == want
-    assert _canon(formats.read_table(spark, csv_path, schema=DOCS_SCHEMA)) == want
+    want = _canon(formats.read_any(spark, parquet_path))
+    assert _canon(formats.read_any(spark, json_path, schema=DOCS_SCHEMA)) == want
+    assert _canon(formats.read_any(spark, csv_path, schema=DOCS_SCHEMA)) == want
 
 
 def test_operator_results_format_invariant(spark, docs_in_three_formats):
     """A representative operator (text_stats: tokenization, ratios, doubles)
     gives identical output whichever format the table arrived in."""
     parquet_path, json_path, csv_path = docs_in_three_formats
-    want = _canon(text.text_stats(formats.read_table(spark, parquet_path)))
+    want = _canon(text.text_stats(formats.read_any(spark, parquet_path)))
     got_json = _canon(
-        text.text_stats(formats.read_table(spark, json_path, schema=DOCS_SCHEMA))
+        text.text_stats(formats.read_any(spark, json_path, schema=DOCS_SCHEMA))
     )
     got_csv = _canon(
-        text.text_stats(formats.read_table(spark, csv_path, schema=DOCS_SCHEMA))
+        text.text_stats(formats.read_any(spark, csv_path, schema=DOCS_SCHEMA))
     )
     assert got_json == want
     assert got_csv == want
@@ -57,7 +57,7 @@ def test_operator_results_format_invariant(spark, docs_in_three_formats):
 def test_text_formats_require_schema(spark, docs_in_three_formats):
     _, json_path, _ = docs_in_three_formats
     with pytest.raises(ValueError, match="explicit schema"):
-        formats.read_table(spark, json_path)
+        formats.read_any(spark, json_path)
 
 
 def test_convert_to_parquet_lands_partitioned(spark, docs_in_three_formats, tmp_path):
