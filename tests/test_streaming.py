@@ -286,3 +286,65 @@ def test_sliding_window_streaming_matches_batch(spark, tmp_path_factory):
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_es_bulk_sink_wiring_end_to_end(spark, tmp_path_factory):
+    """E1-E3 wiring under a REAL streaming query: department counts →
+    bulk_foreach_batch_sink(dedup_epochs(make_bulk_writer(...))) — every
+    output row is delivered exactly once as a JSON doc through the
+    reference-parity flush policy (no live ES client in this environment;
+    the transport is a directory-writing `send`)."""
+    import json as _json
+    import os
+
+    from flink_clickstream_processor_msk_spark.streaming.sinks import (
+        BulkFlushPolicy,
+        bulk_foreach_batch_sink,
+        dedup_epochs,
+        make_bulk_writer,
+    )
+
+    base = tmp_path_factory.mktemp("es-sink")
+    src, out = str(base / "src"), str(base / "out")
+    os.makedirs(out)
+    cols = [f.name for f in CLICK_EVENT.fields]
+    make_clickevents(spark, EVENTS).select(*cols).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    def send(chunk, _out=out):
+        import uuid
+
+        with open(os.path.join(_out, f"{uuid.uuid4().hex}.jsonl"), "w") as f:
+            for doc in chunk:
+                f.write(doc + "\n")
+
+    stream = stream_clickevents(spark, src, watermark="0 seconds")
+    counts = build_streams(stream).department_counts
+    q = bulk_foreach_batch_sink(
+        counts,
+        dedup_epochs(
+            make_bulk_writer(send, BulkFlushPolicy(max_actions=2)),
+            str(base / "markers"),
+        ),
+        checkpoint_dir=str(base / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = []
+    for name in os.listdir(out):
+        with open(os.path.join(out, name)) as f:
+            got += [_json.loads(line) for line in f]
+    # the sentinel's own window stays open in streaming (nothing advances
+    # the watermark past it) — exclude it on both sides, as elsewhere
+    got = [d for d in got if d["departmentName"] != "sentinel"]
+    want = [
+        r.asDict()
+        for r in build_streams(with_event_time(make_clickevents(spark, EVENTS)))
+        .department_counts.collect()
+        if r["departmentName"] != "sentinel"
+    ]
+    key = lambda d: (d["departmentName"], d["windowBeginTime"])  # noqa: E731
+    assert sorted(got, key=key) == sorted(want, key=key)
+    assert len(got) > 0
