@@ -136,3 +136,24 @@ def test_nation_trade_roles_set_algebra(spark):
         for r in relational.nation_trade_roles(customer, supplier, nation).collect()
     }
     assert out == {("NA", "both"), ("NB", "customer_only"), ("NC", "supplier_only")}
+
+
+def test_scan_pushdown_and_column_pruning_guards(spark):
+    """Regression guards for the two scan properties PLANS.md claims
+    everywhere: the Q1 cutoff predicate reaches the parquet scan
+    (PushedFilters) and the scan reads only the referenced columns
+    (ReadSchema — 6 of lineitem's 11)."""
+    from conftest import SF_SMOKE
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    q = relational.pricing_summary(li)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection list on the FileScan line (ReadSchema is printer-truncated)
+    scan = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    read_cols = scan.split("FileScan parquet [")[1].split("]")[0]
+    for c in ("l_returnflag", "l_linestatus", "l_quantity",
+              "l_extendedprice", "l_discount", "l_tax", "l_shipdate"):
+        assert c in read_cols
+    for c in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+        assert c not in read_cols  # pruned
