@@ -348,3 +348,41 @@ def test_es_bulk_sink_wiring_end_to_end(spark, tmp_path_factory):
     key = lambda d: (d["departmentName"], d["windowBeginTime"])  # noqa: E731
     assert sorted(got, key=key) == sorted(want, key=key)
     assert len(got) > 0
+
+
+def test_batch_metrics_listener_records_progress(spark, tmp_path_factory):
+    """Observability parity (the reference's KDA jobs get CloudWatch
+    metrics for free): the listener captures per-batch input rows and the
+    stateful operators' state-row totals for a named streaming query."""
+    from flink_clickstream_processor_msk_spark.streaming.metrics import (
+        attach_metrics,
+    )
+
+    src = str(tmp_path_factory.mktemp("metrics-src"))
+    cols = [f.name for f in CLICK_EVENT.fields]
+    make_clickevents(spark, EVENTS).select(*cols).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    listener = attach_metrics(spark)
+    try:
+        stream = stream_clickevents(spark, src, watermark="0 seconds")
+        q = memory_sink(
+            build_streams(stream).user_sessions, "metrics_sessions"
+        )
+        q.processAllAvailable()
+        q.stop()
+        # listener events are delivered asynchronously after the batch
+        import time
+
+        for _ in range(50):
+            if listener.for_query("metrics_sessions"):
+                break
+            time.sleep(0.2)
+        recs = listener.for_query("metrics_sessions")
+        assert recs, "no progress events captured"
+        assert sum(r["num_input_rows"] for r in recs) == len(EVENTS)
+        assert all("state_rows" in r and "batch_id" in r for r in recs)
+        assert any(r["processed_rows_per_sec"] >= 0 for r in recs)
+    finally:
+        spark.streams.removeListener(listener)
