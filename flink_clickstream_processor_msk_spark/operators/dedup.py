@@ -265,6 +265,24 @@ def minhash_near_duplicates(
     )
 
 
+def save_pairs(pairs: DataFrame, path: str) -> None:
+    """Write a verified near-dup pairs table — the cluster-scale artifact
+    the session cache stands in for locally (PLANS.md "Duplicate
+    families"): the LSH pipeline runs ONCE to build pairs; family
+    resolution, corpus cleaning, and dedup audits then read the written
+    table instead of re-shingling the corpus. Plain parquet — consumers
+    scan it whole (no routing column to prune on) and it is
+    pair-count-sized, tiny next to the corpus it indexes."""
+    pairs.write.mode("overwrite").parquet(path)
+
+
+def load_pairs(spark, path: str) -> DataFrame:
+    """Read a saved pairs table; plugs into
+    ``minhash_duplicate_families(..., pairs=...)`` and
+    ``pipeline.clean_corpus(..., pairs=...)``."""
+    return spark.read.parquet(path)
+
+
 def _lsh_verified_pairs(
     sets_: DataFrame,
     sim_col: str,

@@ -612,6 +612,45 @@ def pq_refine_codebooks(
     return cbs
 
 
+def save_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    m: int = PQ_M,
+    k_cb: int = PQ_K,
+    codebooks: list[list[list[float]]] | None = None,
+) -> None:
+    """Build and write a PQ index: ``path/codes`` (the 16×-compressed
+    scan target — written plain: ADC scans it whole, there is no routing
+    column; IVFADC adds one via the IVF index) + ``path/codebooks``
+    sidecar. Pass ``codebooks=pq_refine_codebooks(...)`` to persist the
+    Lloyd's-refined build."""
+    cbs, codes = build_pq_index(embeddings, m, k_cb, codebooks)
+    spark = embeddings.sparkSession
+    codes.write.mode("overwrite").parquet(f"{path}/codes")
+    rows = [
+        (s, j, list(map(float, c)))
+        for s, cb in enumerate(cbs)
+        for j, c in enumerate(cb)
+    ]
+    spark.createDataFrame(
+        rows, "s int, j int, cvec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    codes.unpersist()
+
+
+def load_pq_index(
+    spark, path: str
+) -> tuple[list[list[list[float]]], DataFrame]:
+    """Read a saved PQ index; the returned pair plugs straight into
+    ``ann_pq_topk(..., index=...)`` / ``ann_ivfpq_topk(..., pq_index=...)``."""
+    rows = spark.read.parquet(f"{path}/codebooks").orderBy("s", "j").collect()
+    m = max(r["s"] for r in rows) + 1
+    cbs: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in rows:
+        cbs[r["s"]].append([float(x) for x in r["cvec"]])
+    return cbs, spark.read.parquet(f"{path}/codes")
+
+
 def _adc_lut(
     cbs: list[list[list[float]]], q: list[float]
 ) -> list[list[float]]:

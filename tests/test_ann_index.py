@@ -173,3 +173,59 @@ def test_kmeans_refine_deterministic_and_shape(spark):
     for r in got:
         assert exact[r["vec_id"]] == r["cosine"]  # scores are exact folds
     spark.catalog.clearCache()
+
+
+def test_saved_pq_index_roundtrip(spark, tmp_path):
+    """A written PQ index (codes + codebooks sidecar) returns identical
+    ADC top-k to the in-memory build — for both the deterministic seed
+    codebooks and the Lloyd's-refined build."""
+    from flink_clickstream_processor_msk_spark.operators import similarity
+
+    emb = _emb(spark)
+    path = str(tmp_path / "pq")
+    similarity.save_pq_index(emb, path)
+    loaded = similarity.load_pq_index(spark, path)
+    want_cbs, want_codes = similarity.build_pq_index(emb)
+    assert loaded[0] == want_cbs
+    got = similarity.ann_pq_topk(emb, 0, 10, index=loaded).collect()
+    assert got == similarity.ann_pq_topk(emb, 0, 10, index=(want_cbs, want_codes)).collect()
+
+    refined = similarity.pq_refine_codebooks(emb, iterations=1)
+    rpath = str(tmp_path / "pq_refined")
+    similarity.save_pq_index(emb, rpath, codebooks=refined)
+    rloaded = similarity.load_pq_index(spark, rpath)
+    assert rloaded[0] == refined
+    spark.catalog.clearCache()
+
+
+def test_saved_pairs_table_feeds_families_and_cleaning(spark, tmp_path):
+    """The written near-dup pairs table — build once, write, read back —
+    gives byte-identical duplicate families and clean-corpus output to
+    the inline pipeline (the pairs analog of the saved ANN indexes)."""
+    from flink_clickstream_processor_msk_spark.operators import dedup
+    from flink_clickstream_processor_msk_spark.operators.pipeline import clean_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = dedup.minhash_near_duplicates(docs, max_bucket_size=None)
+    path = str(tmp_path / "pairs")
+    dedup.save_pairs(pairs, path)
+    loaded = dedup.load_pairs(spark, path)
+    assert sorted(map(tuple, loaded.collect())) == sorted(map(tuple, pairs.collect()))
+
+    want_fam = sorted(
+        map(tuple, dedup.minhash_duplicate_families(
+            docs, max_bucket_size=None, pairs=pairs).collect())
+    )
+    got_fam = sorted(
+        map(tuple, dedup.minhash_duplicate_families(
+            docs, max_bucket_size=None, pairs=loaded).collect())
+    )
+    assert got_fam == want_fam
+    want_clean = sorted(
+        map(tuple, clean_corpus(docs, pairs=pairs).collect())
+    )
+    got_clean = sorted(
+        map(tuple, clean_corpus(docs, pairs=loaded).collect())
+    )
+    assert got_clean == want_clean
+    spark.catalog.clearCache()
