@@ -344,6 +344,13 @@ def _lsh_saved_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_saved_index(spark: SparkSession, sf_dir: str):
+    return _saved_index(
+        spark, sf_dir, "pq_saved",
+        similarity.save_pq_index, similarity.load_pq_index,
+    )
+
+
 def _ivf_saved_index(spark: SparkSession, sf_dir: str):
     return _saved_index(
         spark, sf_dir, "ivf_saved",
@@ -370,6 +377,7 @@ CACHE_DEPS: dict[str, tuple[str, ...]] = {
     "sim_ann_ivf_topk": ("ivf",),
     "sim_ann_lsh_saved_topk": ("lsh_saved",),
     "sim_ann_ivf_saved_topk": ("ivf_saved",),
+    "sim_ann_pq_saved_topk": ("pq_saved",),
     "sim_ann_ivf_kmeans_topk": ("ivf_kmeans",),
     "sim_ann_pq_kmeans_topk": ("pq_kmeans",),
 }
@@ -382,6 +390,7 @@ _CACHE_BUILDERS = {
     "ivf": lambda spark, sf_dir: _ivf_index(spark, sf_dir)[1],
     "lsh_saved": _lsh_saved_index,
     "ivf_saved": lambda spark, sf_dir: _ivf_saved_index(spark, sf_dir)[1],
+    "pq_saved": lambda spark, sf_dir: _pq_saved_index(spark, sf_dir)[1],
     "ivf_kmeans": lambda spark, sf_dir: _ivf_kmeans_index(spark, sf_dir)[1],
     "pq_kmeans": lambda spark, sf_dir: _pq_kmeans_index(spark, sf_dir)[1],
 }
@@ -612,6 +621,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _TOPK,
             index=_ivf_saved_index(spark, sf_dir),
         ),
+        "sim_ann_pq_saved_topk": lambda spark, sf_dir: similarity.ann_pq_topk(
+            _embeddings(spark, sf_dir),
+            _QUERY_VEC_ID,
+            _TOPK,
+            index=_pq_saved_index(spark, sf_dir),
+        ),
         # reference-parity constants (CP:129,143,152) — same operators as
         # the *_30m head rows, the reference's exact window constants
         "q1_user_sessions_1s": _q1(_GAP_1S),
@@ -692,6 +707,8 @@ def oracle_sql() -> dict[str, str]:
         # identical semantics to sim_ann_ivf_topk — the index is merely
         # written out and read back, so the same oracle checks the path
         "sim_ann_ivf_saved_topk": oracles_beyond.ann_ivf_topk(_QUERY_VEC_ID, _TOPK),
+        # identical semantics to sim_ann_pq_topk (written index read back)
+        "sim_ann_pq_saved_topk": oracles_beyond.ann_pq_topk(_QUERY_VEC_ID, _TOPK),
         "sim_ann_ivf_kmeans_topk": oracles_beyond.ann_ivf_kmeans_topk(
             _QUERY_VEC_ID, _TOPK
         ),
