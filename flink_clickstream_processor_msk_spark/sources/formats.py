@@ -26,13 +26,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-#: read options that make Spark's CSV round-trip its own writer's output,
-#: including embedded newlines/quotes in text columns
-_CSV_OPTIONS = {
+#: shared CSV options: one dict drives BOTH sides so the writer's output
+#: and the reader's expectations cannot drift. multiLine+escape round-trip
+#: embedded newlines/quotes; the whitespace options disable the WRITER's
+#: default trimming (ignore*WhiteSpace default true on write, which
+#: silently corrupts text values); the \\N null sentinel disambiguates
+#: NULL from the empty string (with the default "" sentinel every empty
+#: string reads back as null).
+_CSV_COMMON = {
     "header": "true",
-    "multiLine": "true",
     "escape": '"',
+    "nullValue": "\\N",
+    "ignoreLeadingWhiteSpace": "false",
+    "ignoreTrailingWhiteSpace": "false",
 }
+_CSV_READ = {**_CSV_COMMON, "multiLine": "true", "emptyValue": ""}
 
 
 def read_any(
@@ -49,17 +57,32 @@ def read_any(
     drops — fail loudly instead)."""
     f = fmt or _infer_format(path)
     if f == "parquet":
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
+        if schema is not None:
+            expected = (
+                spark.createDataFrame([], schema).schema
+                if isinstance(schema, str)
+                else schema
+            )
+            if df.schema != expected:
+                raise ValueError(
+                    f"parquet schema drift at {path!r}: expected {expected}, "
+                    f"found {df.schema}"
+                )
+        return df
     if schema is None:
         raise ValueError(
             f"{f} source needs an explicit schema (inference re-scans the "
             "data and drifts types between corpus drops)"
         )
+    # FAILFAST, not the default PERMISSIVE: a malformed line must error,
+    # not become a silent all-null row (the same fail-loudly stance as the
+    # mandatory-schema rule above)
     if f == "json":
-        return spark.read.schema(schema).json(path)
+        return spark.read.schema(schema).option("mode", "FAILFAST").json(path)
     if f == "csv":
-        reader = spark.read.schema(schema)
-        for k, v in _CSV_OPTIONS.items():
+        reader = spark.read.schema(schema).option("mode", "FAILFAST")
+        for k, v in _CSV_READ.items():
             reader = reader.option(k, v)
         return reader.csv(path)
     raise ValueError(f"unsupported table format: {f!r}")
@@ -74,12 +97,10 @@ def write_any(df: DataFrame, path: str, fmt: str | None = None) -> None:
     elif f == "json":
         df.write.mode("overwrite").json(path)
     elif f == "csv":
-        (
-            df.write.mode("overwrite")
-            .option("header", "true")
-            .option("escape", '"')
-            .csv(path)
-        )
+        writer = df.write.mode("overwrite")
+        for k, v in _CSV_COMMON.items():
+            writer = writer.option(k, v)
+        writer.csv(path)
     else:
         raise ValueError(f"unsupported table format: {f!r}")
 

@@ -17,6 +17,7 @@ instead of (or as well as) the ring buffer.
 
 from __future__ import annotations
 
+import threading
 from collections import deque
 from typing import Any
 
@@ -31,6 +32,10 @@ class BatchMetricsListener(StreamingQueryListener):
     stateful operators (session windows, tumbling aggs, dedup state)."""
 
     def __init__(self, max_entries: int = 10_000) -> None:
+        # the listener bus appends from its own thread while callers read;
+        # snapshot/append under a lock (iterating a deque that another
+        # thread mutates raises RuntimeError)
+        self._lock = threading.Lock()
         self.records: deque[dict[str, Any]] = deque(maxlen=max_entries)
 
     def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
@@ -39,18 +44,19 @@ class BatchMetricsListener(StreamingQueryListener):
     def onQueryProgress(self, event) -> None:  # noqa: N802
         p = event.progress
         state_rows = sum(op.numRowsTotal for op in p.stateOperators)
-        self.records.append(
-            {
-                "name": p.name,
-                "id": str(p.id),
-                "batch_id": p.batchId,
-                "num_input_rows": p.numInputRows,
-                "input_rows_per_sec": p.inputRowsPerSecond,
-                "processed_rows_per_sec": p.processedRowsPerSecond,
-                "watermark": p.eventTime.get("watermark"),
-                "state_rows": state_rows,
-            }
-        )
+        with self._lock:
+            self.records.append(
+                {
+                    "name": p.name,
+                    "id": str(p.id),
+                    "batch_id": p.batchId,
+                    "num_input_rows": p.numInputRows,
+                    "input_rows_per_sec": p.inputRowsPerSecond,
+                    "processed_rows_per_sec": p.processedRowsPerSecond,
+                    "watermark": p.eventTime.get("watermark"),
+                    "state_rows": state_rows,
+                }
+            )
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
         pass
@@ -59,7 +65,9 @@ class BatchMetricsListener(StreamingQueryListener):
         pass
 
     def for_query(self, name: str) -> list[dict[str, Any]]:
-        return [r for r in self.records if r["name"] == name]
+        with self._lock:
+            snapshot = list(self.records)
+        return [r for r in snapshot if r["name"] == name]
 
 
 def attach_metrics(spark, max_entries: int = 10_000) -> BatchMetricsListener:

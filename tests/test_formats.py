@@ -79,3 +79,55 @@ def test_convert_to_parquet_lands_partitioned(spark, docs_in_three_formats, tmp_
         .collect()
     }
     assert {r["doc_id"] for r in q.collect()} == want
+
+
+def test_csv_round_trip_preserves_whitespace_empty_and_null(spark, tmp_path):
+    """The fidelity boundaries CSV defaults corrupt: leading/trailing
+    whitespace must survive (writer trim disabled), the empty string must
+    stay '' (not become null), and NULL must stay NULL (sentinel)."""
+    rows = [
+        (0, "  leading and trailing  ", "en", "s", 24),
+        (1, "", "en", "s", 0),
+        (2, None, "en", "s", 0),
+        (3, "tail newline\n", "en", "s", 13),
+        (4, 'quote " and, comma', "en", "s", 18),
+    ]
+    df = spark.createDataFrame(rows, DOCS_SCHEMA)
+    path = str(tmp_path / "edge.csv")
+    formats.write_any(df, path)
+    got = {r["doc_id"]: r["text"] for r in formats.read_any(
+        spark, path, schema=DOCS_SCHEMA).collect()}
+    assert got == {i: t for i, t, *_ in rows}
+
+
+def test_malformed_text_row_fails_fast(spark, tmp_path):
+    """A garbled JSONL line must ERROR (FAILFAST), never become a silent
+    all-null row flowing into the pipeline."""
+    import pytest as _pytest
+
+    path = tmp_path / "bad"
+    path.mkdir()
+    (path / "part-0.jsonl").write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n'
+        "{this is not json\n"
+    )
+    with _pytest.raises(Exception, match="FAILFAST|Malformed|malformed"):
+        formats.read_any(spark, str(path), fmt="json", schema=DOCS_SCHEMA).collect()
+
+
+def test_parquet_schema_drift_detected(spark, tmp_path):
+    """An explicitly-passed schema is ENFORCED on parquet too — a type
+    drift in a new drop raises instead of propagating."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "drift.parquet")
+    spark.createDataFrame(
+        [(1, "x", "en", "s", 1.0)],
+        "doc_id long, text string, lang string, source string, n_chars double",
+    ).write.parquet(path)
+    with _pytest.raises(ValueError, match="schema drift"):
+        formats.read_any(spark, path, schema=DOCS_SCHEMA)
+    # matching schema passes
+    assert formats.read_any(
+        spark, f"{SF_SMOKE}/documents.parquet", schema=DOCS_SCHEMA
+    ).count() > 0

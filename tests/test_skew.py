@@ -10,12 +10,8 @@ from flink_clickstream_processor_msk_spark.operators.skew import salted_join
 
 
 def _skewed_frames(spark):
-    # 90% of fact rows share one hot key; dimension has 10 keys
-    fact = spark.createDataFrame(
-        [(0 if i % 10 else i % 10, i) for i in range(2000)],
-        "k int, v long",
-    )
-    # make the hot key truly hot: ~1800 rows of k=0
+    # hot key: rows 200..1999 all carry k=0 (1820 of 2000 rows); the first
+    # 200 rows spread over the 10 dimension keys so every key matches
     fact = spark.createDataFrame(
         [((i % 10) if i < 200 else 0, i) for i in range(2000)],
         "k int, v long",
