@@ -247,6 +247,44 @@ def pricing_rollup(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame
     ).orderBy("gid", "l_returnflag", "l_linestatus")
 
 
+def pricing_cube(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1 shape under ``CUBE(l_returnflag, l_linestatus)`` — the
+    full grouping-sets lattice: leaf groups (gid 0), per-returnflag
+    subtotals (gid 1), per-LINESTATUS subtotals (gid 2 — the set ROLLUP
+    cannot produce), and the grand total (gid 3). Together with
+    :func:`pricing_rollup` this closes the grouping-sets family (SURVEY
+    §2.2): Spark's `cube` IS `GROUPING SETS ((a,b),(a),(b),())`, so the
+    explicit form needs no separate operator.
+
+    Scale shape: identical to rollup — ONE scan + one Expand (4 duplicated
+    streams here) + one map-side-combined aggregate; cost is sets× the
+    aggregate's shuffle rows (groups × partitions, tiny), never sets×
+    scans. Integer-cents sums; DuckDB CUBE emits identical rows and the
+    same first-arg-is-MSB GROUPING() bitmask, so the oracle is direct."""
+    qty_c = _cents("l_quantity")
+    ep_c = _cents("l_extendedprice")
+    disc_pct = _cents("l_discount")
+    disc_price_u = ep_c * (F.lit(100) - disc_pct)
+    g = (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.sum(qty_c).alias("qc"),
+            F.sum(disc_price_u).alias("dc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return g.select(
+        "gid",
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("qc") / 100.0).alias("sum_qty"),
+        (F.col("dc") / 10000.0).alias("sum_disc_price"),
+        F.col("n").alias("count_order"),
+    ).orderBy("gid", "l_returnflag", "l_linestatus")
+
+
 def no_return_customers(
     customer: DataFrame,
     orders: DataFrame,

@@ -30,6 +30,15 @@ from pyspark.sql import functions as F
 DEFAULT_WINDOW = "10 seconds"
 
 
+def percent_sessions_with_buy(buy_count, total_count):
+    """THE percent formula (UserSessionAggregates.java:16-29): Java integer
+    division ``buy*100/total`` — truncation — stored in a double. One
+    definition shared by the direct Q2 aggregate and the partial-merge path
+    (streaming.pipeline.merge_session_stats_partials), so the two cannot
+    desync."""
+    return F.floor(buy_count * 100 / total_count).cast("double")
+
+
 def think_time_stats(clickevents: DataFrame) -> DataFrame:
     """Per-event-type inter-event gap statistics — the time since the SAME
     user's previous event (any type), attributed to the later event's
@@ -81,13 +90,10 @@ def windowed_session_stats(sessions, time_col, window: str) -> DataFrame:
             "userSessionCount",
             "userSessionCountWithOrderCheckout",
             # integer-division truncation kept for reference parity
-            F.floor(
-                F.col("userSessionCountWithOrderCheckout")
-                * 100
-                / F.col("userSessionCount")
-            )
-            .cast("double")
-            .alias("percentSessionswithBuy"),
+            percent_sessions_with_buy(
+                F.col("userSessionCountWithOrderCheckout"),
+                F.col("userSessionCount"),
+            ).alias("percentSessionswithBuy"),
             F.unix_millis(F.col("bucket.start")).alias("windowBeginTime"),
             F.unix_millis(F.col("bucket.end")).alias("windowEndTime"),
         )

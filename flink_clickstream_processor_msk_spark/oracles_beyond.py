@@ -1175,6 +1175,30 @@ ORDER BY gid, l_returnflag, l_linestatus
 """
 
 
+def pricing_cube(cutoff: str = "1998-09-02") -> str:
+    """SQL twin of relational.pricing_cube (DuckDB CUBE emits the same
+    4-set lattice; GROUPING() uses the same first-arg-is-MSB bitmask as
+    Spark's grouping_id; integer-cents sums as in pricing_summary)."""
+    return f"""
+WITH c AS (
+  SELECT l_returnflag, l_linestatus,
+    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+    CAST(round(l_extendedprice * 100) AS BIGINT) AS ep_c,
+    CAST(round(l_discount * 100) AS BIGINT) AS disc_pct
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '{cutoff}'
+)
+SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+  l_returnflag, l_linestatus,
+  SUM(qty_c) / 100.0 AS sum_qty,
+  SUM(ep_c * (100 - disc_pct)) / 10000.0 AS sum_disc_price,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM c
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
 def no_return_customers() -> str:
     """SQL twin of relational.no_return_customers (EXISTS / NOT EXISTS ≡
     the Spark plan's LeftSemi / LeftAnti joins — integer counts only)."""

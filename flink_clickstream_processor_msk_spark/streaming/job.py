@@ -14,11 +14,18 @@ from pyspark.sql import SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from flink_clickstream_processor_msk_spark.config import AppConfig
+from flink_clickstream_processor_msk_spark.operators.sessionize import sessionize
 from flink_clickstream_processor_msk_spark.sources.clickevents import (
     kafka_clickevents,
 )
-from flink_clickstream_processor_msk_spark.streaming.pipeline import build_streams
-from flink_clickstream_processor_msk_spark.streaming.sinks import kafka_json_sink
+from flink_clickstream_processor_msk_spark.streaming.pipeline import (
+    build_streams,
+    session_fanout,
+)
+from flink_clickstream_processor_msk_spark.streaming.sinks import (
+    kafka_json_sink,
+    kafka_sink_frame,
+)
 
 
 def run(spark: SparkSession, config: AppConfig) -> list[StreamingQuery]:
@@ -66,3 +73,58 @@ def run(spark: SparkSession, config: AppConfig) -> list[StreamingQuery]:
             timestamp_col="windowEndTime",  # setWriteTimestampToKafka, CP:251
         ),
     ]
+
+
+def run_single_pass(spark: SparkSession, config: AppConfig) -> StreamingQuery:
+    """The measured alternative to :func:`run` — ONE streaming query:
+    sessionize once, fan out to the three Kafka topics inside foreachBatch
+    (SURVEY §7.1 M5; measurement in BASELINE.md/PLANS.md — ~2× end-to-end
+    throughput of the three-query form, which pays the source read and
+    session-window state three times).
+
+    Trade (documented in streaming.pipeline.session_fanout): buy-session
+    records are exact; Q2/Q3 records are per-batch partial window counts
+    whose downstream consumer must merge additively (upsert-with-add keyed
+    on the window bounds — e.g. compacted topics or the ES doc-id pattern
+    the reference already relies on, CP:208-227). :func:`run` keeps exact
+    finalized-window records and per-sink failure isolation at the measured
+    fan-out cost; this is the throughput-first configuration.
+    """
+    config.validate()
+    servers = config["BootstrapServers"]
+    ckpt = config["CheckpointDir"]
+
+    clickevents = kafka_clickevents(
+        spark,
+        bootstrap_servers=servers,
+        topic=config["InputTopic"],
+        watermark=config["Watermark"],
+    )
+    sessions = sessionize(clickevents, gap=config["SessionGap"])
+
+    def kafka_writer(topic, key_cols=None, timestamp_col="windowEndTime"):
+        def write(df, _epoch_id: int) -> None:
+            (
+                kafka_sink_frame(df, key_cols, timestamp_col)
+                .write.format("kafka")
+                .option("kafka.bootstrap.servers", servers)
+                .option("topic", topic)
+                .save()
+            )
+
+        return write
+
+    fan_out = session_fanout(
+        write_buy=kafka_writer(config["BuySessionsTopic"]),  # CP:243-251
+        write_session_stats=kafka_writer(config["SessionStatsTopic"]),
+        write_department_counts=kafka_writer(
+            config["DepartmentsAggTopic"], key_cols=["departmentName"]
+        ),
+        window=config["TumblingWindow"],
+    )
+    return (
+        sessions.writeStream.foreachBatch(fan_out)
+        .option("checkpointLocation", f"{ckpt}/single_pass")
+        .outputMode("append")
+        .start()
+    )

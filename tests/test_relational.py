@@ -91,6 +91,42 @@ def test_pricing_rollup_subtotals_and_grand_total(spark):
     assert "Expand" in plan
 
 
+def test_pricing_cube_full_lattice(spark):
+    """CUBE emits all four grouping sets — leaves (gid 0), per-returnflag
+    (gid 1), per-LINESTATUS (gid 2, the set rollup lacks), grand total
+    (gid 3) — with measures that re-sum consistently; still one scan +
+    Expand, never one scan per set."""
+    li = _lineitem(
+        spark,
+        [
+            (1, 10, 100.00, 0.00, 0.00, "A", "F", "1996-01-01"),
+            (2, 5, 50.00, 0.00, 0.00, "A", "O", "1996-01-02"),
+            (3, 1, 10.00, 0.00, 0.00, "R", "F", "1996-01-03"),
+        ],
+    )
+    rows = relational.pricing_cube(li).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r["gid"], []).append(r)
+    assert (
+        len(by_gid[0]) == 3
+        and len(by_gid[1]) == 2
+        and len(by_gid[2]) == 2
+        and len(by_gid[3]) == 1
+    )
+    sub_f = next(r for r in by_gid[2] if r["l_linestatus"] == "F")
+    assert sub_f["l_returnflag"] is None
+    assert sub_f["count_order"] == 2 and sub_f["sum_qty"] == 11.0
+    grand = by_gid[3][0]
+    assert grand["count_order"] == 3 and grand["sum_qty"] == 16.0
+    # each grouping-set level re-sums to the same totals
+    for gid in (0, 1, 2):
+        assert sum(r["count_order"] for r in by_gid[gid]) == 3
+    plan = relational.pricing_cube(li)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
+    assert plan.count("Scan ExistingRDD") <= 1
+
+
 def test_no_return_customers_semi_anti_semantics(spark):
     """cust 1: orders, no returns -> counted. cust 2: order with an 'R'
     item -> excluded. cust 3: no orders at all -> excluded."""

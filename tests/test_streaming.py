@@ -144,6 +144,107 @@ def test_chained_stateful_multi_batch_matches_batch(spark, tmp_path_factory):
     )
 
 
+def test_single_pass_fanout_matches_batch(spark, tmp_path_factory):
+    """The SURVEY §7.1 M5 alternative: ONE streaming query (sessionize
+    once) fanning out to three writers inside foreachBatch. Buy-session
+    records must equal batch exactly; Q2/Q3 per-batch PARTIAL window rows
+    must reconstruct the exact batch rows under the documented additive
+    merge — with the fixture crafted so at least one tumbling bucket's
+    sessions finalize across DIFFERENT micro-batches (the merge is
+    genuinely exercised, not vacuously a pass-through)."""
+    from flink_clickstream_processor_msk_spark.operators.sessionize import (
+        sessionize,
+    )
+    from flink_clickstream_processor_msk_spark.streaming.pipeline import (
+        merge_department_counts_partials,
+        merge_session_stats_partials,
+        session_fanout,
+    )
+
+    # users 1/2/3 all land in tumbling bucket [BASE_TS, BASE_TS+10s) but
+    # their 1 s-gap sessions end at 1.2 s / 4 s / 9 s — replayed
+    # file-at-a-time the watermark finalizes them in different micro-batches
+    events = [
+        {"ts": BASE_TS, "seq": 1, "userid": 1, "event_type": "view", "product_type": "books"},
+        {"ts": BASE_TS + 200, "seq": 2, "userid": 1, "event_type": "order_checkout", "product_type": "N/A"},
+        {"ts": BASE_TS + 3_000, "seq": 3, "userid": 2, "event_type": "view", "product_type": "garden"},
+        {"ts": BASE_TS + 8_000, "seq": 4, "userid": 3, "event_type": "view", "product_type": "books"},
+        SENTINEL,
+    ]
+    src = str(tmp_path_factory.mktemp("fanout-src"))
+    cols = [f.name for f in CLICK_EVENT.fields]
+    for chunk in ([events[0], events[1]], [events[2]], [events[3]], [events[4]]):
+        make_clickevents(spark, chunk).select(*cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = stream_clickevents(
+        spark, src, watermark="0 seconds", max_files_per_trigger=1
+    )
+    collected: dict[str, list] = {"buy": [], "q2": [], "q3": []}
+
+    def collector(key):
+        def write(df, _epoch):
+            collected[key].extend(r.asDict() for r in df.collect())
+
+        return write
+
+    fan_out = session_fanout(collector("buy"), collector("q2"), collector("q3"))
+    ckpt = str(tmp_path_factory.mktemp("fanout-ckpt"))
+    q = (
+        sessionize(stream)
+        .writeStream.foreachBatch(fan_out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # the first bucket's sessions really did finalize across micro-batches
+    first_bucket = [r for r in collected["q2"] if r["windowBeginTime"] == BASE_TS]
+    assert len(first_bucket) > 1, "fixture failed to split a bucket across batches"
+
+    batch = build_streams(with_event_time(make_clickevents(spark, events)))
+    not_sentinel_q2 = lambda r: r["windowBeginTime"] > BASE_TS + 10**8  # noqa: E731
+    not_sentinel_q3 = lambda r: r["departmentName"] == "sentinel"  # noqa: E731
+    not_sentinel_buy = lambda r: r["userId"] == SENTINEL_USER  # noqa: E731
+
+    merged_q2 = merge_session_stats_partials(
+        spark.createDataFrame(collected["q2"])
+    )
+    merged_q3 = merge_department_counts_partials(
+        spark.createDataFrame(collected["q3"])
+    )
+    assert _canon(_rows(spark, merged_q2, not_sentinel_q2)) == _canon(
+        _rows(spark, batch.session_stats, not_sentinel_q2)
+    )
+    assert _canon(_rows(spark, merged_q3, not_sentinel_q3)) == _canon(
+        _rows(spark, batch.department_counts, not_sentinel_q3)
+    )
+    got_buy = _canon(
+        sorted(
+            [
+                tuple(
+                    sorted(
+                        (
+                            (k, tuple(v) if isinstance(v, list) else v)
+                            for k, v in r.items()
+                        ),
+                        key=lambda kv: kv[0],
+                    )
+                )
+                for r in collected["buy"]
+                if not not_sentinel_buy(r)
+            ],
+            key=lambda t: tuple(str(x) for x in t),
+        )
+    )
+    want_buy = _canon(_rows(spark, batch.buy_sessions, not_sentinel_buy))
+    assert got_buy == want_buy
+    assert len(got_buy) > 0
+
+
 def test_late_event_dropped_at_zero_watermark(spark, tmp_path_factory):
     """An event behind the watermark must be dropped (zero-slack parity).
 
