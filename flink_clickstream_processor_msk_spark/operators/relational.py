@@ -247,6 +247,56 @@ def pricing_rollup(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame
     ).orderBy("gid", "l_returnflag", "l_linestatus")
 
 
+def pricing_summary_decimal(
+    lineitem: DataFrame, cutoff: str = "1998-09-02"
+) -> DataFrame:
+    """DECIMAL-aggregate twin of :func:`pricing_summary` — the production
+    warehouse type choice this module's header documents (money lands in
+    the tables as DECIMAL, sums run in DECIMAL(38,x), no cents encoding).
+
+    Spark's decimal arithmetic widens exactly as long as the result stays
+    inside precision 38 — hence the narrow DECIMAL(4,2) casts on the
+    fraction columns (disc/tax ∈ [0,1)): ``ep·(1−disc)`` lands at
+    DECIMAL(18,4) (exact 4-decimal products), ``·(1+tax)`` at
+    DECIMAL(24,6), sums widen by +10 digits — every SUM here is exact and
+    shuffle-order-free, the same guarantee the cents path engineers by
+    hand. (A DECIMAL(12,2)·DECIMAL(13,2)·DECIMAL(13,2) chain would cross
+    38 and Spark would silently TRUNCATE the scale, re-introducing per-row
+    rounding — width budgeting is the decimal path's one design rule.)
+    The AVG columns divide under Spark's decimal scale/HALF_UP rules.
+
+    Deliberately NOT an oracle_sql() query: decimal type-promotion and
+    division-rounding rules are engine-specific (DuckDB widens/rounds
+    differently), so the cross-engine hash gate cannot absorb it; instead
+    tests/test_relational.py pins it rows-only against pricing_summary —
+    every exact-sum measure equal to the cent, AVGs within one rounding
+    ulp. Scale shape: identical to pricing_summary (filter in scan, one
+    map-side-combined groupBy); decimal sums use Spark's 128-bit update
+    path, modestly slower per row than the BIGINT cents sums."""
+    one = F.lit(1).cast("decimal(3,2)")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    disc_price = ep * (one - disc)
+    charge = disc_price * (one + tax)
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.sum(ep).alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(charge).alias("sum_charge"),
+            F.avg(qty).alias("avg_qty"),
+            F.avg(ep).alias("avg_price"),
+            F.avg(disc).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def pricing_cube(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
     """TPC-H Q1 shape under ``CUBE(l_returnflag, l_linestatus)`` — the
     full grouping-sets lattice: leaf groups (gid 0), per-returnflag

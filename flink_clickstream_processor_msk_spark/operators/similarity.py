@@ -92,6 +92,10 @@ def ivf_centroids(embeddings: DataFrame, n_centroids: int = N_CENTROIDS) -> list
     rows = (
         embeddings.orderBy("vec_id").limit(n_centroids).select("embedding").collect()
     )
+    if not rows:
+        raise ValueError("cannot build an IVF index over an empty embeddings table")
+    # fewer rows than requested centroids is fine: the index just has
+    # len(rows) cells (tests/test_degenerate.py pins the short-input path)
     return [[float(x) for x in r["embedding"]] for r in rows]
 
 
@@ -329,6 +333,8 @@ def kmeans_refine_centroids(
     sc = embeddings.sparkSession.sparkContext
 
     cents = [list(map(float, c)) for c in centroids]
+    if not cents:
+        raise ValueError("cannot refine an empty centroid list")
     k, dim = len(cents), len(cents[0])
     broadcasts = []
     for _ in range(iterations):
@@ -479,8 +485,16 @@ def pq_codebooks(
     subspace); the index structure and the replayable-assignment contract
     are identical either way."""
     rows = embeddings.orderBy("vec_id").limit(k).select("embedding").collect()
+    if not rows:
+        raise ValueError("cannot build a PQ index over an empty embeddings table")
     vecs = [[float(x) for x in r["embedding"]] for r in rows]
     d0 = len(vecs[0]) // m
+    if d0 == 0:
+        raise ValueError(
+            f"embedding dim {len(vecs[0])} smaller than m={m} subspaces"
+        )
+    # fewer rows than k just yields a smaller sub-codebook (codes stay
+    # valid: argmin over len(rows) centroids; tests/test_degenerate.py)
     return [[v[s * d0 : (s + 1) * d0] for v in vecs] for s in range(m)]
 
 

@@ -434,7 +434,9 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     ).filter(F.col("term_rank") <= k)
 
 
-def length_percentiles(documents: DataFrame) -> DataFrame:
+def length_percentiles(
+    documents: DataFrame, approx: bool = False, accuracy: int = 10_000
+) -> DataFrame:
     """Exact p50/p90/p99 whitespace-token-count percentiles per language,
     with percentile_disc semantics: the value at rank ``ceil(p·n)`` of the
     (tokens, doc_id)-sorted group — an actual corpus element, no
@@ -446,14 +448,29 @@ def length_percentiles(documents: DataFrame) -> DataFrame:
 
     Scale shape: one shuffle on lang for the sort window — bounded by the
     biggest language's doc COUNT (not text: only (doc_id, lang, n_tokens)
-    rows move). For corpus-scale percentile dashboards where a per-group
-    sort is too hot, the approx path is `approx_percentile` — this
-    operator is the exact-answer variant."""
+    rows move).
+
+    ``approx=True`` is the 100 TB production knob (the `profile_table`
+    pattern, VERDICT r6 #7): `percentile_approx` (Greenwald-Khanna sketch,
+    ``accuracy`` controls error ≤ 1/accuracy of rank) rides an ordinary
+    map-side-combined groupBy — NO per-group sort window, no row_number,
+    each task ships one bounded sketch per (lang, percentile) instead of
+    every (lang, n_tokens) row being windowed. Same output schema; exact
+    (default) stays the oracle-checked driver configuration; the approx
+    plan shape is asserted in tests (no Window operator, partial
+    aggregation present)."""
     from pyspark.sql import Window
 
     base = documents.select(
         "doc_id", "lang", F.size(tokens(F.col("text"))).alias("n_tokens")
     ).filter(F.col("n_tokens").isNotNull())
+    if approx:
+        return base.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.percentile_approx("n_tokens", 0.5, accuracy).alias("p50_tokens"),
+            F.percentile_approx("n_tokens", 0.9, accuracy).alias("p90_tokens"),
+            F.percentile_approx("n_tokens", 0.99, accuracy).alias("p99_tokens"),
+        )
     w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
     ranked = base.select(
         "lang",
@@ -619,6 +636,11 @@ def profile_table(
     un-expanded partial-aggregated pass (plan asserted in tests). Exact
     (default) is the oracle-checkable driver configuration."""
     cols = columns if columns is not None else df.columns
+    if not cols:
+        raise ValueError(
+            "profile_table needs at least one column (got an empty list"
+            " — stack(0) would not even parse)"
+        )
     nd = (
         (lambda c: F.approx_count_distinct(c, rsd))
         if approx
@@ -626,8 +648,11 @@ def profile_table(
     )
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for i, c in enumerate(cols):
-        aggs.append(F.count(c).alias(f"_nn{i}"))
-        aggs.append(nd(c).alias(f"_nd{i}"))
+        # backtick-quote the name so dotted/spaced column names resolve as
+        # whole columns instead of being parsed as nested-field paths
+        col = F.col("`" + c.replace("`", "``") + "`")
+        aggs.append(F.count(col).alias(f"_nn{i}"))
+        aggs.append(nd(col).alias(f"_nd{i}"))
     # column names become SQL string literals inside stack() — escape
     # quotes so an arbitrary corpus schema can't break the parse
     pairs = ", ".join(

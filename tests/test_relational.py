@@ -49,6 +49,51 @@ def test_pricing_summary_integer_cents_exactness(spark):
     assert r["avg_disc"] == (0.04 + 0.0) / 2
 
 
+def test_pricing_summary_decimal_matches_cents_path(spark):
+    """The DECIMAL(38)-aggregate twin must agree with the integer-cents
+    path on real data: exact-sum measures equal to the cent, AVG measures
+    within one decimal-division rounding ulp. Run on the fixture lineitem
+    (60k-ish rows at smoke scale) so shuffle-order independence is
+    exercised, not just a single-partition toy."""
+    from decimal import Decimal
+
+    from conftest import SF_SMOKE
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    cents = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in relational.pricing_summary(li).collect()
+    }
+    dec = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in relational.pricing_summary_decimal(li).collect()
+    }
+    assert set(cents) == set(dec) and len(cents) > 0
+    for key, c in cents.items():
+        d = dec[key]
+        assert c["count_order"] == d["count_order"]
+        # exact decimal sums: both paths are order-free exact arithmetic,
+        # so rounding each to cents must agree EXACTLY
+        for col in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
+            assert round(Decimal(str(c[col])), 2) == round(Decimal(d[col]), 2), (
+                key,
+                col,
+                c[col],
+                d[col],
+            )
+        # decimal AVG divides under HALF_UP at a fixed scale; the cents
+        # path divides in binary double — equal to within one ulp of the
+        # decimal result's scale
+        for col in ("avg_qty", "avg_price", "avg_disc"):
+            assert abs(float(d[col]) - c[col]) <= 10 ** -min(
+                4, -Decimal(d[col]).as_tuple().exponent
+            ), (key, col, c[col], d[col])
+    # the sum columns really are decimal types (the point of the twin)
+    types = dict(relational.pricing_summary_decimal(li).dtypes)
+    assert types["sum_charge"].startswith("decimal")
+    assert types["sum_disc_price"].startswith("decimal")
+
+
 def test_q5_plan_has_no_cartesian_and_broadcasts_dimensions(spark):
     """The snowflake join must never degenerate to a cartesian product,
     and the dimension sides should broadcast at fixture scale."""
