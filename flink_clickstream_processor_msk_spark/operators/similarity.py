@@ -302,13 +302,23 @@ def cosine_q8_topk(
 
 
 # Centroid coordinates are rounded to this many decimal places after each
-# Lloyd's iteration. This quantization (standard practice in shipped ANN
-# indexes, which quantize far more aggressively) is what makes the
-# refinement engine-replayable: Spark's shuffle-order double sum and the
-# oracle's sequential-fold sum differ by ~1e-13, and rounding both to the
-# same 1e-6 grid erases that noise so both engines hold bit-identical
-# centroids going into the next assignment pass.
+# Lloyd's iteration — the quantization (standard practice in shipped ANN
+# indexes, which quantize far more aggressively) that makes refined
+# centroids engine-replayable.
 KMEANS_ROUND_DIGITS = 6
+
+# Per-dim sums inside the refiners run in SCALED-INTEGER space: each
+# coordinate becomes round(x · 2^30) as a BIGINT before summing, so the
+# sum is EXACT and summation-order-free on both engines (the integer-cents
+# trick from relational.py), and the mean both engines round to the 1e-6
+# grid is computed from bit-identical inputs. Before round 7 the sums were
+# shuffle-order doubles relying on the rounding grid to absorb ~1e-13
+# drift — correct until a mean lands within an ulp of a grid boundary
+# (ADVICE r6: a real, if rare, nondeterminism). The 2^-30 input grid is
+# ~1e-9 — three decimal orders finer than the output grid, so refined
+# centroids are unchanged in practice; overflow bound: |x| ≤ 4 → row term
+# ≤ 2^32, safe to ~2^31 rows per (cell,dim) group in int64.
+KMEANS_SUM_SCALE = 1 << 30
 
 
 def kmeans_refine_centroids(
@@ -327,8 +337,10 @@ def kmeans_refine_centroids(
     iteration's centroids — the same kernel as :func:`build_ivf_index`)
     and reduce per-cell means via a map-side-combined groupBy — only
     k×(dim+1) numbers reach the driver per iteration, never vectors.
-    Empty cells keep their previous centroid (standard Lloyd's degeneracy
-    handling, deterministic).
+    Per-dim sums run in scaled-integer space (``KMEANS_SUM_SCALE``) so
+    they are exact and summation-order-free on both engines; see the
+    constant's comment. Empty cells keep their previous centroid
+    (standard Lloyd's degeneracy handling, deterministic).
     """
     sc = embeddings.sparkSession.sparkContext
 
@@ -351,7 +363,12 @@ def kmeans_refine_centroids(
                 F.count(F.lit(1)).alias("n"),
                 *[
                     F.round(
-                        F.sum(F.element_at("v", d + 1)) / F.count(F.lit(1)),
+                        F.sum(
+                            F.round(
+                                F.element_at("v", d + 1) * KMEANS_SUM_SCALE
+                            ).cast("long")
+                        )
+                        / (F.count(F.lit(1)) * F.lit(KMEANS_SUM_SCALE)),
                         round_digits,
                     ).alias(f"m{d}")
                     for d in range(dim)
@@ -579,11 +596,12 @@ def pq_refine_codebooks(
     map-side-combined groupBy; only m×k_cb×(d0+1) numbers reach the
     driver per iteration. Empty codes keep their previous centroid.
 
-    Same engine-parity contract as the IVF refiner: per-dim means round
-    to the ``round_digits`` grid so Spark's shuffle-order sum and the
-    oracle's sequential fold land on identical centroids, letting the
-    fixed-iteration loop unroll into DuckDB CTEs
-    (oracles_beyond.ann_pq_kmeans_topk) for full hash-checking."""
+    Same engine-parity contract as the IVF refiner: per-dim sums run in
+    scaled-integer space (``KMEANS_SUM_SCALE`` — exact, order-free on
+    both engines) and the means round to the ``round_digits`` grid, so
+    both engines hold bit-identical centroids and the fixed-iteration
+    loop unrolls into DuckDB CTEs (oracles_beyond.ann_pq_kmeans_topk)
+    for full hash-checking."""
     sc = embeddings.sparkSession.sparkContext
     cbs = (
         [[list(map(float, c)) for c in cb] for cb in codebooks]
@@ -605,8 +623,13 @@ def pq_refine_codebooks(
                 F.count(F.lit(1)).alias("n"),
                 *[
                     F.round(
-                        F.sum(F.element_at("v", F.col("s") * d0 + d + 1))
-                        / F.count(F.lit(1)),
+                        F.sum(
+                            F.round(
+                                F.element_at("v", F.col("s") * d0 + d + 1)
+                                * KMEANS_SUM_SCALE
+                            ).cast("long")
+                        )
+                        / (F.count(F.lit(1)) * F.lit(KMEANS_SUM_SCALE)),
                         round_digits,
                     ).alias(f"m{d}")
                     for d in range(d0)

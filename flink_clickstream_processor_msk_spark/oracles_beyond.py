@@ -25,6 +25,9 @@ from flink_clickstream_processor_msk_spark.operators.dedup import (
     SIMHASH_BITS,
     hyperplanes,
 )
+from flink_clickstream_processor_msk_spark.operators.similarity import (
+    KMEANS_SUM_SCALE,
+)
 from flink_clickstream_processor_msk_spark.operators.text import (
     BPE_ISH_PATTERN,
     LANG_PROFILES,
@@ -502,11 +505,12 @@ def ann_ivf_kmeans_topk(
     fixed-iteration Lloyd's loop unrolled into CTE pairs (assign → mean),
     then the standard IVF probe against the refined centroids.
 
-    Engine parity contract (mirrors `similarity.KMEANS_ROUND_DIGITS`):
-    per-cell per-dim means are rounded to ``round_digits`` decimals on both
-    sides, so Spark's shuffle-order sum and DuckDB's sequential-fold sum
-    (differing ~1e-13) land on the same grid point and both engines carry
-    bit-identical centroids into the next assignment. Assignment argmax is
+    Engine parity contract (mirrors `similarity.KMEANS_ROUND_DIGITS` /
+    `KMEANS_SUM_SCALE`): per-cell per-dim sums run over round(x·2^30)
+    BIGINTs — exact and summation-order-free on BOTH engines, so the mean
+    each engine rounds to the grid is computed from bit-identical inputs
+    (no reliance on the grid absorbing shuffle-order drift; ADVICE r6
+    closed). Assignment argmax is
     cosine DESC, first centroid wins ties — the Spark builder's near-tie
     fallback recomputes with the same sequential folds this SQL uses.
     Empty cells keep the previous centroid (LEFT JOIN + CASE)."""
@@ -544,7 +548,9 @@ def ann_ivf_kmeans_topk(
   SELECT s.cidx,
     CASE WHEN g.n IS NULL THEN s.cvec
          ELSE list_transform(range(1, {dim + 1}), d ->
-                round(list_sum(list_transform(g.vecs, v -> CAST(v[d] AS DOUBLE))) / g.n,
+                round(list_sum(list_transform(g.vecs,
+                        v -> CAST(round(CAST(v[d] AS DOUBLE) * {KMEANS_SUM_SCALE}) AS BIGINT)))
+                      / (g.n * {KMEANS_SUM_SCALE}),
                       {round_digits}))
     END AS cvec
   FROM {prev} s LEFT JOIN gather{it} g USING (cidx)
@@ -917,7 +923,9 @@ cb{it} AS (
   SELECT p.s, p.cidx,
     CASE WHEN g.n IS NULL THEN p.cvec
          ELSE list_transform(range(1, {d0 + 1}), d ->
-                round(list_sum(list_transform(g.vecs, v -> v[p.s*{d0} + d])) / g.n,
+                round(list_sum(list_transform(g.vecs,
+                        v -> CAST(round(v[p.s*{d0} + d] * {KMEANS_SUM_SCALE}) AS BIGINT)))
+                      / (g.n * {KMEANS_SUM_SCALE}),
                       {round_digits}))
     END AS cvec
   FROM {prev} p LEFT JOIN pq_gather{it} g ON p.s = g.s AND p.cidx = g.cidx
