@@ -137,8 +137,18 @@ def main() -> None:
     schema = spark.read.parquet(src_file).schema
 
     # the file stream source wants a directory; stage the table into one
+    # (driver tiers ship a single parquet FILE; replicated/scaled tiers
+    # like tools/scale10x.py write a parquet DIRECTORY — stage either)
     src = tempfile.mkdtemp(prefix="bench-streaming-src-")
-    shutil.copy(src_file, os.path.join(src, "events.parquet"))
+    if os.path.isdir(src_file):
+        for i, part in enumerate(sorted(os.listdir(src_file))):
+            if part.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(src_file, part),
+                    os.path.join(src, f"events-{i}.parquet"),
+                )
+    else:
+        shutil.copy(src_file, os.path.join(src, "events.parquet"))
 
     # warmup: one untimed pass of each topology over a small slice, so the
     # timed runs measure steady-state throughput rather than streaming-plan

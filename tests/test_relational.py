@@ -172,6 +172,40 @@ def test_pricing_cube_full_lattice(spark):
     assert plan.count("Scan ExistingRDD") <= 1
 
 
+def test_cube_equals_explicit_grouping_sets(spark):
+    """The docstring claim made checkable: Spark's `cube` IS
+    `GROUPING SETS ((a,b),(a),(b),())` — the explicit-syntax form over
+    the same input produces identical rows (incl. the grouping-id
+    bitmask), so no separate explicit-sets operator is needed."""
+    li = _lineitem(
+        spark,
+        [
+            (1, 10, 100.00, 0.00, 0.00, "A", "F", "1996-01-01"),
+            (2, 5, 50.00, 0.00, 0.00, "A", "O", "1996-01-02"),
+            (3, 1, 10.00, 0.00, 0.00, "R", "F", "1996-01-03"),
+        ],
+    )
+    li.createOrReplaceTempView("li_gs")
+    explicit = spark.sql(
+        """
+        SELECT CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+               l_returnflag, l_linestatus,
+               SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+               COUNT(*) AS count_order
+        FROM li_gs
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+          GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                         (l_linestatus), ())
+        ORDER BY gid, l_returnflag, l_linestatus
+        """
+    ).collect()
+    via_cube = relational.pricing_cube(li).select(
+        "gid", "l_returnflag", "l_linestatus", "sum_qty", "count_order"
+    ).collect()
+    assert [tuple(r) for r in explicit] == [tuple(r) for r in via_cube]
+
+
 def test_no_return_customers_semi_anti_semantics(spark):
     """cust 1: orders, no returns -> counted. cust 2: order with an 'R'
     item -> excluded. cust 3: no orders at all -> excluded."""
