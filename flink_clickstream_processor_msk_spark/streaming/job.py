@@ -78,9 +78,10 @@ def run(spark: SparkSession, config: AppConfig) -> list[StreamingQuery]:
 def run_single_pass(spark: SparkSession, config: AppConfig) -> StreamingQuery:
     """The measured alternative to :func:`run` — ONE streaming query:
     sessionize once, fan out to the three Kafka topics inside foreachBatch
-    (SURVEY §7.1 M5; measurement in BASELINE.md/PLANS.md — ~2× end-to-end
-    throughput of the three-query form, which pays the source read and
-    session-window state three times).
+    (SURVEY §7.1 M5; measurements in BASELINE.md/PLANS.md — 1.66× the
+    three-query form's end-to-end throughput at sf0.1 and 3.7× at 10×
+    scale, since that form pays the source read and session-window state
+    three times while its per-batch fixed costs amortize away).
 
     Trade (documented in streaming.pipeline.session_fanout): buy-session
     records are exact; Q2/Q3 records are per-batch partial window counts
