@@ -1,11 +1,18 @@
 """Application shell — the reference's ``main()`` (CP:57-272), Spark-first.
 
 Wires: config validation → Kafka Avro source → Q1 session aggregation →
-{buy-filter, Q2, Q3} → three Kafka JSON sinks. Each output runs as its own
-streaming query with an isolated checkpoint (multi-query fan-out; a
-replayable source makes re-execution of the shared sessionization plan
-correct, and keeps each sink's failure domain independent — the same
-isolation the reference gets from Flink operator chains).
+{buy-filter, Q2, Q3} → three Kafka JSON sinks, in two measured topologies
+(SURVEY §7.1 M5, resolved round 7 — PLANS.md "Fan-out architecture"):
+
+- :func:`run_single_pass` (default): ONE streaming query — sessionize
+  once, foreachBatch fans out all three outputs per micro-batch. 1.66×
+  the multi-query throughput at sf0.1, 3.7× at 10×; Q2/Q3 land as
+  additive partials under a tested merge contract.
+- :func:`run`: each output as its own streaming query with an isolated
+  checkpoint (a replayable source makes re-execution of the shared
+  sessionization plan correct, and keeps each sink's failure domain
+  independent — the same isolation the reference gets from Flink operator
+  chains), at the measured fan-out cost.
 """
 
 from __future__ import annotations
