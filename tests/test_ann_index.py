@@ -149,6 +149,29 @@ def test_kmeans_refined_centroids_match_duckdb_unroll(spark):
     spark.catalog.clearCache()
 
 
+def test_kmeans_refine_partition_independent(spark):
+    """The round-7 determinism contract: refined centroids must be
+    IDENTICAL regardless of how the input is partitioned — the per-dim
+    sums run over scaled integers (KMEANS_SUM_SCALE), so no shuffle
+    order can move a mean across a rounding-grid boundary. (The
+    pre-round-7 double sums were exactly the thing this would flip.)"""
+    from flink_clickstream_processor_msk_spark.operators.similarity import (
+        kmeans_refine_centroids,
+        pq_refine_codebooks,
+    )
+
+    emb = _emb(spark)
+    seed = ivf_centroids(emb, N_CENTROIDS)
+    shapes = [emb.coalesce(1), emb.repartition(3), emb.repartition(13)]
+    ivf_results = [
+        kmeans_refine_centroids(df, seed, iterations=2) for df in shapes
+    ]
+    assert ivf_results[0] == ivf_results[1] == ivf_results[2]
+    pq_results = [pq_refine_codebooks(df, iterations=1) for df in shapes]
+    assert pq_results[0] == pq_results[1] == pq_results[2]
+    spark.catalog.clearCache()
+
+
 def test_kmeans_refine_deterministic_and_shape(spark):
     from flink_clickstream_processor_msk_spark.operators.similarity import (
         build_ivf_index,
