@@ -184,25 +184,16 @@ def minhash_signatures(documents: DataFrame, n_perms: int = N_PERMS) -> DataFram
     return _signatures_from_sets(shingle_hashes(documents), "shingles", n_perms)
 
 
-def lsh_candidate_pairs(
+def _banded(
     signatures: DataFrame,
     n_bands: int = N_BANDS,
     n_perms: int = N_PERMS,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Band the signatures and emit candidate pairs per band collision.
-
-    The shuffle key is (band_idx, band_key): docs only meet if an entire
-    band of their signatures agrees — the classic S-curve knob.
-
-    ``max_bucket_size`` is the 100 TB skew guard: a family of m mutual
-    duplicates puts m docs in one bucket and emits m·(m-1)/2 pairs — a
-    single giant family (common in web corpora: boilerplate pages) turns
-    one reducer quadratic. Capping keeps the ``max_bucket_size`` lowest
-    doc_ids per bucket; duplicates still chain to their family's
-    representatives through the surviving members. Default None preserves
-    exact candidate generation (the oracle-checked configuration).
-    """
+    """(doc_id, band_idx, band_key) rows — the LSH banding step, shared by
+    the batch candidate join and the incremental ingest path so the
+    band-key formula (and the bucket-cap semantics: keep the
+    ``max_bucket_size`` LOWEST doc_ids per bucket) cannot desync."""
     rows = n_perms // n_bands
     bands = F.array(
         *[
@@ -229,6 +220,29 @@ def lsh_candidate_pairs(
             .filter(F.col("_rank") <= max_bucket_size)
             .drop("_rank")
         )
+    return banded
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    n_bands: int = N_BANDS,
+    n_perms: int = N_PERMS,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs per band collision.
+
+    The shuffle key is (band_idx, band_key): docs only meet if an entire
+    band of their signatures agrees — the classic S-curve knob.
+
+    ``max_bucket_size`` is the 100 TB skew guard: a family of m mutual
+    duplicates puts m docs in one bucket and emits m·(m-1)/2 pairs — a
+    single giant family (common in web corpora: boilerplate pages) turns
+    one reducer quadratic. Capping keeps the ``max_bucket_size`` lowest
+    doc_ids per bucket; duplicates still chain to their family's
+    representatives through the surviving members. Default None preserves
+    exact candidate generation (the oracle-checked configuration).
+    """
+    banded = _banded(signatures, n_bands, n_perms, max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -281,6 +295,114 @@ def load_pairs(spark, path: str) -> DataFrame:
     ``minhash_duplicate_families(..., pairs=...)`` and
     ``pipeline.clean_corpus(..., pairs=...)``."""
     return spark.read.parquet(path)
+
+
+# --- incremental ingest dedup ------------------------------------------------
+# The 100 TB ingest pattern: shingling + signing the corpus is the dominant
+# cost of the fuzzy-dedup pipeline, and it is a per-DOCUMENT cost — so it
+# should be paid once per document EVER, not once per ingest batch. The
+# corpus keeps a written (doc_id, shingles, signature) state table; each
+# new batch is shingled/signed alone, banded against the saved state, and
+# only pairs TOUCHING the new batch are generated and verified. The corpus
+# text is never re-read (the API does not even accept it).
+
+
+def save_dedup_state(
+    documents: DataFrame, path: str, n_perms: int = N_PERMS
+) -> None:
+    """Write the corpus's minhash state — (doc_id, shingles, signature) —
+    the amortized artifact :func:`incremental_minhash_pairs` checks new
+    batches against. Plain parquet: the incremental band join shuffles it
+    by band key anyway, so there is no routing column to prune on; size is
+    O(corpus distinct-shingle footprint), tiny next to the text."""
+    _signatures_from_sets(
+        shingle_hashes(documents), "shingles", n_perms
+    ).write.mode("overwrite").parquet(f"{path}/minhash_state")
+
+
+def append_dedup_state(new_state: DataFrame, path: str) -> None:
+    """Fold a new batch's state rows (as returned by
+    :func:`batch_dedup_state`) into the saved corpus state, so the NEXT
+    ingest batch is checked against old + new."""
+    new_state.write.mode("append").parquet(f"{path}/minhash_state")
+
+
+def load_dedup_state(spark, path: str) -> DataFrame:
+    return spark.read.parquet(f"{path}/minhash_state")
+
+
+def batch_dedup_state(new_docs: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
+    """Shingle + sign ONE ingest batch (persisted: it feeds both the band
+    join and the verify join in :func:`incremental_minhash_pairs`, and is
+    then appended to the corpus state)."""
+    return _materialized(
+        _signatures_from_sets(shingle_hashes(new_docs), "shingles", n_perms)
+    )
+
+
+def incremental_minhash_pairs(
+    new_state: DataFrame,
+    corpus_state: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    n_bands: int = N_BANDS,
+    n_perms: int = N_PERMS,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE_DEFAULT,
+) -> DataFrame:
+    """Verified near-dup pairs that TOUCH the new batch — (new × corpus)
+    and (new × new) — without re-shingling or re-signing the corpus.
+
+    Exactly the batch pipeline's pairs restricted to the new batch
+    (pinned in tests/test_incremental.py): banding, the bucket cap (rank
+    over the UNION of corpus + new, identical to a full-batch run), and
+    the exact-Jaccard verify all share the batch code paths; the only
+    structural change is that the candidate join probes the new batch's
+    bands against the union instead of self-joining the union — candidate
+    cost is O(new bands × bucket occupancy), independent of corpus size.
+
+    Scale shape: two shuffles (band join keyed on (band_idx, band_key),
+    verify join keyed on doc_id) plus one map pass over the NEW text only;
+    the corpus contributes a scan of its saved state table."""
+    all_state = corpus_state.select(
+        "doc_id", "shingles", "signature"
+    ).unionByName(new_state.select("doc_id", "shingles", "signature"))
+    banded_all = _banded(all_state, n_bands, n_perms, max_bucket_size)
+    new_ids = new_state.select("doc_id")
+    banded_new = banded_all.join(new_ids, "doc_id", "left_semi")
+    a, b = banded_new.alias("a"), banded_all.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    feats = all_state.select("doc_id", "shingles")
+    return (
+        pairs.join(
+            feats.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "shingles", "sh_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            feats.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "shingles", "sh_b"
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def _lsh_verified_pairs(

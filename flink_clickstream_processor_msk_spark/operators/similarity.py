@@ -420,6 +420,32 @@ def load_ivf_index(
     return cents, spark.read.parquet(f"{path}/cells")
 
 
+def append_to_ivf_index(new_embeddings: DataFrame, path: str) -> None:
+    """Incremental index refresh — the 100 TB ingest pattern: route ONLY
+    the new vectors with the index's SAVED centroids and append their
+    rows into the cell-partitioned layout; the existing corpus is never
+    rescanned or re-assigned, and probes over the refreshed index see
+    old + new vectors identically to a same-centroid full rebuild
+    (pinned in tests/test_incremental.py). New batches are assigned
+    under the ORIGINAL centroids — exactly how production IVF serves
+    inserts between periodic re-trains; re-train = a fresh
+    :func:`save_ivf_index` (or :func:`kmeans_refine_centroids` pass)
+    when drift accumulates. Appended files land inside the existing
+    ``cell=N`` partition directories, so probe-side partition pruning is
+    untouched."""
+    spark = new_embeddings.sparkSession
+    cents_rows = spark.read.parquet(f"{path}/centroids").orderBy("cidx").collect()
+    if not cents_rows:
+        raise ValueError(f"no centroids sidecar at {path}/centroids")
+    cents = [[float(x) for x in r["cvec"]] for r in cents_rows]
+    cell_udf = _make_cell_udf(spark.sparkContext.broadcast(cents))
+    new_embeddings.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        cell_udf("embedding").alias("cell"),
+    ).write.partitionBy("cell").mode("append").parquet(f"{path}/cells")
+
+
 def save_lsh_index(
     embeddings: DataFrame, path: str, n_planes: int = N_PLANES
 ) -> None:

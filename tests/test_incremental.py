@@ -1,0 +1,154 @@
+"""Incremental-ingest artifacts: new batches against SAVED corpus state.
+
+The 100 TB contract under test: (a) incremental minhash dedup of a new
+batch against a written (doc_id, shingles, signature) state table yields
+EXACTLY the full-batch pipeline's pairs restricted to pairs touching the
+new batch — without the corpus text ever being passed in; (b) appending
+new vectors to a written IVF index (routed by the saved centroids) probes
+identically to a same-centroid full rebuild."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_clickstream_processor_msk_spark.operators import dedup, similarity
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _doc(i, text):
+    return (i, text, "en", "web", len(text))
+
+
+def _corpus_and_batch(spark):
+    """Corpus docs 0-5, new batch 10-13, with duplicate families spanning
+    every boundary: corpus-corpus (0,1) — must NOT appear incrementally;
+    corpus-new (2,10); new-new (11,12); unique docs everywhere."""
+    base_a = "the quick brown fox jumps over the lazy dog again and again today"
+    base_b = "pack my box with five dozen liquor jugs before the long winter came"
+    base_c = "sphinx of black quartz judge my vow said the old librarian quietly"
+    corpus = [
+        _doc(0, base_a),
+        _doc(1, base_a + " extra"),            # near-dup of 0 (corpus-corpus)
+        _doc(2, base_b),
+        _doc(3, base_c),
+        _doc(4, "completely unrelated words fill this little document nicely"),
+        _doc(5, "another independent corpus document with its own phrasing here"),
+    ]
+    new = [
+        _doc(10, base_b + " appended"),        # near-dup of corpus doc 2
+        _doc(11, base_c + " tail one"),        # near-dup family with 12 (and 3)
+        _doc(12, base_c + " tail two"),
+        _doc(13, "a genuinely novel incoming document with fresh content words"),
+    ]
+    return (
+        spark.createDataFrame(corpus, DOCS_SCHEMA),
+        spark.createDataFrame(new, DOCS_SCHEMA),
+    )
+
+
+def _pairs_set(df):
+    return {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 12)) for r in df.collect()
+    }
+
+
+def test_incremental_minhash_matches_batch_restriction(spark, tmp_path):
+    corpus, new = _corpus_and_batch(spark)
+    path = str(tmp_path / "dedup_state")
+    dedup.save_dedup_state(corpus, path)
+
+    new_state = dedup.batch_dedup_state(new)
+    got = dedup.incremental_minhash_pairs(
+        new_state, dedup.load_dedup_state(spark, path), max_bucket_size=None
+    )
+
+    full = dedup.minhash_near_duplicates(
+        corpus.unionByName(new), max_bucket_size=None
+    )
+    new_ids = {10, 11, 12, 13}
+    want = {
+        t
+        for t in _pairs_set(full)
+        if t[0] in new_ids or t[1] in new_ids
+    }
+    got_set = _pairs_set(got)
+    assert got_set == want
+    # the fixture exercises all three pair classes
+    assert any(a < 10 and b >= 10 for a, b, _ in got_set)  # corpus-new
+    assert any(a >= 10 and b >= 10 for a, b, _ in got_set)  # new-new
+    assert all(not (a < 10 and b < 10) for a, b, _ in got_set)  # no corpus-corpus
+    spark.catalog.clearCache()
+
+
+def test_incremental_minhash_respects_bucket_cap_union_semantics(spark, tmp_path):
+    """The cap ranks over the UNION of corpus + new (identical to a
+    full-batch run with the same cap), so incremental == batch holds
+    under the production skew guard too."""
+    corpus, new = _corpus_and_batch(spark)
+    path = str(tmp_path / "dedup_state_cap")
+    dedup.save_dedup_state(corpus, path)
+    cap = 2
+    got = _pairs_set(
+        dedup.incremental_minhash_pairs(
+            dedup.batch_dedup_state(new),
+            dedup.load_dedup_state(spark, path),
+            max_bucket_size=cap,
+        )
+    )
+    full = _pairs_set(
+        dedup.minhash_near_duplicates(
+            corpus.unionByName(new), max_bucket_size=cap
+        )
+    )
+    new_ids = {10, 11, 12, 13}
+    assert got == {t for t in full if t[0] in new_ids or t[1] in new_ids}
+    spark.catalog.clearCache()
+
+
+def test_append_dedup_state_accumulates(spark, tmp_path):
+    """After folding a batch in, the NEXT batch is checked against
+    old + new: a doc near-duplicating batch-1 content is caught."""
+    corpus, new = _corpus_and_batch(spark)
+    path = str(tmp_path / "dedup_state_roll")
+    dedup.save_dedup_state(corpus, path)
+    state1 = dedup.batch_dedup_state(new)
+    dedup.append_dedup_state(state1, path)
+
+    batch2 = spark.createDataFrame(
+        [_doc(20, "a genuinely novel incoming document with fresh content words exactly")],
+        DOCS_SCHEMA,
+    )  # near-dup of doc 13 (suffix edit, jaccard 8/9), which lives in the
+    # APPENDED state — deterministic band collision at this similarity
+    got = _pairs_set(
+        dedup.incremental_minhash_pairs(
+            dedup.batch_dedup_state(batch2),
+            dedup.load_dedup_state(spark, path),
+            max_bucket_size=None,
+        )
+    )
+    assert any(a == 13 and b == 20 for a, b, _ in got)
+    spark.catalog.clearCache()
+
+
+def test_ivf_append_matches_same_centroid_rebuild(spark, tmp_path):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") < 50)
+    new = emb.filter(F.col("vec_id") >= 50)
+    path = str(tmp_path / "ivf_inc")
+    similarity.save_ivf_index(old, path)
+    similarity.append_to_ivf_index(new, path)
+
+    refreshed = similarity.load_ivf_index(spark, path)
+    assert refreshed[1].count() == emb.count()
+    got = similarity.ann_ivf_topk(emb, 0, 10, index=refreshed).collect()
+
+    # ground truth: full rebuild under the SAME centroids (the old half's)
+    rebuilt = similarity.build_ivf_index(emb, centroids=refreshed[0])
+    want = similarity.ann_ivf_topk(emb, 0, 10, index=rebuilt).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # new vectors actually reachable through the refreshed index
+    assert any(r["vec_id"] >= 50 for r in got) or any(
+        r["vec_id"] >= 50 for r in want
+    ) or refreshed[1].filter("vec_id >= 50").count() > 0
+    spark.catalog.clearCache()
