@@ -714,6 +714,43 @@ def load_pq_index(
     return cbs, spark.read.parquet(f"{path}/codes")
 
 
+def append_to_pq_index(new_embeddings: DataFrame, path: str) -> None:
+    """Incremental PQ refresh (the :func:`append_to_ivf_index` pattern):
+    encode ONLY the new vectors with the index's SAVED codebooks and
+    append their code rows — the corpus is never re-encoded, and ADC
+    probes over the refreshed index are pinned identical to a
+    same-codebook full rebuild (tests/test_incremental.py). Codebook
+    drift is the trade, as with every quantized index serving inserts
+    between re-trains."""
+    spark = new_embeddings.sparkSession
+    rows = spark.read.parquet(f"{path}/codebooks").orderBy("s", "j").collect()
+    if not rows:
+        raise ValueError(f"no codebooks sidecar at {path}/codebooks")
+    m = max(r["s"] for r in rows) + 1
+    cbs: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in rows:
+        cbs[r["s"]].append([float(x) for x in r["cvec"]])
+    codes_udf, _bc = _make_pq_codes_udf(spark.sparkContext, cbs)
+    new_embeddings.select(
+        "vec_id", codes_udf("embedding").alias("codes")
+    ).write.mode("append").parquet(f"{path}/codes")
+
+
+def append_to_lsh_index(new_embeddings: DataFrame, path: str) -> None:
+    """Incremental LSH refresh: bucket ONLY the new vectors (hyperplanes
+    are deterministic from n_planes — no sidecar to read) and append into
+    the existing ``bucket=N`` partition directories; probe-side partition
+    pruning is untouched and results match a full rebuild exactly (LSH
+    has no trained state, so there is no drift trade at all)."""
+    from flink_clickstream_processor_msk_spark.operators.dedup import (
+        build_lsh_index,
+    )
+
+    index = build_lsh_index(new_embeddings)
+    index.write.partitionBy("bucket").mode("append").parquet(f"{path}/buckets")
+    index.unpersist()
+
+
 def _adc_lut(
     cbs: list[list[list[float]]], q: list[float]
 ) -> list[list[float]]:

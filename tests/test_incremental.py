@@ -131,6 +131,48 @@ def test_append_dedup_state_accumulates(spark, tmp_path):
     spark.catalog.clearCache()
 
 
+def test_pq_append_matches_same_codebook_rebuild(spark, tmp_path):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") < 50)
+    new = emb.filter(F.col("vec_id") >= 50)
+    path = str(tmp_path / "pq_inc")
+    similarity.save_pq_index(old, path)
+    similarity.append_to_pq_index(new, path)
+
+    refreshed = similarity.load_pq_index(spark, path)
+    assert refreshed[1].count() == emb.count()
+    got = similarity.ann_pq_topk(emb, 0, 10, index=refreshed).collect()
+    rebuilt = similarity.build_pq_index(emb, codebooks=refreshed[0])
+    want = similarity.ann_pq_topk(emb, 0, 10, index=rebuilt).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    spark.catalog.clearCache()
+
+
+def test_lsh_append_matches_full_rebuild(spark, tmp_path):
+    """LSH has no trained state (deterministic hyperplanes), so append ==
+    full rebuild with NO drift caveat — and the appended files land in
+    the existing bucket partitions (pruning intact)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") < 50)
+    new = emb.filter(F.col("vec_id") >= 50)
+    path = str(tmp_path / "lsh_inc")
+    similarity.save_lsh_index(old, path)
+    similarity.append_to_lsh_index(new, path)
+
+    refreshed = similarity.load_lsh_index(spark, path)
+    assert refreshed.count() == emb.count()
+    got = similarity.ann_lsh_topk(emb, 0, 10, index=refreshed).collect()
+    from flink_clickstream_processor_msk_spark.operators.dedup import (
+        build_lsh_index,
+    )
+
+    want = similarity.ann_lsh_topk(
+        emb, 0, 10, index=build_lsh_index(emb)
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    spark.catalog.clearCache()
+
+
 def test_ivf_append_matches_same_centroid_rebuild(spark, tmp_path):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     old = emb.filter(F.col("vec_id") < 50)
