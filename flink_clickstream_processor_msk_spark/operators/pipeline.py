@@ -106,16 +106,67 @@ def decontaminate(
         )
     )
     test_grams = g.filter(F.col("is_test")).select("gram").distinct()
+    train = documents.select("doc_id").filter(~is_test)
+    return _flag_contaminated(
+        train, g.filter(~F.col("is_test")).select("doc_id", "gram"), test_grams
+    )
+
+
+def _flag_contaminated(
+    train_ids: DataFrame, train_grams: DataFrame, test_grams: DataFrame
+) -> DataFrame:
+    """(doc_id, contaminated) for every train id — THE one place the
+    flagging join lives (semi-join on gram → distinct dirty ids → LEFT
+    join back), shared by the in-table split form and the incremental
+    form so the two cannot diverge."""
     dirty = (
-        g.filter(~F.col("is_test"))
-        .join(test_grams, "gram", "left_semi")
+        train_grams.join(test_grams, "gram", "left_semi")
         .select("doc_id")
         .distinct()
     )
-    train = documents.select("doc_id").filter(~is_test)
-    return train.join(
+    return train_ids.join(
         dirty.withColumn("contaminated", F.lit(1)), "doc_id", "left"
     ).select(
         "doc_id",
         F.coalesce("contaminated", F.lit(0)).cast("int").alias("contaminated"),
+    )
+
+
+def save_test_grams(
+    test_docs: DataFrame, path: str, k: int = SHINGLE_K
+) -> None:
+    """Write a benchmark's distinct k-gram hash table — the amortized
+    decontamination artifact. Benchmarks are FIXED while corpora grow, so
+    the gram table is built once per (benchmark, k) and every ingest batch
+    checks against it (:func:`decontaminate_incremental`); at 28-bit gram
+    hashes it is at most 2^28 rows regardless of benchmark size."""
+    shingle_hashes(test_docs, k=k).select(
+        F.explode("shingles").alias("gram")
+    ).distinct().write.mode("overwrite").parquet(f"{path}/test_grams_k{k}")
+
+
+def load_test_grams(spark, path: str, k: int = SHINGLE_K) -> DataFrame:
+    return spark.read.parquet(f"{path}/test_grams_k{k}")
+
+
+def decontaminate_incremental(
+    new_train_docs: DataFrame, test_grams: DataFrame, k: int = SHINGLE_K
+) -> DataFrame:
+    """Flag an ingest batch against a SAVED benchmark gram table — the
+    production decontamination shape (:func:`decontaminate` is the
+    in-table split form; this is the growing-corpus form). Only the NEW
+    batch is shingled; the benchmark side is a scan of its written gram
+    table. ``k`` must match the table's build width (the path encodes it).
+
+    Scale shape: one Arrow map pass over the new text, one semi-join on
+    28-bit gram hashes (the benchmark side is small and broadcasts; at
+    worst it is a bounded shuffled semi-join), one LEFT join back onto
+    the batch ids. Same flag-don't-drop contract as :func:`decontaminate`."""
+    g = _materialized(
+        shingle_hashes(new_train_docs, k=k).select(
+            "doc_id", F.explode("shingles").alias("gram")
+        )
+    )
+    return _flag_contaminated(
+        new_train_docs.select("doc_id"), g, test_grams.select("gram")
     )

@@ -131,6 +131,67 @@ def test_append_dedup_state_accumulates(spark, tmp_path):
     spark.catalog.clearCache()
 
 
+def test_decontaminate_incremental_matches_batch_split(spark, tmp_path):
+    """Flagging a batch against a SAVED benchmark gram table must equal
+    the in-table split form when the gram table is built from the same
+    test split — and a second batch checks against the same written
+    artifact without it being rebuilt."""
+    from flink_clickstream_processor_msk_spark.functions.grams import md5_60
+    from flink_clickstream_processor_msk_spark.operators import pipeline
+
+    corpus, new = _corpus_and_batch(spark)
+    docs = corpus.unionByName(new)
+    split_test = [
+        r["doc_id"]
+        for r in docs.select("doc_id").collect()
+        if (md5_60(str(r["doc_id"])) % 100) < 10
+    ]
+    batch_out = {
+        r["doc_id"]: r["contaminated"]
+        for r in pipeline.decontaminate(docs).collect()
+    }
+
+    path = str(tmp_path / "bench")
+    pipeline.save_test_grams(docs.filter(F.col("doc_id").isin(split_test)), path)
+    grams = pipeline.load_test_grams(spark, path)
+    inc_out = {
+        r["doc_id"]: r["contaminated"]
+        for r in pipeline.decontaminate_incremental(
+            docs.filter(~F.col("doc_id").isin(split_test)), grams
+        ).collect()
+    }
+    assert inc_out == batch_out and len(inc_out) > 0
+
+    # a later batch reuses the same written artifact
+    batch2 = spark.createDataFrame(
+        [_doc(30, "sphinx of black quartz judge my vow said the old librarian quietly indeed")],
+        DOCS_SCHEMA,
+    )
+    out2 = {
+        r["doc_id"]: r["contaminated"]
+        for r in pipeline.decontaminate_incremental(batch2, grams).collect()
+    }
+    # deterministic expectation from a pure-Python gram-overlap model
+    import itertools
+
+    from flink_clickstream_processor_msk_spark.functions.grams import (
+        ascii_words,
+        word_grams,
+    )
+
+    def grams3(t):
+        return set(word_grams(ascii_words(t), 3))
+
+    test_texts = [
+        r["text"] for r in docs.filter(F.col("doc_id").isin(split_test)).collect()
+    ]
+    bench_grams = set(
+        itertools.chain.from_iterable(grams3(t) for t in test_texts)
+    )
+    b2_text = "sphinx of black quartz judge my vow said the old librarian quietly indeed"
+    assert out2 == {30: int(bool(grams3(b2_text) & bench_grams))}
+
+
 def test_pq_append_matches_same_codebook_rebuild(spark, tmp_path):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     old = emb.filter(F.col("vec_id") < 50)
