@@ -1,0 +1,88 @@
+"""Continuous corpus ingest with near-dup detection.
+
+Streaming glue over the incremental dedup artifacts (operators/dedup.py):
+each micro-batch of documents is shingled+signed ONCE, checked for
+near-duplicates against the corpus's written minhash state (pairs touching
+the batch — new×corpus and new×new), delivered to a pairs consumer, and
+folded into the state so the NEXT batch is checked against old+new. The
+corpus text is never re-read; per-batch cost is O(batch text) + a columnar
+scan of the state table (PLANS.md "Incremental ingest dedup").
+
+This is the streaming complement to streaming/dedup.py's EXACT ingest
+dedup (`dropDuplicatesWithinWatermark` on event identity): that one drops
+replayed identical records inside the watermark; this one detects
+near-duplicate CONTENT across the corpus's whole history.
+
+Delivery semantics: foreachBatch is at-least-once — a replayed batch would
+re-append its state rows and re-emit its pairs. Wrap the returned writer
+in ``sinks.dedup_epochs(write, marker_dir)`` for effectively-once state
+growth, or make the pairs consumer idempotent on (doc_a, doc_b).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_clickstream_processor_msk_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    MAX_BUCKET_SIZE_DEFAULT,
+    append_dedup_state,
+    batch_dedup_state,
+    incremental_minhash_pairs,
+    load_dedup_state,
+    save_dedup_state,
+)
+
+
+def init_dedup_state(
+    spark: SparkSession, path: str, corpus: DataFrame | None = None
+) -> None:
+    """Initialize the state table the ingest sink folds batches into —
+    from an existing corpus, or empty (a brand-new corpus) via a 0-row
+    documents frame with the standard schema."""
+    docs = (
+        corpus
+        if corpus is not None
+        else spark.createDataFrame(
+            [], "doc_id long, text string, lang string, source string, n_chars long"
+        )
+    )
+    save_dedup_state(docs, path)
+
+
+def dedup_ingest_sink(
+    state_path: str,
+    on_pairs: Callable[[DataFrame, int], None],
+    threshold: float = JACCARD_THRESHOLD,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE_DEFAULT,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch writer for a streaming DataFrame of documents
+    (doc_id, text, ...). Requires :func:`init_dedup_state` (or a prior
+    ``save_dedup_state``) at ``state_path``; ``on_pairs(pairs_df, epoch)``
+    receives the batch's verified near-dup pairs (doc_a, doc_b, jaccard)
+    — e.g. a parquet append, a Kafka frame, or a quarantine upsert."""
+
+    def write(batch_docs: DataFrame, epoch_id: int) -> None:
+        spark = batch_docs.sparkSession
+        new_state = batch_dedup_state(batch_docs)
+        try:
+            corpus_state = load_dedup_state(spark, state_path)
+            on_pairs(
+                incremental_minhash_pairs(
+                    new_state,
+                    corpus_state,
+                    threshold=threshold,
+                    max_bucket_size=max_bucket_size,
+                ),
+                epoch_id,
+            )
+            # fold AFTER pair delivery: a crash in between redelivers the
+            # batch (at-least-once) rather than silently growing state
+            # without its pairs ever having been emitted
+            append_dedup_state(new_state, state_path)
+        finally:
+            new_state.unpersist()
+
+    return write

@@ -131,6 +131,60 @@ def test_append_dedup_state_accumulates(spark, tmp_path):
     spark.catalog.clearCache()
 
 
+def test_streaming_dedup_ingest_accumulates_state_and_pairs(spark, tmp_path):
+    """The streaming composition: documents replayed file-at-a-time
+    through a foreachBatch ingest sink — batch 2 must near-dup against
+    batch 1's content (caught via the folded state, the corpus text never
+    re-read), and the state table must grow to cover every ingested doc."""
+    from flink_clickstream_processor_msk_spark.streaming.ingest import (
+        dedup_ingest_sink,
+        init_dedup_state,
+    )
+
+    corpus, new = _corpus_and_batch(spark)  # reuse the crafted families
+    src = str(tmp_path / "docs-src")
+    corpus.coalesce(1).write.mode("append").parquet(src)
+    new.coalesce(1).write.mode("append").parquet(src)
+
+    state_path = str(tmp_path / "ingest-state")
+    init_dedup_state(spark, state_path)
+
+    got_pairs: list[tuple] = []
+
+    def on_pairs(pairs_df, _epoch):
+        got_pairs.extend(
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 12))
+            for r in pairs_df.collect()
+        )
+
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            dedup_ingest_sink(state_path, on_pairs, max_bucket_size=None)
+        )
+        .option("checkpointLocation", str(tmp_path / "ingest-ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    full = dedup.minhash_near_duplicates(
+        corpus.unionByName(new), max_bucket_size=None
+    )
+    # every pair is eventually emitted exactly once: a pair lands in the
+    # batch of its LATER doc, checked against state holding the earlier one
+    assert sorted(got_pairs) == sorted(_pairs_set(full))
+    assert (0, 1) in {(a, b) for a, b, _ in got_pairs}  # batch-1-internal
+    assert (2, 10) in {(a, b) for a, b, _ in got_pairs}  # cross-batch
+    state = dedup.load_dedup_state(spark, state_path)
+    assert state.count() == corpus.count() + new.count()
+    spark.catalog.clearCache()
+
+
 def test_decontaminate_incremental_matches_batch_split(spark, tmp_path):
     """Flagging a batch against a SAVED benchmark gram table must equal
     the in-table split form when the gram table is built from the same
