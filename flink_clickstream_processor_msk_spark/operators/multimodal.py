@@ -160,6 +160,75 @@ def decode_image(media: DataFrame) -> DataFrame:
     return media.mapInPandas(decode, schema="doc_id long, width int, height int")
 
 
+def fake_resize(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Deterministic resize stand-in completing the decode/feature/resize/
+    frame-sample quartet: stride-samples each payload down to exactly
+    ``width × height`` bytes (cycling when the payload is shorter — every
+    output is full-size, as a real resampler's would be) and stamps the
+    target dimensions into ``meta``. Same (doc_id, payload, meta) shape
+    in and out, so resize composes with every other media operator; the
+    real-codec path is :func:`resize_image` (PIL-gated like
+    :func:`decode_image`).
+
+    Scale shape: zero-shuffle Arrow-batched map; output payload size is
+    CONSTANT per row (width·height), so a resize early in a media
+    pipeline is also the data-volume clamp that makes downstream
+    partition sizing predictable."""
+    n_out = width * height
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def go(b: bytes) -> bytes:
+                raw = bytes(b)
+                if not raw:
+                    return bytes(n_out)
+                # stride-sample (or cycle) to exactly n_out bytes
+                return bytes(raw[(i * len(raw)) // n_out] for i in range(n_out))
+
+            out = pdf.copy()
+            out["payload"] = out["payload"].map(go)
+            out["meta"] = out["meta"].map(
+                lambda m: {**m, "width": width, "height": height}
+            )
+            yield out
+
+    return media.mapInPandas(resize, schema=MEDIA_SCHEMA)
+
+
+def resize_image(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Real image resize — PIL-gated exactly like :func:`decode_image`;
+    use :func:`fake_resize` for pipeline testing in codec-less
+    environments."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "image resizing requires PIL/pillow, not available in this "
+            "environment; use fake_resize for pipeline testing"
+        ) from exc
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+        import io
+
+        import PIL.Image as Image
+
+        for pdf in batches:
+            def go(b: bytes) -> bytes:
+                img = Image.open(io.BytesIO(bytes(b))).resize((width, height))
+                buf = io.BytesIO()
+                img.save(buf, format=img.format or "PNG")
+                return buf.getvalue()
+
+            out = pdf.copy()
+            out["payload"] = out["payload"].map(go)
+            out["meta"] = out["meta"].map(
+                lambda m: {**m, "width": width, "height": height}
+            )
+            yield out
+
+    return media.mapInPandas(resize, schema=MEDIA_SCHEMA)
+
+
 def frame_sample(media: DataFrame, frame_bytes: int = 64, every_n: int = 4) -> DataFrame:
     """Video-ish frame sampling: split each payload into fixed-size chunks
     ("frames") and keep every n-th — demonstrates the 1→N batch shape

@@ -62,6 +62,45 @@ def test_decode_image_is_gated(media):
         multimodal.decode_image(media)
 
 
+def test_fake_resize_constant_size_and_composes(media):
+    """Resize clamps every payload to exactly width*height bytes, stamps
+    the dimensions into meta, keeps the (doc_id, payload, meta) shape so
+    it composes with the rest of the media suite, and is deterministic
+    (stride-sampled from the source bytes, cycling short payloads)."""
+    out = multimodal.fake_resize(media, width=4, height=8)
+    assert [f.name for f in out.schema.fields] == ["doc_id", "payload", "meta"]
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert all(len(r["payload"]) == 32 for r in rows.values())
+    assert all(
+        (r["meta"]["width"], r["meta"]["height"]) == (4, 8) for r in rows.values()
+    )
+    # deterministic: stride-sampling "a"*200 yields all 'a' bytes
+    assert rows[1]["payload"] == b"a" * 32
+    # short payload cycles, never truncates to less than full size
+    assert len(rows[0]["payload"]) == 32
+    # composes: byte_stats and features run on the resized table
+    assert multimodal.byte_stats(out).count() == 3
+    feats = multimodal.media_features(out).collect()
+    assert all(len(r["embedding"]) == multimodal.N_FEATURES for r in feats)
+    # run-to-run determinism
+    again = {r["doc_id"]: r["payload"] for r in multimodal.fake_resize(
+        media, width=4, height=8).collect()}
+    assert {k: bytes(v) for k, v in again.items()} == {
+        k: bytes(r["payload"]) for k, r in rows.items()
+    }
+
+
+def test_resize_image_is_gated(media):
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present; stub path not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="PIL"):
+        multimodal.resize_image(media)
+
+
 def test_frame_sample_shapes(media):
     frames = multimodal.frame_sample(media, frame_bytes=50, every_n=2).collect()
     by_doc = {}
