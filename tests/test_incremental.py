@@ -185,6 +185,41 @@ def test_streaming_dedup_ingest_accumulates_state_and_pairs(spark, tmp_path):
     spark.catalog.clearCache()
 
 
+def test_dedup_ingest_epoch_replay_is_idempotent_when_wrapped(spark, tmp_path):
+    """The docstring's delivery-semantics claim, executed: wrapping the
+    ingest writer in sinks.dedup_epochs makes an at-least-once REPLAY of
+    the same epoch a no-op — state does not double-grow and pairs are not
+    re-emitted; an unwrapped replay (the raw writer) would append twice."""
+    from flink_clickstream_processor_msk_spark.streaming.ingest import (
+        dedup_ingest_sink,
+        init_dedup_state,
+    )
+    from flink_clickstream_processor_msk_spark.streaming.sinks import dedup_epochs
+
+    corpus, new = _corpus_and_batch(spark)
+    state_path = str(tmp_path / "replay-state")
+    init_dedup_state(spark, state_path, corpus=corpus)
+
+    emitted: list[tuple] = []
+
+    def on_pairs(pairs_df, _epoch):
+        emitted.extend((r["doc_a"], r["doc_b"]) for r in pairs_df.collect())
+
+    write = dedup_epochs(
+        dedup_ingest_sink(state_path, on_pairs, max_bucket_size=None),
+        str(tmp_path / "epoch-markers"),
+    )
+    write(new, epoch_id=7)
+    n_state = dedup.load_dedup_state(spark, state_path).count()
+    n_pairs = len(emitted)
+    assert n_state == corpus.count() + new.count() and n_pairs > 0
+
+    write(new, epoch_id=7)  # broker/source replay of the SAME epoch
+    assert dedup.load_dedup_state(spark, state_path).count() == n_state
+    assert len(emitted) == n_pairs
+    spark.catalog.clearCache()
+
+
 def test_decontaminate_incremental_matches_batch_split(spark, tmp_path):
     """Flagging a batch against a SAVED benchmark gram table must equal
     the in-table split form when the gram table is built from the same
