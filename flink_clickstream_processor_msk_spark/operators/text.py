@@ -43,6 +43,25 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 SHINGLE_K = 3
 
 
+def _quality_score(text: Column) -> Column:
+    """The deterministic [0,1]-ish quality composite (stopword ratio,
+    alphabetic ratio, length signal — C4-style heuristics) shared by
+    :func:`text_stats` and :func:`difficulty_buckets`; the exact term
+    order matters (IEEE-double sum mirrored by the SQL oracles)."""
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    stop = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*LANG_PROFILES["en"]))
+    )
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    return (
+        (stop / n_tok) * 0.4
+        + (alpha / n_chars) * 0.4
+        + F.least(n_tok / F.lit(64.0), F.lit(1.0)) * 0.2
+    )
+
+
 def text_stats(documents: DataFrame) -> DataFrame:
     """Token counts + quality features per document.
 
@@ -67,11 +86,7 @@ def text_stats(documents: DataFrame) -> DataFrame:
         (n_chars / n_tok).alias("avg_token_len"),
         (stop / n_tok).alias("stopword_ratio"),
         (alpha / n_chars).alias("alpha_ratio"),
-        (
-            (stop / n_tok) * 0.4
-            + (alpha / n_chars) * 0.4
-            + F.least(n_tok / F.lit(64.0), F.lit(1.0)) * 0.2
-        ).alias("quality_score"),
+        _quality_score(F.col("text")).alias("quality_score"),
     )
 
 
@@ -608,6 +623,84 @@ def chunk_documents(
 #: the documents table's contract columns — the single source for BOTH the
 #: driver profile query and its SQL oracle, so a driver-side schema change
 #: breaks loudly (column missing) instead of silently hash-mismatching
+def stratified_sample(
+    documents: DataFrame, k: int = 100, group_col: str = "lang"
+) -> DataFrame:
+    """Deterministic per-stratum sample: exactly ``min(k, |stratum|)``
+    documents per ``group_col`` value, selected in md5-hash order — the
+    eval-set / ablation-corpus builder's staple (uniform-at-random within
+    each stratum, yet stable across runs and engines because the draw is
+    a pure function of doc_id).
+
+    Complements :func:`train_test_split` (Bernoulli hash-threshold: exact
+    FRACTION only in expectation) with exact COUNT semantics. Scale shape:
+    the literal rank cut lets Catalyst plan a WindowGroupLimit — each input
+    partition keeps only its k smallest keys per group BEFORE the shuffle
+    (asserted in tests/test_beyond.py), so the exchange carries at most
+    k·n_groups rows per upstream partition, not the corpus; the per-group
+    sort downstream is over ≤ k·n_partitions rows. For a skewed stratum at
+    100 TB the pre-shuffle cut is what keeps the hot group's partition
+    bounded."""
+    from pyspark.sql import Window
+
+    keyed = documents.select(
+        group_col,
+        "doc_id",
+        h60(F.col("doc_id").cast("string")).alias("sample_key"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.asc("sample_key"), F.asc("doc_id")
+    )
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= k)
+        .select(group_col, "doc_id", "sample_key", "sample_rank")
+    )
+
+
+def difficulty_buckets(
+    documents: DataFrame, n_buckets: int = 4, group_col: str = "lang"
+) -> DataFrame:
+    """Curriculum/difficulty quartiles: NTILE(``n_buckets``) over the
+    :func:`text_stats` quality score within each ``group_col`` stratum —
+    the standard prep step for curriculum ordering or quality-tiered
+    sampling (bucket 1 = lowest-quality quartile of its language).
+
+    The score formula is shared verbatim with :func:`text_stats` (whose
+    driver oracle proves the doubles are bit-identical to the SQL twin),
+    and the (quality_score, doc_id) ordering is total, so the bucket
+    assignment is deterministic. Rows whose score is undefined (NULL text,
+    zero tokens/chars) are excluded BEFORE the division on both engines —
+    NULL-ordering and x/0 conventions differ between Spark and DuckDB, so
+    the filter is on the raw counts, not the score. Scale shape: one
+    shuffle on the stratum key + per-group sort; NTILE needs the group's
+    total row count, so no group-limit shortcut exists — at 100 TB a
+    per-language sort is the honest cost of exact quantile bucketing
+    (the cheap alternative is bucketing on approx percentile_approx cuts)."""
+    from pyspark.sql import Window
+
+    scored = (
+        documents.filter(F.col("text").isNotNull())
+        .filter(
+            (F.size(tokens(F.col("text"))) > 0) & (F.length("text") > 0)
+        )
+        .select(
+            group_col,
+            "doc_id",
+            _quality_score(F.col("text")).alias("quality_score"),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.asc("quality_score"), F.asc("doc_id")
+    )
+    return scored.select(
+        group_col,
+        "doc_id",
+        "quality_score",
+        F.ntile(n_buckets).over(w).cast("int").alias("difficulty_bucket"),
+    )
+
+
 DOCUMENTS_PROFILE_COLUMNS = ("doc_id", "text", "lang", "source", "n_chars")
 
 

@@ -116,6 +116,54 @@ FROM documents
 """
 
 
+def stratified_sample(k: int = 100, group_col: str = "lang") -> str:
+    """SQL twin of text.stratified_sample (md5-hash-ordered exact
+    per-stratum top-k; (sample_key, doc_id) is a total order)."""
+    key = _h60("doc_id::VARCHAR")
+    return f"""
+WITH keyed AS (
+  SELECT {group_col}, doc_id, ({key}) AS sample_key FROM documents
+)
+SELECT {group_col}, doc_id, sample_key, sample_rank
+FROM (
+  SELECT {group_col}, doc_id, sample_key,
+    CAST(row_number() OVER (
+      PARTITION BY {group_col} ORDER BY sample_key ASC, doc_id ASC
+    ) AS INTEGER) AS sample_rank
+  FROM keyed
+)
+WHERE sample_rank <= {k}
+"""
+
+
+def difficulty_buckets(n_buckets: int = 4, group_col: str = "lang") -> str:
+    """SQL twin of text.difficulty_buckets: NTILE over the text_stats
+    quality composite (same term order → bit-identical doubles, proven by
+    the text_stats oracle), undefined-score rows excluded on the raw
+    counts BEFORE any division (x/0 and NULL-ordering conventions differ
+    between engines, so neither side ever produces such a score)."""
+    stop_list = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
+    return f"""
+WITH toks AS (
+  SELECT {group_col}, doc_id, text, {_TOKENS.format(x="text")} AS w
+  FROM documents WHERE text IS NOT NULL
+),
+scored AS (
+  SELECT {group_col}, doc_id,
+    (len(list_filter(w, t -> lower(t) IN ({stop_list}))) / len(w)) * 0.4
+     + (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text)) * 0.4
+     + least(len(w) / 64.0, 1.0) * 0.2 AS quality_score
+  FROM toks
+  WHERE len(w) > 0 AND length(text) > 0
+)
+SELECT {group_col}, doc_id, quality_score,
+  CAST(ntile({n_buckets}) OVER (
+    PARTITION BY {group_col} ORDER BY quality_score ASC, doc_id ASC
+  ) AS INTEGER) AS difficulty_bucket
+FROM scored
+"""
+
+
 def repetition_filter(
     max_dup_2gram: float = 0.06, max_dup_3gram: float = 0.02
 ) -> str:

@@ -778,3 +778,53 @@ def test_profile_table_approx_single_pass_no_expand(spark, tmp_path):
     # rsd 0.05 at tiny cardinalities: HLL is exact
     assert out["text"]["n_distinct"] == 7
     assert out["lang"]["n_distinct"] == 1
+
+
+def test_stratified_sample_exact_counts_ranks_and_plan(spark):
+    """Exactly min(k, |stratum|) rows per group, ranks 1..k contiguous,
+    deterministic across runs — and the literal rank cut plans as a
+    WindowGroupLimit (per-partition top-k BEFORE the shuffle, the property
+    that bounds a hot stratum's exchange at 100 TB)."""
+    rows = [(i, f"doc number {i}", "en") for i in range(10)] + [
+        (100 + i, f"autre document {i}", "fr") for i in range(2)
+    ]
+    q = text.stratified_sample(_docs_ids(spark, rows), k=3)
+    out = q.collect()
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert len(by_lang["en"]) == 3  # cut branch
+    assert len(by_lang["fr"]) == 2  # keep-whole branch
+    assert sorted(r["sample_rank"] for r in by_lang["en"]) == [1, 2, 3]
+    assert sorted(r["sample_rank"] for r in by_lang["fr"]) == [1, 2]
+    # hash order: the kept en docs are the 3 smallest sample_keys
+    assert max(r["sample_key"] for r in by_lang["en"]) <= min(
+        r["sample_key"]
+        for r in text.stratified_sample(_docs_ids(spark, rows), k=10).collect()
+        if r["lang"] == "en" and r["sample_rank"] > 3
+    )
+    assert {tuple(r) for r in q.collect()} == {tuple(r) for r in out}
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_difficulty_buckets_ntile_semantics_and_undefined_scores(spark):
+    """NTILE bucket sizes differ by at most one, low scores land in low
+    buckets, and rows with undefined scores (NULL / empty / whitespace
+    text) are excluded before any division on either engine."""
+    # 7 en docs with strictly increasing quality (longer, more stopwords)
+    rows = [
+        (i, " ".join(["the cat is on a mat"] * (i + 1)), "en") for i in range(7)
+    ] + [(20, None, "en"), (21, "", "en"), (22, "   ", "en")]
+    out = text.difficulty_buckets(_docs_ids(spark, rows), n_buckets=4).collect()
+    assert {r["doc_id"] for r in out} == set(range(7))  # degenerate rows gone
+    sizes = {}
+    for r in out:
+        sizes[r["difficulty_bucket"]] = sizes.get(r["difficulty_bucket"], 0) + 1
+    assert sorted(sizes) == [1, 2, 3, 4]
+    assert max(sizes.values()) - min(sizes.values()) <= 1  # 7 -> 2,2,2,1
+    # ordering: bucket number is monotone in quality_score
+    ordered = sorted(out, key=lambda r: (r["quality_score"], r["doc_id"]))
+    assert [r["difficulty_bucket"] for r in ordered] == sorted(
+        r["difficulty_bucket"] for r in ordered
+    )
