@@ -214,9 +214,12 @@ def resize_image(media: DataFrame, width: int = 32, height: int = 32) -> DataFra
 
         for pdf in batches:
             def go(b: bytes) -> bytes:
-                img = Image.open(io.BytesIO(bytes(b))).resize((width, height))
+                src = Image.open(io.BytesIO(bytes(b)))
+                # capture BEFORE resize: PIL's resize() returns a derived
+                # image whose .format is always None (ADVICE r7)
+                fmt = src.format or "PNG"
                 buf = io.BytesIO()
-                img.save(buf, format=img.format or "PNG")
+                src.resize((width, height)).save(buf, format=fmt)
                 return buf.getvalue()
 
             out = pdf.copy()

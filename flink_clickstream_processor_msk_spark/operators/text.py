@@ -620,9 +620,6 @@ def chunk_documents(
     )
 
 
-#: the documents table's contract columns — the single source for BOTH the
-#: driver profile query and its SQL oracle, so a driver-side schema change
-#: breaks loudly (column missing) instead of silently hash-mismatching
 def stratified_sample(
     documents: DataFrame, k: int = 100, group_col: str = "lang"
 ) -> DataFrame:
@@ -701,6 +698,9 @@ def difficulty_buckets(
     )
 
 
+#: the documents table's contract columns — the single source for BOTH the
+#: driver profile query and its SQL oracle, so a driver-side schema change
+#: breaks loudly (column missing) instead of silently hash-mismatching
 DOCUMENTS_PROFILE_COLUMNS = ("doc_id", "text", "lang", "source", "n_chars")
 
 
