@@ -189,11 +189,14 @@ def _banded(
     n_bands: int = N_BANDS,
     n_perms: int = N_PERMS,
     max_bucket_size: int | None = None,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, band_idx, band_key) rows — the LSH banding step, shared by
     the batch candidate join and the incremental ingest path so the
     band-key formula (and the bucket-cap semantics: keep the
-    ``max_bucket_size`` LOWEST doc_ids per bucket) cannot desync."""
+    ``max_bucket_size`` LOWEST doc_ids per bucket) cannot desync.
+    ``carry`` propagates extra columns (e.g. shingles) through the
+    explode, one copy per band row."""
     rows = n_perms // n_bands
     bands = F.array(
         *[
@@ -207,20 +210,30 @@ def _banded(
         ]
     )
     banded = signatures.select(
-        "doc_id", F.explode(bands).alias("band")
-    ).select("doc_id", "band.band_idx", "band.band_key")
-    if max_bucket_size is not None:
-        from pyspark.sql import Window
+        "doc_id", *carry, F.explode(bands).alias("band")
+    ).select("doc_id", *carry, "band.band_idx", "band.band_key")
+    return _cap_buckets(banded, max_bucket_size)
 
-        rank = F.row_number().over(
-            Window.partitionBy("band_idx", "band_key").orderBy("doc_id")
-        )
-        banded = (
-            banded.withColumn("_rank", rank)
-            .filter(F.col("_rank") <= max_bucket_size)
-            .drop("_rank")
-        )
-    return banded
+
+def _cap_buckets(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Apply the skew cap to (doc_id, band_idx, band_key) rows: keep the
+    ``max_bucket_size`` LOWEST doc_ids per bucket. Shared by ``_banded``
+    (batch: cap over the full corpus) and the pre-banded probe path of
+    :func:`incremental_minhash_pairs` (cap over corpus ∪ new restricted to
+    the probed buckets — identical per-bucket, since the rank of a doc in
+    a bucket depends only on that bucket's membership)."""
+    if max_bucket_size is None:
+        return banded
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(
+        Window.partitionBy("band_idx", "band_key").orderBy("doc_id")
+    )
+    return (
+        banded.withColumn("_rank", rank)
+        .filter(F.col("_rank") <= max_bucket_size)
+        .drop("_rank")
+    )
 
 
 def lsh_candidate_pairs(
@@ -307,28 +320,122 @@ def load_pairs(spark, path: str) -> DataFrame:
 # text is never re-read (the API does not even accept it).
 
 
-def save_dedup_state(
-    documents: DataFrame, path: str, n_perms: int = N_PERMS
+#: default number of hash partitions the banded state is routed into per
+#: band. A probe batch of m docs touches ≈ min(m, n_buckets) partitions
+#: per band, so the read fraction of the corpus's banded state is
+#: ≈ m / n_buckets for micro-batches — size n_buckets to the expected
+#: corpus/batch ratio (64 suits local tests; a 100 TB corpus ingesting
+#: 10 k-doc batches wants 2^12-2^14). The value used at write time is
+#: self-described by the table's constant ``ptmod`` column (RLE-compressed
+#: to nothing), so probes never have to be told it out of band — a
+#: mismatch would silently prune WRONG partitions.
+NUM_STATE_BUCKETS = 64
+
+BANDED_STATE_SCHEMA = (
+    "doc_id long, band_key string, shingles array<long>, band_idx int, "
+    "pt int, ptmod int"
+)
+
+
+def _state_bucket(band_key: Column, n_buckets) -> Column:
+    """Deterministic partition route for a band_key: crc32 (stable across
+    Spark versions and sessions — the write and every later probe must
+    agree) folded into ``n_buckets``."""
+    return F.pmod(F.crc32(band_key), F.lit(n_buckets).cast("bigint")).cast(
+        "int"
+    )
+
+
+def _write_banded_state(
+    state: DataFrame, path: str, mode: str, n_bands: int, n_perms: int,
+    n_buckets: int,
 ) -> None:
-    """Write the corpus's minhash state — (doc_id, shingles, signature) —
+    (
+        _banded(state, n_bands, n_perms, None, carry=("shingles",))
+        # UNCAPPED: the cap is a probe-time policy (rank over corpus ∪
+        # new); baking it into the saved table would freeze the
+        # corpus-only ranking. Shingles ride along (n_bands× duplication
+        # on disk) so a probe verifies candidates from the pruned read
+        # alone — no corpus-wide doc_id→shingles join scan per batch.
+        .withColumn("pt", _state_bucket(F.col("band_key"), n_buckets))
+        .withColumn("ptmod", F.lit(n_buckets))
+        # cluster rows by their target directory before partitionBy —
+        # otherwise every write task emits a sliver into every one of the
+        # n_bands × n_buckets dirs (measured 5× probe-read overhead from
+        # file listing/opens at the 50 k-doc tier); this way each dir
+        # holds ~1 file per write
+        .repartition("band_idx", "pt")
+        .write.mode(mode)
+        .partitionBy("band_idx", "pt")
+        .parquet(f"{path}/banded_state")
+    )
+
+
+def save_dedup_state(
+    documents: DataFrame, path: str, n_perms: int = N_PERMS,
+    n_bands: int = N_BANDS, n_buckets: int = NUM_STATE_BUCKETS,
+) -> None:
+    """Write the corpus's minhash state: (doc_id, shingles, signature) —
     the amortized artifact :func:`incremental_minhash_pairs` checks new
-    batches against. Plain parquet: the incremental band join shuffles it
-    by band key anyway, so there is no routing column to prune on; size is
-    O(corpus distinct-shingle footprint), tiny next to the text."""
-    _signatures_from_sets(
-        shingle_hashes(documents), "shingles", n_perms
-    ).write.mode("overwrite").parquet(f"{path}/minhash_state")
+    batches against — PLUS the pre-banded
+    (doc_id, band_key, shingles | band_idx, pt) table hash-partitioned by
+    (band_idx, pt). The banded table is what makes per-batch probe cost
+    corpus-independent: a new batch touches ≈ min(batch, n_buckets)
+    partitions per band, the probe reads ONLY those (partition pruning,
+    plan-asserted in tests/test_incremental.py) instead of re-banding
+    corpus ∪ new per ingest batch (the round-7 corpus-proportional term),
+    and the carried shingles let it verify candidates without a
+    corpus-wide doc_id→shingles join scan. Cost of that last property:
+    the banded table stores shingles ``n_bands``× (space-for-time; the
+    signature state remains the compact 1× copy)."""
+    state = _materialized(
+        _signatures_from_sets(shingle_hashes(documents), "shingles", n_perms)
+    )
+    try:
+        state.write.mode("overwrite").parquet(f"{path}/minhash_state")
+        _write_banded_state(state, path, "overwrite", n_bands, n_perms, n_buckets)
+    finally:
+        state.unpersist()
 
 
-def append_dedup_state(new_state: DataFrame, path: str) -> None:
+def append_dedup_state(
+    new_state: DataFrame, path: str, n_perms: int = N_PERMS,
+    n_bands: int = N_BANDS, n_buckets: int | None = None,
+) -> None:
     """Fold a new batch's state rows (as returned by
-    :func:`batch_dedup_state`) into the saved corpus state, so the NEXT
-    ingest batch is checked against old + new."""
-    new_state.write.mode("append").parquet(f"{path}/minhash_state")
+    :func:`batch_dedup_state`) into BOTH saved tables, so the NEXT ingest
+    batch is checked against old + new. Appending to the banded table only
+    touches the partitions the batch's own bands route to. ``n_buckets``
+    defaults to whatever the existing banded table was written with (its
+    ``ptmod`` column) — appending with a different modulus would corrupt
+    partition routing."""
+    new_state.select("doc_id", "shingles", "signature").write.mode(
+        "append"
+    ).parquet(f"{path}/minhash_state")
+    if n_buckets is None:
+        existing = load_banded_state(new_state.sparkSession, path)
+        row = existing.select("ptmod").first()
+        n_buckets = row["ptmod"] if row is not None else NUM_STATE_BUCKETS
+    _write_banded_state(new_state, path, "append", n_bands, n_perms, n_buckets)
 
 
 def load_dedup_state(spark, path: str) -> DataFrame:
     return spark.read.parquet(f"{path}/minhash_state")
+
+
+def load_banded_state(spark, path: str) -> DataFrame:
+    """Read the pre-banded corpus state (written by
+    :func:`save_dedup_state`). A zero-row corpus writes no partition
+    directories (Spark emits no files under ``partitionBy`` for an empty
+    frame), so schema inference fails — degrade to an empty frame with
+    the contract schema."""
+    from pyspark.errors import AnalysisException
+
+    cols = ("doc_id", "band_idx", "band_key", "shingles", "pt", "ptmod")
+    try:
+        return spark.read.parquet(f"{path}/banded_state").select(*cols)
+    except AnalysisException:
+        return spark.createDataFrame([], BANDED_STATE_SCHEMA).select(*cols)
 
 
 def batch_dedup_state(new_docs: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
@@ -347,6 +454,7 @@ def incremental_minhash_pairs(
     n_bands: int = N_BANDS,
     n_perms: int = N_PERMS,
     max_bucket_size: int | None = MAX_BUCKET_SIZE_DEFAULT,
+    corpus_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Verified near-dup pairs that TOUCH the new batch — (new × corpus)
     and (new × new) — without re-shingling or re-signing the corpus.
@@ -359,14 +467,99 @@ def incremental_minhash_pairs(
     bands against the union instead of self-joining the union — candidate
     cost is O(new bands × bucket occupancy), independent of corpus size.
 
-    Scale shape: two shuffles (band join keyed on (band_idx, band_key),
-    verify join keyed on doc_id) plus one map pass over the NEW text only;
-    the corpus contributes a scan of its saved state table."""
+    With ``corpus_banded`` (the pre-banded table written by
+    :func:`save_dedup_state`, via :func:`load_banded_state`), the corpus
+    is NOT re-banded per batch either, and the corpus-wide verify scan
+    disappears too: the new batch's bands are banded alone, their
+    ≈ min(batch, n_buckets) touched (band_idx, pt) partitions per band
+    are collected driver-side, the saved banded table is read with
+    partition pruning, and candidates are verified from the shingles
+    CARRIED in the probed rows — per-batch corpus cost is the pruned read
+    alone, O(batch/n_buckets × corpus-bucket occupancy). The cap ranks
+    over (probed corpus buckets ∪ new), which equals the legacy
+    rank-over-full-union within every probed bucket (rank is
+    per-bucket), and untouched buckets cannot produce new-touching pairs
+    — pinned equal in tests/test_incremental.py. Without it, the legacy
+    corpus ∪ new re-band runs (O(corpus) explode per batch — the round-7
+    caveat).
+
+    Scale shape (probe path): one shuffle-free band explode over the NEW
+    batch, one pruned scan + (band_idx, band_key) join, exact Jaccard
+    inline on collisions (re-computed per colliding band, deduped by
+    ``distinct`` — Jaccard is deterministic and symmetric, so duplicate
+    collision rows collapse exactly)."""
+    new_ids = new_state.select("doc_id")
+    if corpus_banded is not None:
+        new_banded = _materialized(
+            _banded(new_state, n_bands, n_perms, None, carry=("shingles",))
+        )
+        row = corpus_banded.select("ptmod").first()
+        if row is None:
+            corpus_touched = None  # brand-new corpus: new×new pairs only
+        else:
+            n_buckets = row["ptmod"]
+            # driver-bounded: ≤ n_bands × n_buckets rows, whatever the
+            # batch size — the collect that makes static partition
+            # pruning possible on the saved banded table
+            touched = (
+                new_banded.select(
+                    "band_idx",
+                    _state_bucket(F.col("band_key"), n_buckets).alias("pt"),
+                )
+                .distinct()
+                .collect()
+            )
+            by_band: dict[int, set[int]] = {}
+            for r in touched:
+                by_band.setdefault(r["band_idx"], set()).add(r["pt"])
+            pred = F.lit(False)
+            for band_idx in sorted(by_band):
+                pred = pred | (
+                    (F.col("band_idx") == band_idx)
+                    & F.col("pt").isin(sorted(by_band[band_idx]))
+                )
+            # exact-bucket restriction beyond partition granularity: only
+            # corpus rows whose whole (band_idx, band_key) bucket the new
+            # batch actually touches take part in ranking + pairing
+            corpus_touched = (
+                corpus_banded.filter(pred)
+                .join(
+                    new_banded.select("band_idx", "band_key").distinct(),
+                    ["band_idx", "band_key"],
+                    "left_semi",
+                )
+                .select("doc_id", "band_idx", "band_key", "shingles")
+            )
+        probe_cols = ("doc_id", "band_idx", "band_key", "shingles")
+        union_rows = new_banded.select(*probe_cols)
+        if corpus_touched is not None:
+            union_rows = corpus_touched.unionByName(union_rows)
+        capped = _cap_buckets(union_rows, max_bucket_size)
+        a = capped.join(new_ids, "doc_id", "left_semi").alias("a")
+        b = capped.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias(
+                    "doc_b"
+                ),
+                jaccard(F.col("a.shingles"), F.col("b.shingles")).alias(
+                    "jaccard"
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .distinct()
+        )
     all_state = corpus_state.select(
         "doc_id", "shingles", "signature"
     ).unionByName(new_state.select("doc_id", "shingles", "signature"))
     banded_all = _banded(all_state, n_bands, n_perms, max_bucket_size)
-    new_ids = new_state.select("doc_id")
     banded_new = banded_all.join(new_ids, "doc_id", "left_semi")
     a, b = banded_new.alias("a"), banded_all.alias("b")
     pairs = (

@@ -5,8 +5,11 @@ each micro-batch of documents is shingled+signed ONCE, checked for
 near-duplicates against the corpus's written minhash state (pairs touching
 the batch — new×corpus and new×new), delivered to a pairs consumer, and
 folded into the state so the NEXT batch is checked against old+new. The
-corpus text is never re-read; per-batch cost is O(batch text) + a columnar
-scan of the state table (PLANS.md "Incremental ingest dedup").
+corpus text is never re-read; per-batch cost is O(batch text) + a
+partition-pruned probe of the pre-banded state (only the ≤ n_bands ×
+NUM_STATE_BUCKETS disk partitions the batch's own bands route to are
+read) + a doc_id/shingles column scan of the signature state for the
+verify join (PLANS.md "Incremental ingest dedup").
 
 This is the streaming complement to streaming/dedup.py's EXACT ingest
 dedup (`dropDuplicatesWithinWatermark` on event identity): that one drops
@@ -31,6 +34,7 @@ from flink_clickstream_processor_msk_spark.operators.dedup import (
     append_dedup_state,
     batch_dedup_state,
     incremental_minhash_pairs,
+    load_banded_state,
     load_dedup_state,
     save_dedup_state,
 )
@@ -75,6 +79,10 @@ def dedup_ingest_sink(
                     corpus_state,
                     threshold=threshold,
                     max_bucket_size=max_bucket_size,
+                    # probe the pre-banded state with partition pruning
+                    # instead of re-banding corpus ∪ new per micro-batch
+                    # (the corpus-proportional term flagged in round 7)
+                    corpus_banded=load_banded_state(spark, state_path),
                 ),
                 epoch_id,
             )

@@ -131,6 +131,107 @@ def test_append_dedup_state_accumulates(spark, tmp_path):
     spark.catalog.clearCache()
 
 
+def test_probe_path_matches_legacy_reband(spark, tmp_path):
+    """The pre-banded probe path (corpus_banded=) must emit EXACTLY the
+    legacy corpus ∪ new re-band path's pairs — uncapped and under the
+    skew cap (cap ranks per-bucket, so ranking over probed buckets only
+    equals ranking over the full union restricted to them)."""
+    corpus, new = _corpus_and_batch(spark)
+    path = str(tmp_path / "dedup_state_probe")
+    dedup.save_dedup_state(corpus, path)
+    new_state = dedup.batch_dedup_state(new)
+    corpus_state = dedup.load_dedup_state(spark, path)
+    banded = dedup.load_banded_state(spark, path)
+    for cap in (None, 2):
+        legacy = _pairs_set(
+            dedup.incremental_minhash_pairs(
+                new_state, corpus_state, max_bucket_size=cap
+            )
+        )
+        probed = _pairs_set(
+            dedup.incremental_minhash_pairs(
+                new_state, corpus_state, max_bucket_size=cap,
+                corpus_banded=banded,
+            )
+        )
+        assert probed == legacy and len(probed) > 0
+    spark.catalog.clearCache()
+
+
+def test_probe_path_prunes_banded_partitions(spark, tmp_path):
+    """The 100 TB property itself: the probe reads the saved banded table
+    through PartitionFilters on (band_idx, pt) — the physical scan of
+    banded_state is partition-pruned, not a full re-band or full scan."""
+    corpus, new = _corpus_and_batch(spark)
+    path = str(tmp_path / "dedup_state_prune")
+    dedup.save_dedup_state(corpus, path)
+    q = dedup.incremental_minhash_pairs(
+        dedup.batch_dedup_state(new),
+        dedup.load_dedup_state(spark, path),
+        max_bucket_size=None,
+        corpus_banded=dedup.load_banded_state(spark, path),
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # the scan's Location string is truncated in toString(), so match the
+    # filter shape itself: the banded_state scan is the only FileScan
+    # carrying a (band_idx = N) AND pt IN (...) partition filter
+    scan_lines = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln
+        and "PartitionFilters: [(" in ln
+        and "band_idx" in ln
+        and "pt" in ln
+    ]
+    assert scan_lines, plan
+    assert any(" IN (" in ln for ln in scan_lines), plan
+    spark.catalog.clearCache()
+
+
+def test_append_updates_banded_state(spark, tmp_path):
+    """append_dedup_state folds the batch into the banded table too: the
+    NEXT batch's probe-path run catches a near-dup of APPENDED content."""
+    corpus, new = _corpus_and_batch(spark)
+    path = str(tmp_path / "dedup_state_roll_banded")
+    dedup.save_dedup_state(corpus, path)
+    dedup.append_dedup_state(dedup.batch_dedup_state(new), path)
+    batch2 = spark.createDataFrame(
+        [_doc(20, "a genuinely novel incoming document with fresh content words exactly")],
+        DOCS_SCHEMA,
+    )  # near-dup of appended doc 13 (same suffix-edit fixture as above)
+    got = _pairs_set(
+        dedup.incremental_minhash_pairs(
+            dedup.batch_dedup_state(batch2),
+            dedup.load_dedup_state(spark, path),
+            max_bucket_size=None,
+            corpus_banded=dedup.load_banded_state(spark, path),
+        )
+    )
+    assert any(a == 13 and b == 20 for a, b, _ in got)
+    spark.catalog.clearCache()
+
+
+def test_banded_state_empty_corpus_degrades_gracefully(spark, tmp_path):
+    """A brand-new corpus writes a zero-row partitioned table (no files);
+    load_banded_state degrades to the contract-schema empty frame and the
+    probe path still finds the batch's new-new pairs."""
+    corpus, new = _corpus_and_batch(spark)
+    path = str(tmp_path / "dedup_state_empty")
+    dedup.save_dedup_state(corpus.limit(0), path)
+    banded = dedup.load_banded_state(spark, path)
+    assert banded.count() == 0
+    got = _pairs_set(
+        dedup.incremental_minhash_pairs(
+            dedup.batch_dedup_state(new),
+            dedup.load_dedup_state(spark, path),
+            max_bucket_size=None,
+            corpus_banded=banded,
+        )
+    )
+    assert any(a == 11 and b == 12 for a, b, _ in got)  # new-new family
+    assert all(a >= 10 for a, _b, _ in got)
+    spark.catalog.clearCache()
+
+
 def test_streaming_dedup_ingest_accumulates_state_and_pairs(spark, tmp_path):
     """The streaming composition: documents replayed file-at-a-time
     through a foreachBatch ingest sink — batch 2 must near-dup against
