@@ -1,0 +1,130 @@
+"""Avro BINARY wire codec for ClickEvent — broker-free S1 fixtures.
+
+The reference job consumes Avro-framed ClickEvents from Kafka
+(ClickstreamProcessor.java:101-119; schema ClickEvent.avsc:1-15). The
+Spark path decodes the same bytes with ``from_avro`` — but the
+``spark-avro`` external module is not bundled in this sandbox, so the
+deserialization leg cannot execute locally. This module closes the gap
+from the other side: a pure-Python implementation of the Avro BINARY
+encoding (Apache Avro spec §"Binary encoding": zigzag-varint ints/longs,
+length-prefixed UTF-8 strings, index-prefixed unions, fields in record
+order) driven by the parsed ``CLICK_EVENT_AVSC`` itself, so a schema
+edit breaks the codec loudly instead of silently desyncing.
+
+Trust chain, tested in tests/test_avro_wire.py:
+  1. encode → decode round-trips (property-tested, nullable unions
+     included);
+  2. encode is BYTE-IDENTICAL to the Apache Avro *reference
+     implementation* (the avro JAR on Spark's classpath, driven through
+     py4j) — so these bytes ARE Kafka wire bytes;
+  3. when ``spark-avro`` is present, bytes produced here feed the exact
+     ``from_avro`` expression ``kafka_clickevents`` uses
+     (``avro_decoded_events``) and come back equal (gated test).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+# parse lazily at import from the single source of truth (defined in
+# clickevents.py next to the Kafka source that consumes it)
+
+
+def _schema_fields() -> list[tuple[str, Any]]:
+    from flink_clickstream_processor_msk_spark.sources.clickevents import (
+        CLICK_EVENT_AVSC,
+    )
+
+    return [
+        (f["name"], f["type"]) for f in json.loads(CLICK_EVENT_AVSC)["fields"]
+    ]
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _write_long(out: bytearray, n: int) -> None:
+    z = _zigzag(n) & 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _unzigzag(acc), pos
+        shift += 7
+
+
+def _write_value(out: bytearray, typ: Any, value: Any) -> None:
+    if isinstance(typ, list):  # union — branch index prefix, spec order
+        if value is None:
+            out_idx = typ.index("null")
+            _write_long(out, out_idx)
+            return
+        branch = next(t for t in typ if t != "null")
+        _write_long(out, typ.index(branch))
+        _write_value(out, branch, value)
+    elif typ in ("long", "int"):
+        _write_long(out, int(value))
+    elif typ == "string":
+        raw = value.encode("utf-8")
+        _write_long(out, len(raw))
+        out.extend(raw)
+    else:  # pragma: no cover - schema drift guard
+        raise NotImplementedError(f"avro type {typ!r} not supported")
+
+
+def _read_value(buf: bytes, pos: int, typ: Any) -> tuple[Any, int]:
+    if isinstance(typ, list):
+        idx, pos = _read_long(buf, pos)
+        branch = typ[idx]
+        if branch == "null":
+            return None, pos
+        return _read_value(buf, pos, branch)
+    if typ in ("long", "int"):
+        return _read_long(buf, pos)
+    if typ == "string":
+        n, pos = _read_long(buf, pos)
+        return buf[pos : pos + n].decode("utf-8"), pos + n
+    raise NotImplementedError(f"avro type {typ!r} not supported")  # pragma: no cover
+
+
+def encode_click_event(row: dict) -> bytes:
+    """dict (avsc field names) → Avro binary record bytes, the exact
+    payload the reference's Kafka producer frames."""
+    out = bytearray()
+    for name, typ in _schema_fields():
+        _write_value(out, typ, row[name])
+    return bytes(out)
+
+
+def decode_click_event(payload: bytes) -> dict:
+    """Avro binary record bytes → dict; inverse of
+    :func:`encode_click_event`, asserting full consumption."""
+    row: dict = {}
+    pos = 0
+    for name, typ in _schema_fields():
+        row[name], pos = _read_value(payload, pos, typ)
+    if pos != len(payload):
+        raise ValueError(
+            f"trailing bytes: consumed {pos} of {len(payload)}"
+        )
+    return row

@@ -138,11 +138,6 @@ def kafka_clickevents(
     (CP:108-111); plain ``from_avro`` with the literal schema is the
     engine-level equivalent (registry lookup is a deployment concern).
     """
-    from pyspark.sql.avro.functions import from_avro
-
-    if avro_schema_json is None:
-        avro_schema_json = CLICK_EVENT_AVSC
-
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -150,10 +145,27 @@ def kafka_clickevents(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    decoded = raw.select(
+    return with_event_time(
+        avro_decoded_events(raw, avro_schema_json), watermark=watermark
+    )
+
+
+def avro_decoded_events(
+    raw: DataFrame, avro_schema_json: str | None = None
+) -> DataFrame:
+    """``value`` binary column → ClickEvent columns: THE S1
+    deserialization expression, shared by :func:`kafka_clickevents` and
+    the broker-free wire-format tests (tests/test_avro_wire.py feeds it
+    bytes produced by sources/avro_wire.py, which are pinned
+    byte-identical to the Apache Avro reference implementation) so the
+    tested plan fragment IS the production one."""
+    from pyspark.sql.avro.functions import from_avro
+
+    if avro_schema_json is None:
+        avro_schema_json = CLICK_EVENT_AVSC
+    return raw.select(
         from_avro(F.col("value"), avro_schema_json).alias("event")
     ).select("event.*")
-    return with_event_time(decoded, watermark=watermark)
 
 
 # Literal copy of the reference's source-of-truth schema
