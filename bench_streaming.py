@@ -123,7 +123,25 @@ def _run_single_pass(spark, src: str, schema) -> float:
     return wall
 
 
-MODES = {"multi_query": _run_multi_query, "single_pass": _run_single_pass}
+def _run_single_pass_rocksdb(spark, src: str, schema) -> float:
+    """The production-default topology on the DISK-BACKED RocksDB state
+    store (session.py ROCKSDB_STATE_STORE_PROVIDER) — the provider a
+    100 TB job runs, where session state must not live in executor heap.
+    Measured against the default HDFS-backed row to price the trade."""
+    from flink_clickstream_processor_msk_spark.session import (
+        ROCKSDB_STATE_STORE_PROVIDER,
+        state_store_provider,
+    )
+
+    with state_store_provider(spark, ROCKSDB_STATE_STORE_PROVIDER):
+        return _run_single_pass(spark, src, schema)
+
+
+MODES = {
+    "multi_query": _run_multi_query,
+    "single_pass": _run_single_pass,
+    "single_pass_rocksdb": _run_single_pass_rocksdb,
+}
 
 
 def main() -> None:

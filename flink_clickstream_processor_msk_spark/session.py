@@ -17,8 +17,45 @@ session-level choices below matter at scale:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
+
+#: Disk-backed streaming state store (bundled rocksdbjni). The default
+#: HDFSBackedStateStoreProvider keeps every stateful operator's state in
+#: executor HEAP — fine for tests, but a 100 TB streaming job's session
+#: state (millions of open sessions × session payload) must spill;
+#: RocksDB keeps a bounded in-memory working set with the state on local
+#: disk, checkpointed as versioned snapshots. This is the provider the
+#: reference's production guidance maps to (Flink's RocksDBStateBackend,
+#: SURVEY §4.1). Read per QUERY START from the session conf — settable at
+#: runtime (state_store_provider below) or statically via
+#: ``get_spark(extra_conf={"spark.sql.streaming.stateStore.providerClass":
+#: ROCKSDB_STATE_STORE_PROVIDER})``.
+ROCKSDB_STATE_STORE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+
+@contextmanager
+def state_store_provider(spark: SparkSession, provider: str):
+    """Run streaming queries under a specific state store provider, then
+    restore the previous session conf (queries STARTED inside keep the
+    provider they started with — the conf is captured at query start)."""
+    try:
+        previous = spark.conf.get(_PROVIDER_CONF)
+    except Exception:
+        previous = None
+    spark.conf.set(_PROVIDER_CONF, provider)
+    try:
+        yield spark
+    finally:
+        if previous is None:
+            spark.conf.unset(_PROVIDER_CONF)
+        else:
+            spark.conf.set(_PROVIDER_CONF, previous)
 
 
 def get_spark(
