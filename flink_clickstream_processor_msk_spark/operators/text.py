@@ -656,7 +656,8 @@ def stratified_sample(
 
 
 def difficulty_buckets(
-    documents: DataFrame, n_buckets: int = 4, group_col: str = "lang"
+    documents: DataFrame, n_buckets: int = 4, group_col: str = "lang",
+    approx: bool = False, accuracy: int = 10_000,
 ) -> DataFrame:
     """Curriculum/difficulty quartiles: NTILE(``n_buckets``) over the
     :func:`text_stats` quality score within each ``group_col`` stratum —
@@ -672,8 +673,16 @@ def difficulty_buckets(
     the filter is on the raw counts, not the score. Scale shape: one
     shuffle on the stratum key + per-group sort; NTILE needs the group's
     total row count, so no group-limit shortcut exists — at 100 TB a
-    per-language sort is the honest cost of exact quantile bucketing
-    (the cheap alternative is bucketing on approx percentile_approx cuts)."""
+    per-language sort is the honest cost of exact quantile bucketing.
+
+    ``approx=True`` is the 100 TB production knob (the
+    :func:`length_percentiles` pattern): per-stratum Greenwald-Khanna
+    ``percentile_approx`` cut points at i/n_buckets (error ≤ 1/accuracy
+    of rank), then bucket = 1 + #cuts below the score via a literal
+    when-chain (codegen, no HOF, no per-group sort Window — plan-asserted
+    in tests). Semantics shift from rank-balanced (NTILE: bucket sizes
+    within 1) to value-cut (ties on a cut value share a bucket); exact
+    stays the oracle-checked driver configuration."""
     from pyspark.sql import Window
 
     scored = (
@@ -687,6 +696,38 @@ def difficulty_buckets(
             _quality_score(F.col("text")).alias("quality_score"),
         )
     )
+    if approx:
+        # scored feeds BOTH the cuts aggregation and the join probe; a
+        # broadcast join leaves no exchange to reuse, so without
+        # materialization the _quality_score map (the dominant cost of
+        # either path at scale) runs twice. Locally the persist is a wash
+        # (50 k docs: 1.02 s → 1.04 s, cache overhead ≈ the saved pass)
+        # but at 100 TB a 2× score map is exactly the tax the knob exists
+        # to avoid paying.
+        from pyspark.storagelevel import StorageLevel
+
+        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+        cuts = scored.groupBy(group_col).agg(
+            F.percentile_approx(
+                "quality_score",
+                [i / n_buckets for i in range(1, n_buckets)],
+                accuracy,
+            ).alias("_cuts")
+        )
+        bucket = F.lit(1)
+        for i in range(n_buckets - 1):
+            bucket = bucket + F.when(
+                F.col("quality_score") > F.col("_cuts")[i], 1
+            ).otherwise(0)
+        return (
+            scored.join(F.broadcast(cuts), group_col)
+            .select(
+                group_col,
+                "doc_id",
+                "quality_score",
+                bucket.cast("int").alias("difficulty_bucket"),
+            )
+        )
     w = Window.partitionBy(group_col).orderBy(
         F.asc("quality_score"), F.asc("doc_id")
     )

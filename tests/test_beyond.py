@@ -828,3 +828,46 @@ def test_difficulty_buckets_ntile_semantics_and_undefined_scores(spark):
     assert [r["difficulty_bucket"] for r in ordered] == sorted(
         r["difficulty_bucket"] for r in ordered
     )
+
+
+def test_difficulty_buckets_approx_knob(spark):
+    """The 100 TB knob (VERDICT r7 wrong #3, length_percentiles pattern):
+    approx=True buckets on per-stratum percentile_approx cut points — the
+    plan must have NO per-group sort Window (the exact path's scale
+    cost), buckets must stay monotone in score and span [1, n], and at
+    sketch accuracy >> group size the cuts are exact ranks, so bucket
+    assignment matches NTILE on an all-distinct-scores fixture whose
+    group sizes divide n_buckets (the configuration where value-cut and
+    rank-balanced semantics provably coincide)."""
+    rows = [
+        (i, " ".join(["the cat is on a mat"] * (i + 1)), "en")
+        for i in range(8)
+    ] + [
+        (100 + i, " ".join(["un gato y el perro"] * (i + 1)), "es")
+        for i in range(4)
+    ] + [(200, None, "en"), (201, "", "en")]
+    q = text.difficulty_buckets(_docs_ids(spark, rows), n_buckets=4, approx=True)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # "ntile(" (not bare "ntile" — perceNTILE_approx contains it) and the
+    # physical Window node "Window [" must both be gone
+    assert "Window [" not in plan and "ntile(" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    out = q.collect()
+    assert {r["doc_id"] for r in out} == set(range(8)) | {100, 101, 102, 103}
+    for lang in ("en", "es"):
+        ordered = sorted(
+            (r for r in out if r["lang"] == lang),
+            key=lambda r: (r["quality_score"], r["doc_id"]),
+        )
+        got = [r["difficulty_bucket"] for r in ordered]
+        assert got == sorted(got)  # monotone
+        assert set(got) == {1, 2, 3, 4}  # every bucket hit, range respected
+    exact = {
+        (r["lang"], r["doc_id"]): r["difficulty_bucket"]
+        for r in text.difficulty_buckets(
+            _docs_ids(spark, rows), n_buckets=4
+        ).collect()
+    }
+    assert {
+        (r["lang"], r["doc_id"]): r["difficulty_bucket"] for r in out
+    } == exact
