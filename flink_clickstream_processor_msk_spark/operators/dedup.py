@@ -857,6 +857,45 @@ def minhash_duplicate_families(
     )
 
 
+def dedup_graph_stats(
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    n_perms: int = N_PERMS,
+    n_bands: int = N_BANDS,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE_DEFAULT,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document analytics of the near-dup PAIR GRAPH — the dedup
+    audit view: (doc_id, degree, family_rep, family_size) for every doc
+    with at least one near-duplicate. Degree vs family_size separates the
+    two duplication regimes a corpus audit cares about: a clique
+    (boilerplate stamped everywhere — degree ≈ family_size − 1) vs a
+    chain of pairwise edits (degree ≪ family_size — near-dup DRIFT, where
+    transitive dedup may over-merge). All-integer columns, so the DuckDB
+    twin (oracles_beyond.dedup_graph_stats) hash-matches without float
+    ceremony.
+
+    ``pairs`` plugs in the session-cached/written pairs table exactly as
+    in :func:`minhash_duplicate_families`; degree is one map-side-combined
+    groupBy over the symmetric edge list, families reuse the
+    size-adaptive component resolver — nothing here re-touches text."""
+    if pairs is None:
+        pairs = minhash_near_duplicates(
+            documents, threshold, n_perms, n_bands, max_bucket_size
+        )
+    pairs = ensure_persisted(pairs)
+    fam = minhash_duplicate_families(documents, pairs=pairs)
+    degree = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("degree"))
+    )
+    return fam.join(degree, "doc_id").select(
+        "doc_id", "degree", "family_rep", "family_size"
+    )
+
+
 # --- SimHash ---------------------------------------------------------------
 
 def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:

@@ -752,6 +752,41 @@ FROM lab
 """
 
 
+def dedup_graph_stats(threshold: float = JACCARD_THRESHOLD) -> str:
+    """SQL twin of dedup.dedup_graph_stats: degree = count of symmetric
+    pair-graph edges per vertex (pairs are distinct and doc_a < doc_b, so
+    the symmetric UNION introduces no duplicate edges and the count is
+    the true degree), families via the same recursive-CTE fixpoint as the
+    dedup_families oracle. All-integer columns."""
+    return f"""
+WITH RECURSIVE vp AS (
+  SELECT doc_a, doc_b FROM ({minhash_near_duplicates(threshold)}) t
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM vp
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM vp
+),
+walk(id, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.id
+),
+lab AS (SELECT id AS doc_id, min(lbl) AS family_rep FROM walk GROUP BY id),
+fam AS (
+  SELECT doc_id, family_rep,
+    CAST(count(*) OVER (PARTITION BY family_rep) AS INTEGER) AS family_size
+  FROM lab
+),
+deg AS (
+  SELECT a AS doc_id, CAST(count(*) AS INTEGER) AS degree
+  FROM edges GROUP BY a
+)
+SELECT f.doc_id, d.degree, f.family_rep, f.family_size
+FROM fam f JOIN deg d USING (doc_id)
+"""
+
+
 def decontaminate(test_pct: int = 10) -> str:
     """SQL twin of pipeline.decontaminate: train docs sharing any word-
     3-gram 28-bit hash with the test split (same md5 bucket split, same

@@ -227,3 +227,44 @@ def test_duplicate_families_chain(spark):
     fam = {r["doc_id"]: (r["family_rep"], r["family_size"]) for r in rows}
     assert fam == {0: (0, 3), 1: (0, 3), 2: (0, 3)}
     spark.catalog.clearCache()
+
+
+def test_graph_stats_distinguishes_clique_from_chain(spark):
+    """dedup_graph_stats' audit semantics: in a CLIQUE (stamped
+    boilerplate) every member's degree is family_size - 1; in a CHAIN of
+    pairwise edits (near-dup drift) the interior has degree 2 and the
+    endpoints 1, while family_size spans the whole chain — the signal
+    that transitive dedup is merging documents that never directly
+    matched."""
+    from flink_clickstream_processor_msk_spark.operators.dedup import (
+        dedup_graph_stats,
+        minhash_near_duplicates,
+    )
+
+    base = "spark flink stream batch query engine scale data " * 4
+    texts = [
+        base + "alpha beta gamma delta",    # 0: chain end (pairs with 1)
+        base + "alpha beta gamma epsilon",  # 1: chain middle (0 and 2)
+        base + "alpha beta zeta epsilon",   # 2: chain end (pairs with 1)
+        "totally different words entirely unrelated content here",  # 3
+    ]
+    from collections import Counter
+
+    docs = _docs_df(spark, texts)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_duplicates(docs).collect()
+    }
+    # the fixture is a 3-doc CHAIN (2 pairs over docs 0-2, doc 3 alone) —
+    # which doc sits in the middle depends on which bands collide, so the
+    # expected degrees derive from the actual pair set
+    assert len(pairs) == 2 and {d for p in pairs for d in p} == {0, 1, 2}
+    deg = Counter(d for p in pairs for d in p)
+    assert sorted(deg.values()) == [1, 1, 2]  # chain, not a clique
+    rows = dedup_graph_stats(docs).collect()
+    got = {
+        r["doc_id"]: (r["degree"], r["family_rep"], r["family_size"])
+        for r in rows
+    }
+    assert got == {d: (deg[d], 0, 3) for d in (0, 1, 2)}
+    spark.catalog.clearCache()
