@@ -38,6 +38,7 @@ from flink_clickstream_processor_msk_spark.operators.dedup import (
     load_dedup_state,
     save_dedup_state,
 )
+from flink_clickstream_processor_msk_spark.operators.text import SHINGLE_K
 
 
 def init_dedup_state(
@@ -89,6 +90,71 @@ def dedup_ingest_sink(
             # fold AFTER pair delivery: a crash in between redelivers the
             # batch (at-least-once) rather than silently growing state
             # without its pairs ever having been emitted
+            append_dedup_state(new_state, state_path)
+        finally:
+            new_state.unpersist()
+
+    return write
+
+
+def corpus_ingest_sink(
+    state_path: str,
+    grams_path: str,
+    on_pairs: Callable[[DataFrame, int], None],
+    on_flags: Callable[[DataFrame, int], None],
+    threshold: float = JACCARD_THRESHOLD,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE_DEFAULT,
+    k: int = SHINGLE_K,
+) -> Callable[[DataFrame, int], None]:
+    """The full training-data ingest leg as ONE foreachBatch writer:
+    each micro-batch of documents is near-dup-checked against the
+    written dedup state (as :func:`dedup_ingest_sink`) AND
+    decontamination-flagged against a saved benchmark gram table
+    (pipeline.save_test_grams) — the single-pass fan-out idea applied to
+    ingest. When ``k`` equals the dedup shingle width (the default), the
+    decontamination leg reuses the batch's ALREADY-COMPUTED shingle
+    table instead of re-running the Arrow md5 text kernel — the
+    per-document text pass, the pipeline's dominant cost, is paid once
+    for both checks. ``on_flags(flags_df, epoch)`` receives
+    (doc_id, contaminated) rows; delivery semantics as in
+    :func:`dedup_ingest_sink` (wrap in ``sinks.dedup_epochs`` for
+    effectively-once state growth)."""
+    from flink_clickstream_processor_msk_spark.operators.pipeline import (
+        _flag_contaminated,
+        decontaminate_incremental,
+        load_test_grams,
+    )
+
+    def write(batch_docs: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        spark = batch_docs.sparkSession
+        new_state = batch_dedup_state(batch_docs)
+        try:
+            on_pairs(
+                incremental_minhash_pairs(
+                    new_state,
+                    load_dedup_state(spark, state_path),
+                    threshold=threshold,
+                    max_bucket_size=max_bucket_size,
+                    corpus_banded=load_banded_state(spark, state_path),
+                ),
+                epoch_id,
+            )
+            test_grams = load_test_grams(spark, grams_path, k)
+            if k == SHINGLE_K:
+                # the dedup state's shingles ARE shingle_hashes(k) —
+                # explode them rather than re-shingling the text
+                flags = _flag_contaminated(
+                    batch_docs.select("doc_id"),
+                    new_state.select(
+                        "doc_id", F.explode("shingles").alias("gram")
+                    ),
+                    test_grams.select("gram"),
+                )
+            else:
+                flags = decontaminate_incremental(batch_docs, test_grams, k=k)
+            on_flags(flags, epoch_id)
             append_dedup_state(new_state, state_path)
         finally:
             new_state.unpersist()

@@ -445,3 +445,84 @@ def test_ivf_append_matches_same_centroid_rebuild(spark, tmp_path):
         r["vec_id"] >= 50 for r in want
     ) or refreshed[1].filter("vec_id >= 50").count() > 0
     spark.catalog.clearCache()
+
+
+def test_corpus_ingest_sink_dedups_and_decontaminates_in_one_pass(
+    spark, tmp_path
+):
+    """The combined ingest leg: one foreachBatch writer emits BOTH the
+    near-dup pairs (vs accumulated state) and the decontamination flags
+    (vs a saved benchmark gram table) per micro-batch. Flags must equal
+    decontaminate_incremental run batch-by-batch; pairs must equal the
+    batch pipeline's full pair set, each in its later doc's batch — and
+    the k == SHINGLE_K path serves both checks from ONE shingle pass."""
+    from flink_clickstream_processor_msk_spark.operators import pipeline
+    from flink_clickstream_processor_msk_spark.streaming.ingest import (
+        corpus_ingest_sink,
+        init_dedup_state,
+    )
+
+    corpus, new = _corpus_and_batch(spark)
+    # benchmark: one doc sharing 3-grams with corpus doc 2's base text and
+    # one with new doc 13's text — so both replayed files get a real flag
+    bench = spark.createDataFrame(
+        [
+            _doc(900, "pack my box with five dozen liquor jugs tonight"),
+            _doc(901, "a genuinely novel incoming document with fresh words"),
+        ],
+        DOCS_SCHEMA,
+    )
+    grams_path = str(tmp_path / "bench-grams")
+    pipeline.save_test_grams(bench, grams_path)
+
+    src = str(tmp_path / "combined-src")
+    corpus.coalesce(1).write.mode("append").parquet(src)
+    new.coalesce(1).write.mode("append").parquet(src)
+    state_path = str(tmp_path / "combined-state")
+    init_dedup_state(spark, state_path)
+
+    got_pairs: list[tuple] = []
+    got_flags: dict[int, int] = {}
+
+    def on_pairs(df, _epoch):
+        got_pairs.extend(
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 12))
+            for r in df.collect()
+        )
+
+    def on_flags(df, _epoch):
+        got_flags.update((r["doc_id"], r["contaminated"]) for r in df.collect())
+
+    q = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(
+            corpus_ingest_sink(
+                state_path, grams_path, on_pairs, on_flags,
+                max_bucket_size=None,
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "combined-ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # pairs: identical contract to dedup_ingest_sink
+    full = dedup.minhash_near_duplicates(
+        corpus.unionByName(new), max_bucket_size=None
+    )
+    assert sorted(got_pairs) == sorted(_pairs_set(full))
+    # flags: equal to the batch incremental form run per chunk
+    grams = pipeline.load_test_grams(spark, grams_path)
+    want_flags = {}
+    for chunk in (corpus, new):
+        want_flags.update(
+            (r["doc_id"], r["contaminated"])
+            for r in pipeline.decontaminate_incremental(chunk, grams).collect()
+        )
+    assert got_flags == want_flags
+    assert got_flags[2] == 1 and got_flags[13] == 1  # both files flagged
+    assert sum(got_flags.values()) < len(got_flags)  # and not everything
+    spark.catalog.clearCache()
