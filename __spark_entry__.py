@@ -501,7 +501,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _on_table("documents", text.text_stats),
         "language_id": _on_table("documents", text.language_id),
         "fingerprints": _on_table("documents", text.fingerprints),
-        "quality_filter": _on_table("documents", text.quality_filter),
+        # char-level junk signals (all-integer histogram stats; the
+        # quality_filter row — whose oracle is text_stats + a WHERE —
+        # rotated to the tail in r8 to admit it)
+        "charset_stats": _on_table("documents", text.charset_stats),
         "token_histogram": _on_table("documents", text.token_histogram),
         "train_test_split": _on_table("documents", text.train_test_split),
         # exact per-stratum hash-ordered sample (WindowGroupLimit rank cut)
@@ -658,6 +661,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _TOPK,
             index=_pq_saved_index(spark, sf_dir),
         ),
+        # threshold filter over text_stats' own formulas (its oracle is
+        # literally text_stats + a WHERE), rotated out in r8 to admit
+        # charset_stats; driver-green through r7
+        "quality_filter": _on_table("documents", text.quality_filter),
         # reference-parity constants (CP:129,143,152) — same operators as
         # the *_30m head rows, the reference's exact window constants
         "q1_user_sessions_1s": _q1(_GAP_1S),
@@ -704,6 +711,7 @@ def oracle_sql() -> dict[str, str]:
         "language_id": oracles_beyond.language_id(),
         "fingerprints": oracles_beyond.fingerprints(),
         "quality_filter": oracles_beyond.quality_filter(),
+        "charset_stats": oracles_beyond.charset_stats(),
         "token_histogram": oracles_beyond.token_histogram(),
         "train_test_split": oracles_beyond.train_test_split(),
         "stratified_sample": oracles_beyond.stratified_sample(),

@@ -90,6 +90,75 @@ def text_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def charset_stats(documents: DataFrame) -> DataFrame:
+    """Character-level corpus signals — the gibberish/binary-junk detector
+    :func:`text_stats` (token-level) cannot express: per document,
+    ``n_chars``, ``n_distinct_chars``, ``top_char_n`` (count of the most
+    frequent character — its SHARE of n_chars is the classic junk signal:
+    near 1 for padding/repeated-char noise), and ASCII class counts
+    ``n_alpha``/``n_digit``/``n_space``. Deliberately ALL-INTEGER so the
+    DuckDB twin (oracles_beyond.charset_stats) hash-matches with no
+    float-fold ceremony; consumers divide.
+
+    Arrow-batched kernel (one ``Counter`` pass per doc — C fast path) —
+    the Catalyst alternative is an explode to one ROW PER CHARACTER
+    (100× row blowup before a shuffle at corpus scale) or per-class
+    regexp passes that still can't produce the histogram columns. Class
+    sets are explicit ASCII ranges, mirroring the oracle's RE2 character
+    classes, NOT Python's unicode-aware str.isalpha."""
+    import string as _string
+
+    from pyspark.sql import types as T
+
+    alpha_set = frozenset(_string.ascii_letters)
+    digit_set = frozenset("0123456789")
+    space_set = frozenset(" \t\n\r\f\x0b")
+    out_type = T.StructType(
+        [
+            T.StructField("n_chars", T.IntegerType()),
+            T.StructField("n_distinct_chars", T.IntegerType()),
+            T.StructField("top_char_n", T.IntegerType()),
+            T.StructField("n_alpha", T.IntegerType()),
+            T.StructField("n_digit", T.IntegerType()),
+            T.StructField("n_space", T.IntegerType()),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def stats(texts: pd.Series) -> pd.DataFrame:
+        from collections import Counter
+
+        rows = []
+        for t in texts:
+            if len(t) == 0:
+                rows.append((0, 0, 0, 0, 0, 0))
+                continue
+            c = Counter(t)
+            rows.append(
+                (
+                    len(t),
+                    len(c),
+                    max(c.values()),
+                    sum(v for ch, v in c.items() if ch in alpha_set),
+                    sum(v for ch, v in c.items() if ch in digit_set),
+                    sum(v for ch, v in c.items() if ch in space_set),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "n_chars", "n_distinct_chars", "top_char_n",
+                "n_alpha", "n_digit", "n_space",
+            ],
+        )
+
+    return (
+        parallelized(documents.filter(F.col("text").isNotNull()))
+        .select("doc_id", stats("text").alias("s"))
+        .select("doc_id", "s.*")
+    )
+
+
 def quality_filter(
     documents: DataFrame, min_quality: float = 0.5, min_tokens: int = 10
 ) -> DataFrame:

@@ -81,6 +81,41 @@ FROM toks
 """
 
 
+def charset_stats() -> str:
+    """SQL twin of text.charset_stats. All columns are integers; the char
+    histogram comes from unnest(string_split(text, '')) (string_split of
+    an EMPTY string yields [''], so zero-length texts are excluded from
+    the histogram CTE and LEFT-join back as zeros — matching the Spark
+    kernel's explicit empty-text row). Class counts use RE2 ASCII classes,
+    the same ranges the Spark kernel checks explicitly; len() counts
+    codepoints in both engines."""
+    return r"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+c AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch
+  FROM d WHERE len(text) > 0
+),
+hist AS (SELECT doc_id, ch, count(*) AS n FROM c GROUP BY doc_id, ch),
+agg AS (
+  SELECT doc_id,
+    CAST(count(*) AS INTEGER) AS n_distinct_chars,
+    CAST(max(n) AS INTEGER) AS top_char_n
+  FROM hist GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(len(d.text) AS INTEGER) AS n_chars,
+  COALESCE(a.n_distinct_chars, 0) AS n_distinct_chars,
+  COALESCE(a.top_char_n, 0) AS top_char_n,
+  CAST(len(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) AS INTEGER)
+    AS n_alpha,
+  CAST(len(regexp_replace(d.text, '[^0-9]', '', 'g')) AS INTEGER)
+    AS n_digit,
+  CAST(len(regexp_replace(d.text, '[^ \t\n\r\f\v]', '', 'g')) AS INTEGER)
+    AS n_space
+FROM d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def quality_filter(min_quality: float = 0.5, min_tokens: int = 10) -> str:
     """SQL twin of text.quality_filter (same text_stats formulas, so the
     threshold comparisons see bit-identical doubles)."""

@@ -871,3 +871,36 @@ def test_difficulty_buckets_approx_knob(spark):
     assert {
         (r["lang"], r["doc_id"]): r["difficulty_bucket"] for r in out
     } == exact
+
+
+def test_charset_stats_junk_signals_and_edges(spark):
+    """Char-level stats: hand-computed expectations for junk (repeated
+    char), empty text, unicode (codepoint counting, ASCII-only class
+    sets), and NULL exclusion — plus the gibberish signal itself
+    (top_char_n/n_chars ≈ 1 for padding noise, low for prose)."""
+    rows = [
+        (0, "abc abc!", "en"),       # 8 chars: a2 b2 c2 sp1 !1
+        (1, "aaaaaaaa", "en"),       # pure padding junk
+        (2, "", "en"),               # empty -> all zeros
+        (3, "héllo\U0001d11e 7", "en"),  # unicode: codepoints, ASCII classes
+        (4, None, "en"),             # NULL text excluded entirely
+    ]
+    out = {
+        r["doc_id"]: (
+            r["n_chars"], r["n_distinct_chars"], r["top_char_n"],
+            r["n_alpha"], r["n_digit"], r["n_space"],
+        )
+        for r in text.charset_stats(_docs_ids(spark, rows)).collect()
+    }
+    assert out == {
+        0: (8, 5, 2, 6, 0, 1),
+        1: (8, 1, 8, 8, 0, 0),
+        2: (0, 0, 0, 0, 0, 0),
+        # "héllo𝄞 7": 8 codepoints; 7 distinct (l twice → top_char_n 2);
+        # ASCII alpha h,l,l,o = 4 (é and 𝄞 are NOT ASCII [A-Za-z]);
+        # one digit, one space
+        3: (8, 7, 2, 4, 1, 1),
+    }
+    junk_share = out[1][2] / out[1][0]
+    prose_share = out[0][2] / out[0][0]
+    assert junk_share == 1.0 and prose_share < 0.5
