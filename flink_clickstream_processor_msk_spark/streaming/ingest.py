@@ -160,3 +160,36 @@ def corpus_ingest_sink(
             new_state.unpersist()
 
     return write
+
+
+def index_ingest_sink(
+    index_path: str,
+    kind: str = "ivf",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch writer for a streaming DataFrame of embeddings
+    (vec_id, embedding, ...): each micro-batch is routed/encoded by the
+    WRITTEN index's saved structures and appended into its layout —
+    `similarity.append_to_{ivf,pq,lsh}_index` as a continuous refresh,
+    completing the incremental-ingest trio (near-dup state,
+    decontamination grams, ANN index). Requires a prior
+    ``save_{kind}_index`` at ``index_path``; probes over the refreshed
+    index see old + new vectors identically to a same-structure full
+    rebuild (the batch-path equality pinned in tests/test_incremental.py
+    — the streaming test pins the replayed composition). Drift policy is
+    the measured PLANS.md recommendation: IVF appends need no
+    recall-driven re-train; re-train PQ with re-seeded codebooks past
+    ~10% out-of-distribution mass. At-least-once semantics as elsewhere:
+    wrap in ``sinks.dedup_epochs`` so a replayed epoch cannot append its
+    vectors twice."""
+    from flink_clickstream_processor_msk_spark.operators import similarity
+
+    append = {
+        "ivf": similarity.append_to_ivf_index,
+        "pq": similarity.append_to_pq_index,
+        "lsh": similarity.append_to_lsh_index,
+    }[kind]
+
+    def write(batch_vecs: DataFrame, epoch_id: int) -> None:
+        append(batch_vecs, index_path)
+
+    return write

@@ -97,6 +97,7 @@ def test_empty_documents_all_ops_return_empty(spark):
     empty = _docs(spark, [])
     for op in (
         text.text_stats,
+        text.charset_stats,
         text.language_id,
         text.quality_filter,
         text.token_histogram,
@@ -104,6 +105,7 @@ def test_empty_documents_all_ops_return_empty(spark):
         dedup.exact_duplicates,
         lambda df: dedup.minhash_near_duplicates(df, max_bucket_size=None),
         dedup.simhash_near_duplicates,
+        dedup.dedup_graph_stats,
         pipeline.clean_corpus,
         pipeline.decontaminate,
     ):
@@ -133,6 +135,10 @@ def test_all_null_text_corpus(spark):
     # per-row text ops emit a row per document without crashing
     assert text.text_stats(docs).count() == 4
     assert text.language_id(docs).count() == 4
+    # charset_stats excludes NULL text entirely (its oracle's WHERE)
+    assert text.charset_stats(docs).count() == 0
+    # no pairs -> the graph audit is empty, not a crash
+    assert dedup.dedup_graph_stats(docs).count() == 0
 
 
 def test_single_document_corpus(spark):

@@ -526,3 +526,64 @@ def test_corpus_ingest_sink_dedups_and_decontaminates_in_one_pass(
     assert got_flags[2] == 1 and got_flags[13] == 1  # both files flagged
     assert sum(got_flags.values()) < len(got_flags)  # and not everything
     spark.catalog.clearCache()
+
+
+def test_index_ingest_sink_streams_appends_into_written_index(
+    spark, tmp_path
+):
+    """Streaming ANN index refresh: embeddings replayed file-at-a-time
+    through index_ingest_sink land in the written IVF layout, and a
+    probe over the refreshed index equals a same-centroid full rebuild —
+    wrapped in dedup_epochs, an epoch replay appends nothing twice."""
+    from pyspark.sql import functions as F
+
+    from flink_clickstream_processor_msk_spark.streaming.ingest import (
+        index_ingest_sink,
+    )
+    from flink_clickstream_processor_msk_spark.streaming.sinks import dedup_epochs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 100)
+    stream_vecs = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 160)
+    )
+    index_path = str(tmp_path / "stream-ivf")
+    similarity.save_ivf_index(base, index_path)
+
+    src = str(tmp_path / "vec-src")
+    stream_vecs.filter(F.col("vec_id") < 130).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream_vecs.filter(F.col("vec_id") >= 130).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    write = dedup_epochs(
+        index_ingest_sink(index_path, "ivf"),
+        str(tmp_path / "idx-markers"),
+    )
+    q = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(write)
+        .option("checkpointLocation", str(tmp_path / "idx-ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    full = base.unionByName(stream_vecs)
+    refreshed = similarity.load_ivf_index(spark, index_path)
+    got = similarity.ann_ivf_topk(full, 0, k=10, index=refreshed).collect()
+    rebuilt = similarity.build_ivf_index(full, centroids=refreshed[0])
+    want = similarity.ann_ivf_topk(full, 0, k=10, index=rebuilt).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == [
+        (r["vec_id"], r["cosine"]) for r in want
+    ]
+    n_rows = refreshed[1].count()
+    assert n_rows == full.count()
+    # epoch replay: the wrapped writer refuses an already-delivered epoch
+    write(stream_vecs, epoch_id=0)
+    assert similarity.load_ivf_index(spark, index_path)[1].count() == n_rows
+    spark.catalog.clearCache()

@@ -258,6 +258,23 @@ def test_single_pass_fanout_restart_recovery_and_replay_guard(
     The writers are wrapped in sinks.dedup_epochs, and an at-least-once
     redelivery of an already-delivered epoch is pinned to be a no-op —
     without the wrapper the additive Q2/Q3 partials would double-add."""
+    _restart_fanout_scenario(spark, tmp_path_factory)
+
+
+def test_restart_recovery_on_rocksdb_state_store(spark, tmp_path_factory):
+    """The same stop/restart scenario on the DISK-BACKED provider: the
+    open session must be restored from a RocksDB versioned snapshot, the
+    production persistence path a large-state job restarts through."""
+    from flink_clickstream_processor_msk_spark.session import (
+        ROCKSDB_STATE_STORE_PROVIDER,
+        state_store_provider,
+    )
+
+    with state_store_provider(spark, ROCKSDB_STATE_STORE_PROVIDER):
+        _restart_fanout_scenario(spark, tmp_path_factory)
+
+
+def _restart_fanout_scenario(spark, tmp_path_factory):
     from flink_clickstream_processor_msk_spark.operators.sessionize import (
         sessionize,
     )
