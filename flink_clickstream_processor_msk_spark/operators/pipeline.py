@@ -170,3 +170,49 @@ def decontaminate_incremental(
     return _flag_contaminated(
         new_train_docs.select("doc_id"), g, test_grams.select("gram")
     )
+
+
+def family_safe_split(
+    documents: DataFrame,
+    test_pct: int = 10,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Train/test assignment that never separates a near-duplicate
+    family: every document inherits its FAMILY REPRESENTATIVE's hash
+    bucket (``h60(rep) % 100``, the exact :func:`text.train_test_split`
+    formula; singletons are their own representative), so a test
+    document's near-duplicates cannot land in train — the leakage mode a
+    plain per-doc hash split has by construction: edit-distance
+    neighbors of held-out documents in the training set. This is the
+    split a dedup-aware pipeline runs AFTER pair detection, with the
+    same written/cached pairs table families and cleaning consume.
+
+    Scale shape: the family resolution term (size-adaptive components
+    over the PAIR graph — tiny next to the corpus) plus one left join of
+    documents against the family labels (near-dup docs only) and a
+    per-row hash map. Deterministic and stable under corpus growth for
+    every document whose family does not change; when new members join a
+    family the whole family keeps the representative's bucket, so the
+    group moves together or not at all — never splitting."""
+    from flink_clickstream_processor_msk_spark.operators.dedup import (
+        ensure_persisted,
+        minhash_near_duplicates,
+    )
+
+    if pairs is None:
+        pairs = minhash_near_duplicates(documents)
+    fams = minhash_duplicate_families(documents, pairs=ensure_persisted(pairs))
+    key = F.coalesce(F.col("family_rep"), F.col("doc_id"))
+    bucket = h60(key.cast("string")) % 100
+    return (
+        documents.select("doc_id")
+        .join(fams.select("doc_id", "family_rep"), "doc_id", "left")
+        .select(
+            "doc_id",
+            key.alias("split_key"),
+            bucket.cast("int").alias("split_bucket"),
+            F.when(bucket < test_pct, F.lit("test"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+    )

@@ -587,3 +587,43 @@ def test_index_ingest_sink_streams_appends_into_written_index(
     write(stream_vecs, epoch_id=0)
     assert similarity.load_ivf_index(spark, index_path)[1].count() == n_rows
     spark.catalog.clearCache()
+
+
+def test_family_safe_split_keeps_families_together(spark):
+    """The leakage guard: near-dup family members share one split side
+    (their representative's bucket), singletons keep exactly the plain
+    train_test_split assignment — and the fixture demonstrates the leak
+    the plain split WOULD have whenever a family straddles buckets."""
+    from flink_clickstream_processor_msk_spark.operators import pipeline, text
+
+    corpus, new = _corpus_and_batch(spark)
+    docs = corpus.unionByName(new)
+    pairs = dedup.minhash_near_duplicates(docs, max_bucket_size=None)
+    fams = {
+        r["doc_id"]: r["family_rep"]
+        for r in dedup.minhash_duplicate_families(
+            docs, pairs=dedup.ensure_persisted(pairs)
+        ).collect()
+    }
+    assert len(set(fams.values())) >= 2  # multiple real families
+    got = {
+        r["doc_id"]: (r["split_key"], r["split"])
+        for r in pipeline.family_safe_split(docs, test_pct=50, pairs=pairs).collect()
+    }
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in text.train_test_split(docs, test_pct=50).collect()
+    }
+    # family members agree with each other and with their rep's plain split
+    for doc, rep in fams.items():
+        assert got[doc] == (rep, plain[rep]), (doc, rep)
+    # singletons: identical to the plain split
+    for doc in set(got) - set(fams):
+        assert got[doc] == (doc, plain[doc])
+    # the fixture exhibits the leak being fixed: some family straddles
+    # the plain split's buckets, and family_safe_split un-straddles it
+    straddled = [
+        doc for doc, rep in fams.items() if plain[doc] != plain[rep]
+    ]
+    assert straddled, "fixture never exercises the leakage fix"
+    spark.catalog.clearCache()
