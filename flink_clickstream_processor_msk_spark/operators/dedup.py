@@ -412,10 +412,18 @@ def append_dedup_state(
     new_state.select("doc_id", "shingles", "signature").write.mode(
         "append"
     ).parquet(f"{path}/minhash_state")
+    existing = load_banded_state(new_state.sparkSession, path)
+    row = existing.select("ptmod").first()
     if n_buckets is None:
-        existing = load_banded_state(new_state.sparkSession, path)
-        row = existing.select("ptmod").first()
         n_buckets = row["ptmod"] if row is not None else NUM_STATE_BUCKETS
+    elif row is not None and row["ptmod"] != n_buckets:
+        # a mismatched modulus would route the same band_key to a
+        # DIFFERENT partition than the existing rows — probes would then
+        # silently miss corpus members. Refuse loudly.
+        raise ValueError(
+            f"banded state at {path} was written with n_buckets="
+            f"{row['ptmod']}; cannot append with n_buckets={n_buckets}"
+        )
     _write_banded_state(new_state, path, "append", n_bands, n_perms, n_buckets)
 
 

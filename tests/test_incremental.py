@@ -627,3 +627,24 @@ def test_family_safe_split_keeps_families_together(spark):
     ]
     assert straddled, "fixture never exercises the leakage fix"
     spark.catalog.clearCache()
+
+
+def test_append_refuses_mismatched_bucket_modulus(spark, tmp_path):
+    """An append with a different n_buckets than the written banded state
+    would route identical band_keys to different partitions and probes
+    would silently miss corpus members — it must refuse loudly, while a
+    matching explicit modulus and the infer-from-ptmod default both
+    succeed."""
+    import pytest
+
+    corpus, new = _corpus_and_batch(spark)
+    path = str(tmp_path / "dedup_state_mod")
+    dedup.save_dedup_state(corpus, path, n_buckets=32)
+    state = dedup.batch_dedup_state(new)
+    with pytest.raises(ValueError, match="n_buckets"):
+        dedup.append_dedup_state(state, path, n_buckets=64)
+    dedup.append_dedup_state(state, path, n_buckets=32)   # explicit match
+    dedup.append_dedup_state(state, path)                 # inferred
+    banded = dedup.load_banded_state(spark, path)
+    assert banded.select("ptmod").distinct().collect()[0]["ptmod"] == 32
+    spark.catalog.clearCache()
