@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 import pandas as pd
 
+from flink_clickstream_processor_msk_spark.functions.hashing import h60
 from flink_clickstream_processor_msk_spark.operators.dedup import (
     N_PLANES,
     _materialized,
@@ -83,14 +84,32 @@ def _py_cosine(a: list[float], b: list[float]) -> float:
     return dot / (math.sqrt(na) * math.sqrt(nb))
 
 
-def ivf_centroids(embeddings: DataFrame, n_centroids: int = N_CENTROIDS) -> list[list[float]]:
+def ivf_centroids(
+    embeddings: DataFrame, n_centroids: int = N_CENTROIDS,
+    representative: bool = False,
+) -> list[list[float]]:
     """Deterministic centroids: the ``n_centroids`` vectors with the
     smallest vec_ids (cell index = rank in that order). A production index
     would k-means these; the index structure — assignment, inverted cells,
     query-time probe — is identical, and determinism is what lets the
-    DuckDB oracle replay the same index."""
+    DuckDB oracle replay the same index.
+
+    ``representative=True`` is the RE-SEED knob the drift measurement
+    (PLANS.md round 8) prescribes: order by the md5-derived hash of
+    vec_id instead of vec_id, so the seed set is a deterministic
+    pseudo-random sample spanning the WHOLE current id population —
+    after an ingest appends a drifted region under high new ids, the
+    smallest-vec_id init contains zero seeds there and Lloyd cannot
+    migrate across the gap, while hash-ordered seeds land in every
+    region in proportion to its mass. Oracle-checked configurations
+    keep the default (the DuckDB twins replay vec_id order)."""
+    order = (
+        [h60(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc()]
+        if representative
+        else [F.col("vec_id").asc()]
+    )
     rows = (
-        embeddings.orderBy("vec_id").limit(n_centroids).select("embedding").collect()
+        embeddings.orderBy(*order).limit(n_centroids).select("embedding").collect()
     )
     if not rows:
         raise ValueError("cannot build an IVF index over an empty embeddings table")
@@ -518,7 +537,8 @@ def _py_d2(a: list[float], b: list[float]) -> float:
 
 
 def pq_codebooks(
-    embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K
+    embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K,
+    representative: bool = False,
 ) -> list[list[list[float]]]:
     """Deterministic sub-codebooks: subspace slices of the ``k`` vectors
     with the smallest vec_ids (the :func:`ivf_centroids` determinism trick,
@@ -526,8 +546,17 @@ def pq_codebooks(
     production index k-means-refines these per subspace (the
     :func:`kmeans_refine_centroids` pattern applies verbatim in each
     subspace); the index structure and the replayable-assignment contract
-    are identical either way."""
-    rows = embeddings.orderBy("vec_id").limit(k).select("embedding").collect()
+    are identical either way. ``representative=True`` is the drift
+    RE-SEED knob (see :func:`ivf_centroids`): md5-hash-ordered seeds
+    span every current region, which the PLANS.md round-8 measurement
+    shows is what recovers PQ recall after out-of-distribution ingest —
+    Lloyd's from all-base seeds cannot."""
+    order = (
+        [h60(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc()]
+        if representative
+        else [F.col("vec_id").asc()]
+    )
+    rows = embeddings.orderBy(*order).limit(k).select("embedding").collect()
     if not rows:
         raise ValueError("cannot build a PQ index over an empty embeddings table")
     vecs = [[float(x) for x in r["embedding"]] for r in rows]

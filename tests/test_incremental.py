@@ -648,3 +648,28 @@ def test_append_refuses_mismatched_bucket_modulus(spark, tmp_path):
     banded = dedup.load_banded_state(spark, path)
     assert banded.select("ptmod").distinct().collect()[0]["ptmod"] == 32
     spark.catalog.clearCache()
+
+
+def test_representative_seed_covers_drifted_region(spark):
+    """The drift re-seed knob: after an append puts a shifted region
+    under HIGH vec_ids, the default smallest-vec_id init contains zero
+    seeds there (Lloyd cannot migrate across the gap — the measured
+    PLANS.md failure), while representative=True's md5-hash-ordered
+    seeds deterministically include members of both regions."""
+    base = spark.createDataFrame(
+        [(i, [float(i % 7)] * 64, 0) for i in range(100)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    drifted = spark.createDataFrame(
+        [(100_000 + i, [50.0 + (i % 7)] * 64, 0) for i in range(100)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    full = base.unionByName(drifted)
+    default_init = similarity.ivf_centroids(full, 16)
+    rep_init = similarity.ivf_centroids(full, 16, representative=True)
+    assert similarity.ivf_centroids(full, 16, representative=True) == rep_init  # deterministic
+    assert all(v[0] < 10 for v in default_init)            # all-base seeds
+    assert any(v[0] >= 50 for v in rep_init)               # drifted covered
+    assert any(v[0] < 10 for v in rep_init)                # base covered too
+    cbs = similarity.pq_codebooks(full, representative=True)
+    assert any(c[0] >= 50 for c in cbs[0]) and any(c[0] < 10 for c in cbs[0])

@@ -119,25 +119,15 @@ def main() -> None:
         # "retrain" above keeps the repo's deterministic smallest-vec_id
         # INIT — which is all-base here (drifted ids are +100k), so Lloyd
         # starts with zero seeds in the drifted region. "reinit" is the
-        # production re-train: seed half the init from the drifted batch
-        # (8 base + 8 drifted vectors, re-numbered so the deterministic
-        # selectors pick exactly them), then the same Lloyd refinement.
-        seed = (
-            base.orderBy("vec_id").limit(8)
-            .unionByName(batch.orderBy("vec_id").limit(8))
-        )
-        seed = seed.sparkSession.createDataFrame(
-            [
-                (i, r["embedding"], r["label"])
-                for i, r in enumerate(seed.collect())
-            ],
-            "vec_id long, embedding array<float>, label int",
-        )
+        # production re-train via the representative=True knob
+        # (md5-hash-ordered seeds — mass-proportional coverage of both
+        # regions; a 50/50 hand-balanced seed set measured similarly),
+        # then the same Lloyd refinement.
         cents_reinit = sim.kmeans_refine_centroids(
-            full, sim.ivf_centroids(seed)
+            full, sim.ivf_centroids(full, representative=True)
         )
         cbs_reinit = sim.pq_refine_codebooks(
-            full, codebooks=sim.pq_codebooks(seed)
+            full, codebooks=sim.pq_codebooks(full, representative=True)
         )
         indexes = {
             "ivf_stale": sim.build_ivf_index(full, centroids=cents_stale),
