@@ -159,6 +159,47 @@ def charset_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+#: PII patterns — deliberately restricted to constructs whose match
+#: semantics are IDENTICAL in Java regex (Spark) and RE2 (DuckDB):
+#: character classes, bounded/greedy quantifiers, \b word boundaries; no
+#: backreferences or lookaround (RE2 has neither). Applied in THIS order
+#: — emails first (their local parts contain digit runs a phone pattern
+#: would chew), then IPv4 (dotted digit runs), then phones on what
+#: remains — and each count is taken on the text state its replace sees,
+#: so the engines cannot disagree about overlap ownership.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d -]{7,}\d"
+
+
+def redact_pii(documents: DataFrame) -> DataFrame:
+    """Corpus PII scrub: emails → ``<EMAIL>``, IPv4 addresses → ``<IP>``,
+    phone-like digit runs → ``<PHONE>``, with per-document match counts —
+    the standard pre-release cleaning pass for web-scraped training data.
+    Flag-and-replace, not drop: the counts let a pipeline quarantine
+    PII-dense documents while the redacted text stays usable.
+
+    Pure Catalyst (three sequential ``regexp_replace``/``regexp_count``
+    pairs inside whole-stage codegen — zero shuffle, no Python); the
+    patterns are the shared ``PII_*`` constants, engine-parity-tested
+    against DuckDB's RE2 in tests/test_beyond.py (library oracle:
+    oracles_beyond.redact_pii)."""
+    t0 = F.col("text")
+    n_emails = F.regexp_count(t0, F.lit(PII_EMAIL))
+    t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
+    n_ipv4 = F.regexp_count(t1, F.lit(PII_IPV4))
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    n_phones = F.regexp_count(t2, F.lit(PII_PHONE))
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+    return documents.filter(t0.isNotNull()).select(
+        "doc_id",
+        t3.alias("redacted_text"),
+        n_emails.cast("int").alias("n_emails"),
+        n_ipv4.cast("int").alias("n_ipv4"),
+        n_phones.cast("int").alias("n_phones"),
+    )
+
+
 def quality_filter(
     documents: DataFrame, min_quality: float = 0.5, min_tokens: int = 10
 ) -> DataFrame:

@@ -81,6 +81,43 @@ FROM toks
 """
 
 
+def redact_pii() -> str:
+    """SQL twin of text.redact_pii: the same PII_* patterns (RE2-safe
+    subset), same replace order, each count taken on the text state its
+    replace sees. Library oracle — parity-pinned in tests/test_beyond.py
+    on crafted PII fixtures (the synthetic documents table contains no
+    PII, so a driver row would vacuously pass)."""
+    from flink_clickstream_processor_msk_spark.operators.text import (
+        PII_EMAIL,
+        PII_IPV4,
+        PII_PHONE,
+    )
+
+    return f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+s1 AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS INTEGER)
+      AS n_emails,
+    regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g') AS t
+  FROM d
+),
+s2 AS (
+  SELECT doc_id, n_emails,
+    CAST(len(regexp_extract_all(t, '{PII_IPV4}')) AS INTEGER) AS n_ipv4,
+    regexp_replace(t, '{PII_IPV4}', '<IP>', 'g') AS t
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_emails, n_ipv4,
+    CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS INTEGER) AS n_phones,
+    regexp_replace(t, '{PII_PHONE}', '<PHONE>', 'g') AS t
+  FROM s2
+)
+SELECT doc_id, t AS redacted_text, n_emails, n_ipv4, n_phones FROM s3
+"""
+
+
 def charset_stats() -> str:
     """SQL twin of text.charset_stats. All columns are integers; the char
     histogram comes from unnest(string_split(text, '')) (string_split of

@@ -904,3 +904,49 @@ def test_charset_stats_junk_signals_and_edges(spark):
     junk_share = out[1][2] / out[1][0]
     prose_share = out[0][2] / out[0][0]
     assert junk_share == 1.0 and prose_share < 0.5
+
+
+def test_redact_pii_engine_parity_and_semantics(spark):
+    """PII scrub: emails/IPv4/phone runs replaced with typed tokens,
+    counts per stage — and the Spark (Java regex) result hash-matches
+    the DuckDB (RE2) library oracle on PII-dense crafted fixtures (the
+    synthetic corpus has no PII, so parity must be proven here)."""
+    import duckdb
+    import pandas as pd
+
+    from flink_clickstream_processor_msk_spark import oracles_beyond
+    from oracle_utils import compare
+
+    rows = [
+        (0, "mail me at jo.doe+spam@ex-ample.org or admin@host.io today", "en"),
+        (1, "server 10.0.255.7 and 192.168.1.1 rebooted", "en"),
+        (2, "call +1 555 0199 2287 or 08 123 456 789 now", "en"),
+        (3, "mixed: a@b.co, 8.8.8.8, +44 20 7946 0958!", "en"),
+        (4, "no pii here at all, just words and 42", "en"),
+        (5, None, "en"),
+    ]
+    docs = _docs_ids(spark, rows)
+    got = {r["doc_id"]: r.asDict() for r in text.redact_pii(docs).collect()}
+    assert got[0]["n_emails"] == 2 and "<EMAIL>" in got[0]["redacted_text"]
+    assert "jo.doe" not in got[0]["redacted_text"]
+    assert got[1]["n_ipv4"] == 2 and got[1]["redacted_text"].count("<IP>") == 2
+    assert got[2]["n_phones"] == 2 and "<PHONE>" in got[2]["redacted_text"]
+    assert got[3]["n_emails"] == 1 and got[3]["n_ipv4"] == 1 and got[3]["n_phones"] == 1
+    assert got[4] == {
+        "doc_id": 4,
+        "redacted_text": "no pii here at all, just words and 42",
+        "n_emails": 0, "n_ipv4": 0, "n_phones": 0,
+    }
+    assert 5 not in got  # NULL text excluded
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            [(i, t) for i, t, _ in rows], columns=["doc_id", "text"]
+        ),
+    )
+    result = compare(
+        text.redact_pii(docs), con.execute(oracles_beyond.redact_pii()).df()
+    )
+    assert result["ok"], result
