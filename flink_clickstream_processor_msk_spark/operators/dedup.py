@@ -403,12 +403,21 @@ def append_dedup_state(
     n_bands: int = N_BANDS, n_buckets: int | None = None,
 ) -> None:
     """Fold a new batch's state rows (as returned by
-    :func:`batch_dedup_state`) into BOTH saved tables, so the NEXT ingest
-    batch is checked against old + new. Appending to the banded table only
-    touches the partitions the batch's own bands route to. ``n_buckets``
-    defaults to whatever the existing banded table was written with (its
-    ``ptmod`` column) — appending with a different modulus would corrupt
-    partition routing."""
+    :func:`batch_dedup_state`) into the saved state, so the NEXT ingest
+    batch is checked against old + new. ``n_buckets`` defaults to
+    whatever the existing banded table was written with (its ``ptmod``
+    column) — appending with a different modulus would corrupt partition
+    routing and is refused.
+
+    The banded rows go to a FLAT ``banded_delta`` area, not into the
+    partitioned base: a dynamic-partition append commits one file per
+    touched (band_idx, pt) directory — measured 3.6-5.7 s of committer
+    overhead for a 500-doc batch (~250 directories) vs 0.2 s flat. The
+    LSM answer: appends are cheap and flat, probes read base ∪ delta
+    (the delta is recent-appends-sized and its (band_idx, pt) filter
+    pushes down as an ordinary row-group filter), and
+    :func:`compact_dedup_state` periodically rebuilds the partitioned
+    base from the signature table and clears the delta."""
     new_state.select("doc_id", "shingles", "signature").write.mode(
         "append"
     ).parquet(f"{path}/minhash_state")
@@ -424,7 +433,13 @@ def append_dedup_state(
             f"banded state at {path} was written with n_buckets="
             f"{row['ptmod']}; cannot append with n_buckets={n_buckets}"
         )
-    _write_banded_state(new_state, path, "append", n_bands, n_perms, n_buckets)
+    (
+        _banded(new_state, n_bands, n_perms, None, carry=("shingles",))
+        .withColumn("pt", _state_bucket(F.col("band_key"), n_buckets))
+        .withColumn("ptmod", F.lit(n_buckets))
+        .write.mode("append")
+        .parquet(f"{path}/banded_delta")
+    )
 
 
 def load_dedup_state(spark, path: str) -> DataFrame:
@@ -432,18 +447,54 @@ def load_dedup_state(spark, path: str) -> DataFrame:
 
 
 def load_banded_state(spark, path: str) -> DataFrame:
-    """Read the pre-banded corpus state (written by
-    :func:`save_dedup_state`). A zero-row corpus writes no partition
-    directories (Spark emits no files under ``partitionBy`` for an empty
-    frame), so schema inference fails — degrade to an empty frame with
-    the contract schema."""
+    """Read the pre-banded corpus state: the partitioned BASE (written by
+    :func:`save_dedup_state` / :func:`compact_dedup_state`) union the
+    flat append DELTA (:func:`append_dedup_state`). A zero-row corpus
+    writes no partition directories (Spark emits no files under
+    ``partitionBy`` for an empty frame), so schema inference fails —
+    each leg degrades to an empty frame with the contract schema."""
     from pyspark.errors import AnalysisException
 
     cols = ("doc_id", "band_idx", "band_key", "shingles", "pt", "ptmod")
+
+    def read_or_empty(sub: str) -> DataFrame:
+        try:
+            return spark.read.parquet(f"{path}/{sub}").select(*cols)
+        except AnalysisException:
+            return spark.createDataFrame([], BANDED_STATE_SCHEMA).select(*cols)
+
+    return read_or_empty("banded_state").unionByName(
+        read_or_empty("banded_delta")
+    )
+
+
+def compact_dedup_state(
+    spark, path: str, n_perms: int = N_PERMS, n_bands: int = N_BANDS,
+    n_buckets: int | None = None,
+) -> None:
+    """Fold the flat append delta back into the partitioned banded base —
+    the periodic maintenance a high-frequency ingest schedules (the LSM
+    compaction). The base is REBUILT from ``minhash_state`` (the
+    append-only source of truth the banded table is derivable from), so
+    no read-modify-write of the partitioned dir is needed; the delta is
+    deleted afterwards. Crash between the two steps leaves delta rows
+    duplicated in the base — probes stay correct for pair GENERATION
+    (candidates are de-duplicated), but duplicated rows each occupy a
+    skew-cap rank slot, so re-run compact (idempotent) before relying on
+    capped probes again."""
+    row = load_banded_state(spark, path).select("ptmod").first()
+    if n_buckets is None:
+        n_buckets = row["ptmod"] if row is not None else NUM_STATE_BUCKETS
+    state = _materialized(load_dedup_state(spark, path))
     try:
-        return spark.read.parquet(f"{path}/banded_state").select(*cols)
-    except AnalysisException:
-        return spark.createDataFrame([], BANDED_STATE_SCHEMA).select(*cols)
+        _write_banded_state(state, path, "overwrite", n_bands, n_perms, n_buckets)
+    finally:
+        state.unpersist()
+    # portable recursive delete of the folded delta (local FS, HDFS, s3a)
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(f"{path}/banded_delta")
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
 
 
 def batch_dedup_state(new_docs: DataFrame, n_perms: int = N_PERMS) -> DataFrame:

@@ -673,3 +673,49 @@ def test_representative_seed_covers_drifted_region(spark):
     assert any(v[0] < 10 for v in rep_init)                # base covered too
     cbs = similarity.pq_codebooks(full, representative=True)
     assert any(c[0] >= 50 for c in cbs[0]) and any(c[0] < 10 for c in cbs[0])
+
+
+def test_compact_folds_delta_into_partitioned_base(spark, tmp_path):
+    """Appends land in the flat delta (cheap commit); compaction rebuilds
+    the partitioned base from minhash_state and clears the delta — probe
+    results are identical before and after, and the post-compact probe
+    regains full PartitionFilters pruning with no delta leg."""
+    import os
+
+    corpus, new = _corpus_and_batch(spark)
+    path = str(tmp_path / "dedup_state_compact")
+    dedup.save_dedup_state(corpus, path)
+    dedup.append_dedup_state(dedup.batch_dedup_state(new), path)
+    assert os.path.isdir(f"{path}/banded_delta")
+
+    batch2 = spark.createDataFrame(
+        [_doc(20, "a genuinely novel incoming document with fresh content words exactly")],
+        DOCS_SCHEMA,
+    )
+    b2 = dedup.batch_dedup_state(batch2)
+    before = _pairs_set(
+        dedup.incremental_minhash_pairs(
+            b2, dedup.load_dedup_state(spark, path), max_bucket_size=None,
+            corpus_banded=dedup.load_banded_state(spark, path),
+        )
+    )
+    dedup.compact_dedup_state(spark, path)
+    assert not os.path.exists(f"{path}/banded_delta")
+    after_df = dedup.incremental_minhash_pairs(
+        b2, dedup.load_dedup_state(spark, path), max_bucket_size=None,
+        corpus_banded=dedup.load_banded_state(spark, path),
+    )
+    assert _pairs_set(after_df) == before
+    assert any(a == 13 and b == 20 for a, b, _ in before)  # appended content seen
+    plan = after_df._jdf.queryExecution().executedPlan().toString()
+    # single-doc batch → one pt per band → Catalyst simplifies the
+    # IN-list to equality; assert the partition filter itself
+    pruned = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln
+        and "PartitionFilters: [(" in ln
+        and "band_idx" in ln
+        and "pt" in ln
+    ]
+    assert pruned, plan
+    spark.catalog.clearCache()
