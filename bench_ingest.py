@@ -42,14 +42,17 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
 
-    # stage the corpus as N_BATCHES files (one micro-batch each)
+    # stage the corpus as N_BATCHES files (one micro-batch each) —
+    # split by pmod(doc_id, N), NOT by id range: replicated tiers
+    # (tools/scale10x.py) offset ids by 10M strides, and a range split
+    # silently drops every replica but the first (a first cut did,
+    # reporting a 10x throughput that had ingested 10% of the corpus)
     src = tempfile.mkdtemp(prefix="bench-ingest-src-")
-    per = (n_docs + N_BATCHES - 1) // N_BATCHES
     from pyspark.sql import functions as F
 
     for i in range(N_BATCHES):
         docs.filter(
-            (F.col("doc_id") >= i * per) & (F.col("doc_id") < (i + 1) * per)
+            F.pmod(F.col("doc_id"), F.lit(N_BATCHES)) == i
         ).coalesce(1).write.mode("append").parquet(src)
 
     # warmup: one small untimed replay (codegen + Arrow worker pool)
