@@ -62,12 +62,20 @@ def dedup_ingest_sink(
     on_pairs: Callable[[DataFrame, int], None],
     threshold: float = JACCARD_THRESHOLD,
     max_bucket_size: int | None = MAX_BUCKET_SIZE_DEFAULT,
+    compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch writer for a streaming DataFrame of documents
     (doc_id, text, ...). Requires :func:`init_dedup_state` (or a prior
     ``save_dedup_state``) at ``state_path``; ``on_pairs(pairs_df, epoch)``
     receives the batch's verified near-dup pairs (doc_a, doc_b, jaccard)
-    — e.g. a parquet append, a Kafka frame, or a quarantine upsert."""
+    — e.g. a parquet append, a Kafka frame, or a quarantine upsert.
+
+    ``compact_every=N`` schedules the LSM maintenance inline: after every
+    N-th epoch's fold, :func:`~...operators.dedup.compact_dedup_state`
+    rebuilds the partitioned banded base from the signature table and
+    clears the flat append delta, so probe-side partition pruning keeps
+    covering the whole corpus instead of an ever-growing delta. Size N to
+    the batch cadence (compaction costs one corpus-banded rewrite)."""
 
     def write(batch_docs: DataFrame, epoch_id: int) -> None:
         spark = batch_docs.sparkSession
@@ -91,6 +99,12 @@ def dedup_ingest_sink(
             # batch (at-least-once) rather than silently growing state
             # without its pairs ever having been emitted
             append_dedup_state(new_state, state_path)
+            if compact_every is not None and (epoch_id + 1) % compact_every == 0:
+                from flink_clickstream_processor_msk_spark.operators.dedup import (
+                    compact_dedup_state,
+                )
+
+                compact_dedup_state(spark, state_path)
         finally:
             new_state.unpersist()
 

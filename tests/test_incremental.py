@@ -719,3 +719,53 @@ def test_compact_folds_delta_into_partitioned_base(spark, tmp_path):
     ]
     assert pruned, plan
     spark.catalog.clearCache()
+
+
+def test_ingest_sink_inline_compaction(spark, tmp_path):
+    """compact_every schedules the LSM maintenance inside the sink: with
+    compact_every=1 the delta is folded after every epoch (absent at
+    stream end) and the emitted pair set is untouched — identical to the
+    uncompacted replay's (and so to the batch pipeline's)."""
+    import os
+
+    from flink_clickstream_processor_msk_spark.streaming.ingest import (
+        dedup_ingest_sink,
+        init_dedup_state,
+    )
+
+    corpus, new = _corpus_and_batch(spark)
+    src = str(tmp_path / "compact-src")
+    corpus.coalesce(1).write.mode("append").parquet(src)
+    new.coalesce(1).write.mode("append").parquet(src)
+    state_path = str(tmp_path / "compact-state")
+    init_dedup_state(spark, state_path)
+
+    got: list[tuple] = []
+
+    def on_pairs(df, _e):
+        got.extend(
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 12))
+            for r in df.collect()
+        )
+
+    q = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(
+            dedup_ingest_sink(
+                state_path, on_pairs, max_bucket_size=None, compact_every=1
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "compact-ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert not os.path.exists(f"{state_path}/banded_delta")
+    full = dedup.minhash_near_duplicates(
+        corpus.unionByName(new), max_bucket_size=None
+    )
+    assert sorted(got) == sorted(_pairs_set(full))
+    spark.catalog.clearCache()
