@@ -21,6 +21,8 @@ Scale shape at 100 TB:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -215,4 +217,103 @@ def family_safe_split(
             .otherwise(F.lit("train"))
             .alias("split"),
         )
+    )
+
+
+# --- bloom-filter decontamination (map-only scale path) ---------------------
+
+BLOOM_BITS_DEFAULT = 1 << 22  # 512 KiB bitmap; size to benchmark gram count
+BLOOM_HASHES = 4
+
+
+def build_gram_bloom(
+    test_docs: DataFrame,
+    k: int = SHINGLE_K,
+    n_bits: int = BLOOM_BITS_DEFAULT,
+    n_hashes: int = BLOOM_HASHES,
+):
+    """Pack the benchmark's distinct k-gram hashes into a Bloom bitmap
+    (numpy uint8 array, ``n_bits`` bits): the broadcastable
+    decontamination artifact for :func:`decontaminate_bloom`. Probe
+    positions derive from the 28-bit gram hash via the repo's
+    deterministic affine permutations (``perm_coefficients``), so the
+    same gram always sets/reads the same bits on every engine run.
+
+    The benchmark side is the FIXED, small side (the reason incremental
+    decontamination exists at all), so the distinct gram hashes are
+    streamed to the driver and set bit-by-bit — bounded by the 2^28 gram
+    space, typically 10^5-10^7 rows for a real eval suite; the corpus is
+    never collected anywhere. At larger n_bits, size memory as
+    n_bits/8 bytes (2^30 bits = 128 MiB, still one broadcast)."""
+    import numpy as np
+
+    from flink_clickstream_processor_msk_spark.functions.hashing import (
+        MOD_P,
+        perm_coefficients,
+    )
+
+    coeffs = perm_coefficients(n_hashes)
+    bits = np.zeros(n_bits // 8, dtype=np.uint8)
+    grams = (
+        shingle_hashes(test_docs, k=k)
+        .select(F.explode("shingles").alias("gram"))
+        .distinct()
+    )
+    for row in grams.toLocalIterator():
+        h = row["gram"]
+        for a, b in coeffs:
+            pos = ((a * h + b) % MOD_P) % n_bits
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return bits
+
+
+def decontaminate_bloom(
+    new_train_docs: DataFrame,
+    bloom_bits,
+    k: int = SHINGLE_K,
+    n_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Map-only decontamination: flag a batch against a broadcast Bloom
+    bitmap of the benchmark's grams — ZERO shuffles (the semi-join form
+    shuffles grams; this is one Arrow pass over the batch text, the
+    cheapest possible plan at 100 TB). The Bloom guarantee is one-sided:
+    NO false negatives — every truly contaminated doc is flagged — with
+    a bounded false-positive rate ((1-e^{-kn/m})^k; over-flagging is the
+    safe direction for decontamination, it only discards extra training
+    docs). Pinned a superset of the exact semi-join flags, and exactly
+    equal at fixture scale, in tests/test_incremental.py."""
+    import numpy as np
+
+    from flink_clickstream_processor_msk_spark.functions.hashing import (
+        MOD_P,
+        perm_coefficients,
+    )
+
+    coeffs = perm_coefficients(n_hashes)
+    n_bits = len(bloom_bits) * 8
+    spark = new_train_docs.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(bloom_bits, dtype=np.uint8))
+
+    @F.pandas_udf("int")
+    def flag(shingle_arrays: pd.Series) -> pd.Series:
+        bits = bc.value
+
+        def probe(hs) -> int:
+            if hs is None:
+                return 0
+            for h in hs:
+                hit = True
+                for a, b in coeffs:
+                    pos = ((a * h + b) % MOD_P) % n_bits
+                    if not (bits[pos >> 3] >> (pos & 7)) & 1:
+                        hit = False
+                        break
+                if hit:
+                    return 1
+            return 0
+
+        return shingle_arrays.map(probe).astype("int32")
+
+    return shingle_hashes(new_train_docs, k=k).select(
+        "doc_id", flag("shingles").alias("contaminated")
     )

@@ -769,3 +769,47 @@ def test_ingest_sink_inline_compaction(spark, tmp_path):
     )
     assert sorted(got) == sorted(_pairs_set(full))
     spark.catalog.clearCache()
+
+
+def test_decontaminate_bloom_map_only_and_no_false_negatives(spark, tmp_path):
+    """The map-only decontamination path: flags against a broadcast Bloom
+    bitmap must (a) at production bitmap size equal the exact semi-join
+    flags on the fixture, (b) at a deliberately tiny bitmap remain a
+    SUPERSET of the exact flags (one-sided error: over-flagging only),
+    and (c) plan with no join and no hash shuffle — one Arrow pass."""
+    from flink_clickstream_processor_msk_spark.operators import pipeline
+
+    corpus, new = _corpus_and_batch(spark)
+    docs = corpus.unionByName(new)
+    bench = spark.createDataFrame(
+        [
+            _doc(900, "pack my box with five dozen liquor jugs tonight"),
+            _doc(901, "a genuinely novel incoming document with fresh words"),
+        ],
+        DOCS_SCHEMA,
+    )
+    grams_path = str(tmp_path / "bloom-bench")
+    pipeline.save_test_grams(bench, grams_path)
+    exact = {
+        r["doc_id"]: r["contaminated"]
+        for r in pipeline.decontaminate_incremental(
+            docs, pipeline.load_test_grams(spark, grams_path)
+        ).collect()
+    }
+    assert sum(exact.values()) > 0 and sum(exact.values()) < len(exact)
+
+    bloom = pipeline.build_gram_bloom(bench)
+    q = pipeline.decontaminate_bloom(docs, bloom)
+    got = {r["doc_id"]: r["contaminated"] for r in q.collect()}
+    assert got == exact  # 2^22 bits vs ~60 grams: FP prob ~ 0
+
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "hashpartitioning" not in plan
+
+    tiny = pipeline.build_gram_bloom(bench, n_bits=256)
+    noisy = {
+        r["doc_id"]: r["contaminated"]
+        for r in pipeline.decontaminate_bloom(docs, tiny).collect()
+    }
+    assert all(noisy[d] >= exact[d] for d in exact)  # never a false negative
+    spark.catalog.clearCache()
