@@ -7,9 +7,10 @@ the batch — new×corpus and new×new), delivered to a pairs consumer, and
 folded into the state so the NEXT batch is checked against old+new. The
 corpus text is never re-read; per-batch cost is O(batch text) + a
 partition-pruned probe of the pre-banded state (only the ≤ n_bands ×
-NUM_STATE_BUCKETS disk partitions the batch's own bands route to are
-read) + a doc_id/shingles column scan of the signature state for the
-verify join (PLANS.md "Incremental ingest dedup").
+n_buckets disk partitions the batch's own bands route to are read, and
+exact-Jaccard verification runs inline on the shingles CARRIED in the
+probed rows — no corpus-wide verify scan; PLANS.md "Incremental ingest
+dedup").
 
 This is the streaming complement to streaming/dedup.py's EXACT ingest
 dedup (`dropDuplicatesWithinWatermark` on event identity): that one drops
