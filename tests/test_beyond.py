@@ -950,3 +950,42 @@ def test_redact_pii_engine_parity_and_semantics(spark):
         text.redact_pii(docs), con.execute(oracles_beyond.redact_pii()).df()
     )
     assert result["ok"], result
+
+
+def test_redact_pii_engine_parity_fuzz(spark):
+    """Random adversarial text through BOTH engines: any Java-regex vs
+    RE2 semantic divergence on the PII pattern subset (quantifier
+    greediness, \\b boundaries, class edges) would hash-mismatch here.
+    Deterministic seed; 150 strings built from PII-shaped fragments so
+    matches and near-misses are dense, not vanishing."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from flink_clickstream_processor_msk_spark import oracles_beyond
+    from oracle_utils import compare
+
+    rng = random.Random(20260814)
+    frags = [
+        "a@b.co", "x.y+z@mail-host.org", "@nohost", "user@", "a@b",
+        "1.2.3.4", "10.0.255.7", "999.999.999.999", "1.2.3", "1.2.3.4.5",
+        "+1 555 0199 2287", "08 123 456 789", "12345678", "1234567",
+        "+-+", "a..b@@c..d", " . ", "--", "++44", "7 7 7 7 7 7 7 7",
+        "word", "über", "x", "", ".", "@", "-", " ",
+    ]
+    rows = []
+    for i in range(150):
+        n = rng.randint(0, 6)
+        rows.append((i, " ".join(rng.choice(frags) for _ in range(n)), "en"))
+    docs = _docs_ids(spark, rows)
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame([(i, t) for i, t, _ in rows], columns=["doc_id", "text"]),
+    )
+    result = compare(
+        text.redact_pii(docs),
+        con.execute(oracles_beyond.redact_pii()).df(),
+    )
+    assert result["ok"], result
