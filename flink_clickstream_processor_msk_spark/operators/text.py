@@ -182,8 +182,8 @@ def redact_pii(documents: DataFrame) -> DataFrame:
     Pure Catalyst (three sequential ``regexp_replace``/``regexp_count``
     pairs inside whole-stage codegen — zero shuffle, no Python); the
     patterns are the shared ``PII_*`` constants, engine-parity-tested
-    against DuckDB's RE2 in tests/test_beyond.py (library oracle:
-    oracles_beyond.redact_pii)."""
+    against DuckDB's RE2 in tests/test_beyond.py and driver-oracle-checked
+    since round 9 (oracles_beyond.redact_pii)."""
     t0 = F.col("text")
     n_emails = F.regexp_count(t0, F.lit(PII_EMAIL))
     t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")

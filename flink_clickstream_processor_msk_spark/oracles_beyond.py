@@ -824,6 +824,39 @@ FROM lab
 """
 
 
+def family_safe_split(
+    test_pct: int = 10, threshold: float = JACCARD_THRESHOLD
+) -> str:
+    """SQL twin of pipeline.family_safe_split: every document buckets on
+    its near-dup family REPRESENTATIVE (singletons on their own doc_id) —
+    the same recursive-CTE family fixpoint as the dedup_families oracle
+    composed with the train_test_split h60-bucket formula over the
+    representative key, so a family can never straddle the split."""
+    key = "COALESCE(f.family_rep, d.doc_id)"
+    bucket = f"({_h60(key + '::VARCHAR')}) % 100"
+    return f"""
+WITH RECURSIVE vp AS (
+  SELECT doc_a, doc_b FROM ({minhash_near_duplicates(threshold)}) t
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM vp
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM vp
+),
+walk(id, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.id
+),
+f AS (SELECT id AS doc_id, min(lbl) AS family_rep FROM walk GROUP BY id)
+SELECT d.doc_id,
+  {key} AS split_key,
+  CAST({bucket} AS INTEGER) AS split_bucket,
+  CASE WHEN {bucket} < {test_pct} THEN 'test' ELSE 'train' END AS split
+FROM documents d LEFT JOIN f USING (doc_id)
+"""
+
+
 def dedup_graph_stats(threshold: float = JACCARD_THRESHOLD) -> str:
     """SQL twin of dedup.dedup_graph_stats: degree = count of symmetric
     pair-graph edges per vertex (pairs are distinct and doc_a < doc_b, so
