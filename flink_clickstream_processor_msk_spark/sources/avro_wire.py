@@ -128,3 +128,102 @@ def decode_click_event(payload: bytes) -> dict:
             f"trailing bytes: consumed {pos} of {len(payload)}"
         )
     return row
+
+
+# --- AWS Glue Schema Registry wire envelope ---------------------------------
+#
+# The reference deserializes through GlueSchemaRegistryAvroDeserializationSchema
+# (ClickstreamProcessor.java:108-119), whose wire format — public in the
+# aws-glue-schema-registry library (AWSSchemaRegistryConstants /
+# SerializationDataEncoder) — frames every Kafka record as:
+#
+#   byte 0      header version (always 3)
+#   byte 1      compression    (0 = none, 5 = zlib)
+#   bytes 2-17  schema VERSION id (UUID, big-endian msb||lsb)
+#   bytes 18+   the Avro binary record (zlib-deflated when byte 1 == 5)
+#
+# This is the first thing real MSK bytes hit, so the strip/frame logic is
+# implemented and tested broker-free here; only the registry LOOKUP of the
+# version id → schema text stays a deployment concern.
+
+GSR_HEADER_VERSION_BYTE = 3
+GSR_COMPRESSION_NONE = 0
+GSR_COMPRESSION_ZLIB = 5
+GSR_HEADER_LEN = 18
+
+
+def _version_id_bytes(schema_version_id) -> bytes:
+    import uuid as _uuid
+
+    if isinstance(schema_version_id, _uuid.UUID):
+        return schema_version_id.bytes
+    raw = bytes(schema_version_id)
+    if len(raw) != 16:
+        raise ValueError(f"schema version id must be 16 bytes, got {len(raw)}")
+    return raw
+
+
+def frame_glue_sr(
+    payload: bytes, schema_version_id, compression: int = GSR_COMPRESSION_NONE
+) -> bytes:
+    """Wrap Avro record bytes in the Glue SR envelope — the exact bytes an
+    SR-configured producer puts on the topic."""
+    if compression == GSR_COMPRESSION_ZLIB:
+        import zlib
+
+        payload = zlib.compress(payload)
+    elif compression != GSR_COMPRESSION_NONE:
+        raise ValueError(f"unknown compression byte {compression}")
+    return (
+        bytes((GSR_HEADER_VERSION_BYTE, compression))
+        + _version_id_bytes(schema_version_id)
+        + payload
+    )
+
+
+def unframe_glue_sr(data: bytes, expected_schema_version_id=None):
+    """Strip the Glue SR envelope → ``(record_bytes, version_id: UUID)``.
+
+    Refuses loudly (ValueError) on a wrong header byte, an unknown
+    compression byte, a truncated header, or — when
+    ``expected_schema_version_id`` is given — a record written under a
+    DIFFERENT schema version: decoding such bytes against the wrong
+    schema would desync silently mid-record, so the mismatch must be
+    surfaced before any Avro parsing."""
+    import uuid as _uuid
+
+    if len(data) < GSR_HEADER_LEN:
+        raise ValueError(f"truncated SR header: {len(data)} bytes < {GSR_HEADER_LEN}")
+    if data[0] != GSR_HEADER_VERSION_BYTE:
+        raise ValueError(
+            f"bad SR header version byte {data[0]} (expected {GSR_HEADER_VERSION_BYTE})"
+        )
+    version_id = _uuid.UUID(bytes=data[2:GSR_HEADER_LEN])
+    if expected_schema_version_id is not None:
+        expected = _uuid.UUID(bytes=_version_id_bytes(expected_schema_version_id))
+        if version_id != expected:
+            raise ValueError(
+                f"schema version mismatch: record written under {version_id}, "
+                f"reader pinned to {expected}"
+            )
+    payload = data[GSR_HEADER_LEN:]
+    if data[1] == GSR_COMPRESSION_ZLIB:
+        import zlib
+
+        payload = zlib.decompress(payload)
+    elif data[1] != GSR_COMPRESSION_NONE:
+        raise ValueError(f"unknown SR compression byte {data[1]}")
+    return payload, version_id
+
+
+def encode_click_event_sr(
+    row: dict, schema_version_id, compression: int = GSR_COMPRESSION_NONE
+) -> bytes:
+    """dict → enveloped wire bytes (what lands on the MSK topic)."""
+    return frame_glue_sr(encode_click_event(row), schema_version_id, compression)
+
+
+def decode_click_event_sr(data: bytes, expected_schema_version_id=None) -> dict:
+    """Enveloped wire bytes → dict; inverse of :func:`encode_click_event_sr`."""
+    payload, _ = unframe_glue_sr(data, expected_schema_version_id)
+    return decode_click_event(payload)

