@@ -241,11 +241,22 @@ def build_gram_bloom(
     same gram always sets/reads the same bits on every engine run.
 
     The benchmark side is the FIXED, small side (the reason incremental
-    decontamination exists at all), so the distinct gram hashes are
-    streamed to the driver and set bit-by-bit — bounded by the 2^28 gram
-    space, typically 10^5-10^7 rows for a real eval suite; the corpus is
-    never collected anywhere. At larger n_bits, size memory as
-    n_bits/8 bytes (2^30 bits = 128 MiB, still one broadcast)."""
+    decontamination exists at all), so the distinct gram hashes come to
+    the driver — bounded by the 2^28 gram space, typically 10^5-10^7 rows
+    for a real eval suite; the corpus is never collected anywhere. The
+    bit-setting is fully vectorized (Arrow collect → numpy affine
+    permutations → bool scatter → ``np.packbits(bitorder='little')``,
+    which emits exactly the ``bits[pos>>3] |= 1 << (pos&7)`` layout; the
+    per-gram per-hash Python loop it replaced cost minutes of driver
+    time at the 10^7 tier — 0.74 s vs an extrapolated ~100 s at 10^7
+    grams, ~135×, measured in PLANS.md; the duplicate-safe
+    ``np.bitwise_or.at`` scatter was itself 4× slower than the bool
+    scatter, which tolerates duplicates because every write is the
+    constant True). 28-bit grams × 31-bit coefficients keep ``a*h + b``
+    under 2^60, no int64 overflow. At larger n_bits, size driver memory
+    as n_bits/8 bytes for the bitmap (2^30 bits = 128 MiB, still one
+    broadcast) plus a transient n_bits-byte bool plane during the
+    build."""
     import numpy as np
 
     from flink_clickstream_processor_msk_spark.functions.hashing import (
@@ -254,18 +265,16 @@ def build_gram_bloom(
     )
 
     coeffs = perm_coefficients(n_hashes)
-    bits = np.zeros(n_bits // 8, dtype=np.uint8)
     grams = (
         shingle_hashes(test_docs, k=k)
         .select(F.explode("shingles").alias("gram"))
         .distinct()
     )
-    for row in grams.toLocalIterator():
-        h = row["gram"]
-        for a, b in coeffs:
-            pos = ((a * h + b) % MOD_P) % n_bits
-            bits[pos >> 3] |= 1 << (pos & 7)
-    return bits
+    hs = grams.toPandas()["gram"].to_numpy(dtype=np.int64)
+    flags = np.zeros(n_bits, dtype=bool)
+    for a, b in coeffs:
+        flags[((a * hs + b) % MOD_P) % n_bits] = True
+    return np.packbits(flags, bitorder="little")
 
 
 def decontaminate_bloom(

@@ -813,3 +813,41 @@ def test_decontaminate_bloom_map_only_and_no_false_negatives(spark, tmp_path):
     }
     assert all(noisy[d] >= exact[d] for d in exact)  # never a false negative
     spark.catalog.clearCache()
+
+
+def test_build_gram_bloom_vectorized_identity(spark):
+    """The numpy-vectorized bloom build (VERDICT r8 wrong #2) sets the
+    EXACT bit pattern of the per-gram per-hash scalar loop it replaced —
+    pinned against an inline replica of that loop, at two bitmap sizes
+    (incl. a tiny one that forces heavy bit collisions through
+    np.bitwise_or.at's unbuffered accumulation)."""
+    import numpy as np
+
+    from flink_clickstream_processor_msk_spark.functions.hashing import (
+        MOD_P,
+        perm_coefficients,
+    )
+    from flink_clickstream_processor_msk_spark.operators import pipeline
+    from flink_clickstream_processor_msk_spark.operators.dedup import shingle_hashes
+    from pyspark.sql import functions as F
+
+    corpus, new = _corpus_and_batch(spark)
+    docs = corpus.unionByName(new)
+    gram_rows = (
+        shingle_hashes(docs)
+        .select(F.explode("shingles").alias("gram"))
+        .distinct()
+        .collect()
+    )
+    assert len(gram_rows) > 50  # meaningful collision pressure at 256 bits
+    for n_bits in (256, 1 << 14):
+        coeffs = perm_coefficients(pipeline.BLOOM_HASHES)
+        expected = np.zeros(n_bits // 8, dtype=np.uint8)
+        for row in gram_rows:  # the pre-r9 scalar reference loop
+            h = row["gram"]
+            for a, b in coeffs:
+                pos = ((a * h + b) % MOD_P) % n_bits
+                expected[pos >> 3] |= 1 << (pos & 7)
+        got = pipeline.build_gram_bloom(docs, n_bits=n_bits)
+        assert np.array_equal(got, expected), n_bits
+    spark.catalog.clearCache()
