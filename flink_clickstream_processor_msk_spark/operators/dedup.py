@@ -369,6 +369,35 @@ def _write_banded_state(
         .partitionBy("band_idx", "pt")
         .parquet(f"{path}/banded_state")
     )
+    # persist the modulus INDEPENDENTLY of row count: an empty corpus
+    # writes no partition files (the ptmod column then has no row to
+    # self-describe with), and before this marker existed the first
+    # append after an empty-corpus bootstrap silently fell back to the
+    # default modulus, discarding a configured n_buckets (ADVICE r8)
+    state.sparkSession.createDataFrame(
+        [(n_buckets,)], "ptmod int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/banded_ptmod")
+
+
+def state_ptmod(spark, path: str) -> int | None:
+    """The banded state's bucket modulus: the ``banded_ptmod`` marker
+    written alongside the base (row-count-independent — the empty-corpus
+    bootstrap keeps its configured modulus), falling back to the in-table
+    constant ``ptmod`` column for states written before the marker
+    existed. ``None`` only for a legacy empty state — callers then adopt
+    the default, exactly the legacy behavior. One tiny-file read; ingest
+    sinks resolve this ONCE and thread it through probe + append instead
+    of paying two footer-read jobs per micro-batch (VERDICT r8 wrong #3)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        row = spark.read.parquet(f"{path}/banded_ptmod").first()
+        if row is not None:
+            return row["ptmod"]
+    except AnalysisException:
+        pass
+    row = load_banded_state(spark, path).select("ptmod").first()
+    return None if row is None else row["ptmod"]
 
 
 def save_dedup_state(
@@ -401,13 +430,18 @@ def save_dedup_state(
 def append_dedup_state(
     new_state: DataFrame, path: str, n_perms: int = N_PERMS,
     n_bands: int = N_BANDS, n_buckets: int | None = None,
+    resolved_ptmod: int | None = None,
 ) -> None:
     """Fold a new batch's state rows (as returned by
     :func:`batch_dedup_state`) into the saved state, so the NEXT ingest
     batch is checked against old + new. ``n_buckets`` defaults to
-    whatever the existing banded table was written with (its ``ptmod``
-    column) — appending with a different modulus would corrupt partition
-    routing and is refused.
+    whatever the existing banded table was written with (the
+    ``banded_ptmod`` marker / ``ptmod`` column, :func:`state_ptmod`) —
+    appending with a different modulus would corrupt partition routing
+    and is refused, INCLUDING on an empty-corpus bootstrap (the marker
+    survives zero rows). ``resolved_ptmod`` lets a long-running ingest
+    sink thread an already-resolved modulus through, skipping the
+    per-batch marker read.
 
     The banded rows go to a FLAT ``banded_delta`` area, not into the
     partitioned base: a dynamic-partition append commits one file per
@@ -421,17 +455,22 @@ def append_dedup_state(
     new_state.select("doc_id", "shingles", "signature").write.mode(
         "append"
     ).parquet(f"{path}/minhash_state")
-    existing = load_banded_state(new_state.sparkSession, path)
-    row = existing.select("ptmod").first()
-    if n_buckets is None:
-        n_buckets = row["ptmod"] if row is not None else NUM_STATE_BUCKETS
-    elif row is not None and row["ptmod"] != n_buckets:
+    recorded = (
+        resolved_ptmod
+        if resolved_ptmod is not None
+        else state_ptmod(new_state.sparkSession, path)
+    )
+    if recorded is None:  # legacy pre-marker state with zero rows
+        n_buckets = n_buckets if n_buckets is not None else NUM_STATE_BUCKETS
+    elif n_buckets is None:
+        n_buckets = recorded
+    elif n_buckets != recorded:
         # a mismatched modulus would route the same band_key to a
         # DIFFERENT partition than the existing rows — probes would then
         # silently miss corpus members. Refuse loudly.
         raise ValueError(
             f"banded state at {path} was written with n_buckets="
-            f"{row['ptmod']}; cannot append with n_buckets={n_buckets}"
+            f"{recorded}; cannot append with n_buckets={n_buckets}"
         )
     (
         _banded(new_state, n_bands, n_perms, None, carry=("shingles",))
@@ -446,25 +485,39 @@ def load_dedup_state(spark, path: str) -> DataFrame:
     return spark.read.parquet(f"{path}/minhash_state")
 
 
-def load_banded_state(spark, path: str) -> DataFrame:
-    """Read the pre-banded corpus state: the partitioned BASE (written by
-    :func:`save_dedup_state` / :func:`compact_dedup_state`) union the
-    flat append DELTA (:func:`append_dedup_state`). A zero-row corpus
-    writes no partition directories (Spark emits no files under
-    ``partitionBy`` for an empty frame), so schema inference fails —
-    each leg degrades to an empty frame with the contract schema."""
+def _read_banded_or_empty(spark, path: str, sub: str) -> DataFrame:
+    """One leg of the banded state. A zero-row corpus writes no partition
+    directories (Spark emits no files under ``partitionBy`` for an empty
+    frame), so schema inference fails — degrade to an empty frame with
+    the contract schema."""
     from pyspark.errors import AnalysisException
 
     cols = ("doc_id", "band_idx", "band_key", "shingles", "pt", "ptmod")
+    try:
+        return spark.read.parquet(f"{path}/{sub}").select(*cols)
+    except AnalysisException:
+        return spark.createDataFrame([], BANDED_STATE_SCHEMA).select(*cols)
 
-    def read_or_empty(sub: str) -> DataFrame:
-        try:
-            return spark.read.parquet(f"{path}/{sub}").select(*cols)
-        except AnalysisException:
-            return spark.createDataFrame([], BANDED_STATE_SCHEMA).select(*cols)
 
-    return read_or_empty("banded_state").unionByName(
-        read_or_empty("banded_delta")
+def load_banded_base(spark, path: str) -> DataFrame:
+    """The partitioned banded BASE alone (written by
+    :func:`save_dedup_state` / :func:`compact_dedup_state`). Its file
+    listing is pinned at read time, and the base only changes at
+    compaction — so a long-running ingest sink reads it ONCE and re-reads
+    only the delta per batch (re-resolving after compaction)."""
+    return _read_banded_or_empty(spark, path, "banded_state")
+
+
+def load_banded_delta(spark, path: str) -> DataFrame:
+    """The flat append DELTA alone (:func:`append_dedup_state`) — the
+    per-batch re-read: appends-sized, a small flat dir listing."""
+    return _read_banded_or_empty(spark, path, "banded_delta")
+
+
+def load_banded_state(spark, path: str) -> DataFrame:
+    """Read the pre-banded corpus state: partitioned base ∪ flat delta."""
+    return load_banded_base(spark, path).unionByName(
+        load_banded_delta(spark, path)
     )
 
 
@@ -482,9 +535,9 @@ def compact_dedup_state(
     (candidates are de-duplicated), but duplicated rows each occupy a
     skew-cap rank slot, so re-run compact (idempotent) before relying on
     capped probes again."""
-    row = load_banded_state(spark, path).select("ptmod").first()
     if n_buckets is None:
-        n_buckets = row["ptmod"] if row is not None else NUM_STATE_BUCKETS
+        recorded = state_ptmod(spark, path)
+        n_buckets = recorded if recorded is not None else NUM_STATE_BUCKETS
     state = _materialized(load_dedup_state(spark, path))
     try:
         _write_banded_state(state, path, "overwrite", n_bands, n_perms, n_buckets)
@@ -508,12 +561,14 @@ def batch_dedup_state(new_docs: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
 
 def incremental_minhash_pairs(
     new_state: DataFrame,
-    corpus_state: DataFrame,
+    corpus_state: DataFrame | None,
     threshold: float = JACCARD_THRESHOLD,
     n_bands: int = N_BANDS,
     n_perms: int = N_PERMS,
     max_bucket_size: int | None = MAX_BUCKET_SIZE_DEFAULT,
     corpus_banded: DataFrame | None = None,
+    corpus_ptmod: int | None = None,
+    scratch: list | None = None,
 ) -> DataFrame:
     """Verified near-dup pairs that TOUCH the new batch — (new × corpus)
     and (new × new) — without re-shingling or re-signing the corpus.
@@ -546,13 +601,27 @@ def incremental_minhash_pairs(
     batch, one pruned scan + (band_idx, band_key) join, exact Jaccard
     inline on collisions (re-computed per colliding band, deduped by
     ``distinct`` — Jaccard is deterministic and symmetric, so duplicate
-    collision rows collapse exactly)."""
+    collision rows collapse exactly).
+
+    ``corpus_ptmod`` (from :func:`state_ptmod`, resolved once by a
+    long-running sink) skips the per-call modulus footer read; with it,
+    ``corpus_state`` may be ``None`` — the probe path never touches the
+    signature table. ``scratch``: the probe persists the new batch's
+    banded table (it feeds the touched-partition collect AND the pair
+    join); pass a list to receive that handle for unpersisting after the
+    pairs are consumed — per-epoch callers that skip this leak one cached
+    table per call (ADVICE r8)."""
     new_ids = new_state.select("doc_id")
     if corpus_banded is not None:
         new_banded = _materialized(
             _banded(new_state, n_bands, n_perms, None, carry=("shingles",))
         )
-        row = corpus_banded.select("ptmod").first()
+        if scratch is not None:
+            scratch.append(new_banded)
+        if corpus_ptmod is not None:
+            row = {"ptmod": corpus_ptmod}
+        else:
+            row = corpus_banded.select("ptmod").first()
         if row is None:
             corpus_touched = None  # brand-new corpus: new×new pairs only
         else:
@@ -614,6 +683,10 @@ def incremental_minhash_pairs(
             )
             .filter(F.col("jaccard") >= threshold)
             .distinct()
+        )
+    if corpus_state is None:
+        raise ValueError(
+            "corpus_state is required when corpus_banded is not given"
         )
     all_state = corpus_state.select(
         "doc_id", "shingles", "signature"

@@ -807,22 +807,26 @@ def difficulty_buckets(
         )
     )
     if approx:
-        # scored feeds BOTH the cuts aggregation and the join probe; a
-        # broadcast join leaves no exchange to reuse, so without
-        # materialization the _quality_score map (the dominant cost of
-        # either path at scale) runs twice. Locally the persist is a wash
-        # (50 k docs: 1.02 s → 1.04 s, cache overhead ≈ the saved pass)
-        # but at 100 TB a 2× score map is exactly the tax the knob exists
-        # to avoid paying.
-        from pyspark.storagelevel import StorageLevel
-
-        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
-        cuts = scored.groupBy(group_col).agg(
+        # The cuts table is tiny (one row per stratum), so it is collected
+        # and re-broadcast as LITERALS: scored then has exactly ONE lazy
+        # consumer (the final select) and nothing needs a persist — the
+        # previous MEMORY_AND_DISK persist of `scored` had no unpersist
+        # hook (the result is returned lazy) and leaked one cached table
+        # per call in a long session (ADVICE r8). Cost of the trade: the
+        # score map runs once in the eager cuts job and once at
+        # consumption — the 2× the persist avoided — but the cuts job is
+        # unavoidable anyway (cut points must exist before assignment),
+        # and a caller looping many strata batches can pre-persist its
+        # OWN documents frame to keep the text scan hot.
+        cuts_agg = scored.groupBy(group_col).agg(
             F.percentile_approx(
                 "quality_score",
                 [i / n_buckets for i in range(1, n_buckets)],
                 accuracy,
             ).alias("_cuts")
+        )
+        cuts = documents.sparkSession.createDataFrame(
+            cuts_agg.collect(), cuts_agg.schema
         )
         bucket = F.lit(1)
         for i in range(n_buckets - 1):
