@@ -465,6 +465,59 @@ def append_to_ivf_index(new_embeddings: DataFrame, path: str) -> None:
     ).write.partitionBy("cell").mode("append").parquet(f"{path}/cells")
 
 
+#: per-cell occupancy skew worth alarming on. The round-8 drift
+#: measurement (PLANS.md) found IVF RECALL is drift-robust — stale
+#: centroids hold recall at 1.000 because the drifted region concentrates
+#: into few cells — so the REAL failure mode of serving appends is
+#: operational: the absorbing cell's posting list grows unboundedly and
+#: every probe that routes there scans it (probe cost ∝ occupancy, and at
+#: a written index one partition holds a corpus-scale share). With the
+#: drifted mass at the measured ~10% re-train threshold landing in ~1 of
+#: 16 cells, that cell reads ~2.6× the mean; 4× of the EXPECTED mean is
+#: past any balanced regime and means one cell serves ≥ a quarter of a
+#: 16-cell corpus — re-train (re-seed) or split before it compounds.
+OCCUPANCY_SKEW_ALARM = 4.0
+
+
+def index_occupancy_stats(
+    cells: DataFrame, n_cells: int | None = None, cell_col: str = "cell"
+) -> DataFrame:
+    """Per-cell occupancy of an IVF index's cell table (in-memory or the
+    read-back ``path/cells``): ``(cell, n_vecs, share, skew_ratio)``
+    where ``skew_ratio`` = n_vecs / (total / n_cells) — 1.0 is perfectly
+    balanced, ``OCCUPANCY_SKEW_ALARM`` is the documented re-train/split
+    alarm. Pass ``n_cells`` (the centroid count) to include EMPTY cells
+    as zero rows — a cell the router never picks is the mirror symptom
+    of an absorbing one.
+
+    This is the monitor the PLANS.md drift findings prescribe for IVF
+    appends ("watch per-cell occupancy skew instead" of recall): one
+    map-side-combined groupBy over the cell column (at a written index,
+    one count per partition directory — metadata-cheap) joined against a
+    broadcast 1-row total; no shuffle of vector payloads."""
+    spark = cells.sparkSession
+    counts = cells.groupBy(F.col(cell_col).cast("int").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    if n_cells is not None:
+        all_cells = spark.range(n_cells).select(F.col("id").cast("int").alias("cell"))
+        counts = all_cells.join(counts, "cell", "left").select(
+            "cell", F.coalesce("n_vecs", F.lit(0)).alias("n_vecs")
+        )
+    total = counts.select(F.sum("n_vecs").alias("_total"), F.count(F.lit(1)).alias("_ncells"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "cell",
+            "n_vecs",
+            (F.col("n_vecs") / F.col("_total")).alias("share"),
+            (F.col("n_vecs") * F.col("_ncells") / F.col("_total")).alias(
+                "skew_ratio"
+            ),
+        )
+    )
+
+
 def save_lsh_index(
     embeddings: DataFrame, path: str, n_planes: int = N_PLANES
 ) -> None:
@@ -714,8 +767,11 @@ def save_pq_index(
     """Build and write a PQ index: ``path/codes`` (the 16×-compressed
     scan target — written plain: ADC scans it whole, there is no routing
     column; IVFADC adds one via the IVF index) + ``path/codebooks``
-    sidecar. Pass ``codebooks=pq_refine_codebooks(...)`` to persist the
-    Lloyd's-refined build."""
+    sidecar + ``path/ood_ref`` (the base corpus's ``PQ_OOD_QUANTILE``
+    quantization-error quantile and size — the drift reference
+    :func:`~...streaming.ingest.index_ingest_sink` monitors appended
+    batches against). Pass ``codebooks=pq_refine_codebooks(...)`` to
+    persist the Lloyd's-refined build."""
     cbs, codes = build_pq_index(embeddings, m, k_cb, codebooks)
     spark = embeddings.sparkSession
     codes.write.mode("overwrite").parquet(f"{path}/codes")
@@ -728,6 +784,9 @@ def save_pq_index(
         rows, "s int, j int, cvec array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
     codes.unpersist()
+    qerr = pq_quantization_error(embeddings, cbs)
+    threshold = qerr.approxQuantile("qerr", [PQ_OOD_QUANTILE], 0.0)[0]
+    _write_pq_ood_ref(spark, path, threshold, embeddings.count(), PQ_OOD_QUANTILE)
 
 
 def load_pq_index(
@@ -763,6 +822,85 @@ def append_to_pq_index(new_embeddings: DataFrame, path: str) -> None:
     new_embeddings.select(
         "vec_id", codes_udf("embedding").alias("codes")
     ).write.mode("append").parquet(f"{path}/codes")
+
+
+# --- PQ drift monitoring (out-of-distribution mass → re-seed trigger) -------
+
+#: base-distribution quantile defining "out of distribution": a vector
+#: whose total quantization error exceeds the base corpus's this-quantile
+#: error is not represented by the trained codebooks. 0.99 keeps the
+#: false-OOD rate on in-distribution traffic at ~1%.
+PQ_OOD_QUANTILE = 0.99
+
+#: cumulative OOD share of the corpus at which the PLANS.md round-8 drift
+#: measurement says PQ must re-train with RE-SEEDED codebooks
+#: (representative=True): stale recall degrades 0.150→0.025 as the OOD
+#: fraction grows past ~10%, and re-running Lloyd without re-seeding does
+#: not recover it.
+PQ_OOD_RETRAIN_FRACTION = 0.10
+
+
+def pq_quantization_error(
+    embeddings: DataFrame, cbs: list[list[list[float]]]
+) -> DataFrame:
+    """Per-vector total quantization error under the given sub-codebooks:
+    ``(vec_id, qerr)`` where qerr = Σ_subspaces min_centroid ‖slice −
+    centroid‖². This is the quantity PQ minimizes at train time, so its
+    base-corpus distribution IS the in-distribution reference; a batch
+    vector far above the base quantile lives where the codebooks have no
+    coverage. One Arrow-batched numpy pass (m small matmuls per batch),
+    zero shuffle."""
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast([[list(c) for c in cb] for cb in cbs])
+
+    @F.pandas_udf("double")
+    def qerr_udf(emb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(emb) == 0:
+            return pd.Series([], dtype="float64")
+        codebooks = bc.value
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in emb.to_numpy()])
+        m = len(codebooks)
+        d = M.shape[1] // m
+        total = np.zeros(len(M), dtype=np.float64)
+        for s, cb in enumerate(codebooks):
+            X = M[:, s * d : (s + 1) * d]
+            C = np.asarray(cb, dtype=np.float64)
+            # ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖², min over centroids
+            d2 = (
+                np.einsum("ij,ij->i", X, X)[:, None]
+                - 2.0 * (X @ C.T)
+                + np.einsum("ij,ij->i", C, C)[None, :]
+            )
+            total += d2.min(axis=1)
+        return pd.Series(total)
+
+    return embeddings.select("vec_id", qerr_udf("embedding").alias("qerr"))
+
+
+def _write_pq_ood_ref(
+    spark, path: str, qerr_threshold: float, base_n: int, quantile: float
+) -> None:
+    spark.createDataFrame(
+        [(float(qerr_threshold), int(base_n), float(quantile))],
+        "qerr_threshold double, base_n long, quantile double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/ood_ref")
+
+
+def load_pq_ood_ref(spark, path: str):
+    """The saved OOD reference ``(qerr_threshold, base_n, quantile)``, or
+    ``None`` for indexes saved before the monitor existed (monitoring
+    then stays off rather than inventing a threshold)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        row = spark.read.parquet(f"{path}/ood_ref").first()
+    except AnalysisException:
+        return None
+    if row is None:
+        return None
+    return float(row["qerr_threshold"]), int(row["base_n"]), float(row["quantile"])
 
 
 def append_to_lsh_index(new_embeddings: DataFrame, path: str) -> None:

