@@ -771,6 +771,100 @@ def test_ingest_sink_inline_compaction(spark, tmp_path):
     spark.catalog.clearCache()
 
 
+def test_compact_crash_between_steps_stays_exact_and_recompact_restores(
+    spark, tmp_path
+):
+    """The failure window compact_dedup_state's docstring documents:
+    crash AFTER the base is rebuilt from minhash_state but BEFORE the
+    delta is deleted → every delta row is duplicated in base ∪ delta.
+    In that state (a) UNCAPPED pair generation stays exact — duplicate
+    collision rows collapse in the probe's distinct — and (b) duplicated
+    rows each burn a skew-cap rank slot, so capped probes may diverge
+    until a RE-RUN of compact (idempotent) deletes the delta and
+    restores capped equality with the batch pipeline."""
+    corpus, new = _corpus_and_batch(spark)
+    path = str(tmp_path / "dedup_state_crash")
+    dedup.save_dedup_state(corpus, path)
+    dedup.append_dedup_state(dedup.batch_dedup_state(new), path)
+
+    # crash-interrupted compaction: perform exactly compact's FIRST step
+    # (rebuild the partitioned base from the signature source of truth)
+    # and stop before the delta delete
+    ptmod = dedup.state_ptmod(spark, path)
+    folded = dedup._materialized(dedup.load_dedup_state(spark, path))
+    try:
+        dedup._write_banded_state(
+            folded, path, "overwrite", dedup.N_BANDS, dedup.N_PERMS, ptmod
+        )
+    finally:
+        folded.unpersist()
+    import os
+
+    assert os.path.isdir(f"{path}/banded_delta")  # the crash artifact
+    dup_rows = (
+        dedup.load_banded_state(spark, path)
+        .groupBy("doc_id", "band_idx", "band_key")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup_rows > 0  # the corruption is real, not hypothetical
+
+    batch2 = spark.createDataFrame(
+        [
+            _doc(20, "pack my box with five dozen liquor jugs before the long winter came again"),
+            _doc(21, "sphinx of black quartz judge my vow said the old librarian quietly tail three"),
+        ],
+        DOCS_SCHEMA,
+    )
+    b2 = dedup.batch_dedup_state(batch2)
+    try:
+        want_uncapped = {
+            t
+            for t in _pairs_set(
+                dedup.minhash_near_duplicates(
+                    corpus.unionByName(new).unionByName(batch2),
+                    max_bucket_size=None,
+                )
+            )
+            if t[0] in (20, 21) or t[1] in (20, 21)
+        }
+        got_crashed = _pairs_set(
+            dedup.incremental_minhash_pairs(
+                b2, None, max_bucket_size=None,
+                corpus_banded=dedup.load_banded_state(spark, path),
+                corpus_ptmod=ptmod,
+            )
+        )
+        assert got_crashed == want_uncapped and len(got_crashed) > 0
+
+        # re-compact (idempotent) → capped probe == capped batch pipeline
+        dedup.compact_dedup_state(spark, path)
+        assert not os.path.exists(f"{path}/banded_delta")
+        cap = 2
+        want_capped = {
+            t
+            for t in _pairs_set(
+                dedup.minhash_near_duplicates(
+                    corpus.unionByName(new).unionByName(batch2),
+                    max_bucket_size=cap,
+                )
+            )
+            if t[0] in (20, 21) or t[1] in (20, 21)
+        }
+        got_capped = _pairs_set(
+            dedup.incremental_minhash_pairs(
+                b2, None, max_bucket_size=cap,
+                corpus_banded=dedup.load_banded_state(spark, path),
+                corpus_ptmod=ptmod,
+            )
+        )
+        assert got_capped == want_capped
+    finally:
+        b2.unpersist()
+    spark.catalog.clearCache()
+
+
 def test_decontaminate_bloom_map_only_and_no_false_negatives(spark, tmp_path):
     """The map-only decontamination path: flags against a broadcast Bloom
     bitmap must (a) at production bitmap size equal the exact semi-join
