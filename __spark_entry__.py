@@ -377,6 +377,7 @@ CACHE_DEPS: dict[str, tuple[str, ...]] = {
     "sim_ann_ivfpq_topk": ("ivf", "pq"),
     "sim_ann_lsh_topk": ("lsh",),
     "sim_ann_ivf_topk": ("ivf",),
+    "sim_ivf_occupancy": ("ivf",),
     "sim_ann_lsh_saved_topk": ("lsh_saved",),
     "sim_ann_ivf_saved_topk": ("ivf_saved",),
     "sim_ann_pq_saved_topk": ("pq_saved",),
@@ -686,6 +687,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             max_bucket_size=None,
             pairs=_minhash_pairs(spark, sf_dir),
         ),
+        # round-9 IVF drift monitor over the same cached index: its
+        # assignment term is spanned in-window by sim_ann_ivfpq_topk
+        # (identical routing CTE) and its count/share machinery by
+        # source_mix_weights, so it sits in the tail per the spanning
+        # rule; VERIFY_LOCAL checks it every round
+        "sim_ivf_occupancy": lambda spark, sf_dir: similarity.index_occupancy_stats(
+            _ivf_index(spark, sf_dir)[1],
+            n_cells=len(_ivf_index(spark, sf_dir)[0]),
+        ),
         # reference-parity constants (CP:129,143,152) — same operators as
         # the *_30m head rows, the reference's exact window constants
         "q1_user_sessions_1s": _q1(_GAP_1S),
@@ -778,6 +788,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ann_ivf_kmeans_topk": oracles_beyond.ann_ivf_kmeans_topk(
             _QUERY_VEC_ID, _TOPK
         ),
+        "sim_ivf_occupancy": oracles_beyond.ivf_occupancy(),
         "multimodal_byte_stats": oracles_beyond.multimodal_byte_stats(),
         "multimodal_frame_sample": oracles_beyond.multimodal_frame_sample(),
         "multimodal_features_ann": oracles_beyond.multimodal_features_ann(

@@ -291,7 +291,12 @@ def decontaminate_bloom(
     a bounded false-positive rate ((1-e^{-kn/m})^k; over-flagging is the
     safe direction for decontamination, it only discards extra training
     docs). Pinned a superset of the exact semi-join flags, and exactly
-    equal at fixture scale, in tests/test_incremental.py."""
+    equal at fixture scale, in tests/test_incremental.py. The per-batch
+    probe is numpy-vectorized like the build (flatten → test all probe
+    bits → AND per gram → OR per row via reduceat): measured 4.6× over
+    the scalar early-exit loop on a dense bitmap and 16.8× on an empty
+    one — the early exit never paid for the per-gram Python overhead
+    (PLANS.md round 9)."""
     import numpy as np
 
     from flink_clickstream_processor_msk_spark.functions.hashing import (
@@ -306,23 +311,35 @@ def decontaminate_bloom(
 
     @F.pandas_udf("int")
     def flag(shingle_arrays: pd.Series) -> pd.Series:
+        # vectorized per Arrow batch (the bloom BUILD's numpy treatment,
+        # in miniature): flatten every row's grams, test all n_hashes
+        # probe bits as arrays, AND per gram, then OR back per row via
+        # the row-boundary offsets. Trades the scalar loop's early exit
+        # for C-speed whole-batch arithmetic.
         bits = bc.value
-
-        def probe(hs) -> int:
-            if hs is None:
-                return 0
-            for h in hs:
-                hit = True
-                for a, b in coeffs:
-                    pos = ((a * h + b) % MOD_P) % n_bits
-                    if not (bits[pos >> 3] >> (pos & 7)) & 1:
-                        hit = False
-                        break
-                if hit:
-                    return 1
-            return 0
-
-        return shingle_arrays.map(probe).astype("int32")
+        arrays = shingle_arrays.to_numpy()
+        lens = np.fromiter(
+            (0 if hs is None else len(hs) for hs in arrays),
+            dtype=np.int64,
+            count=len(arrays),
+        )
+        out = np.zeros(len(arrays), dtype=np.int32)
+        if lens.sum() > 0:
+            flat = np.concatenate(
+                [np.asarray(hs, dtype=np.int64) for hs in arrays if hs is not None and len(hs)]
+            )
+            hit = np.ones(len(flat), dtype=bool)
+            for a, b in coeffs:
+                pos = ((a * flat + b) % MOD_P) % n_bits
+                hit &= (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 > 0
+            # rows with at least one all-hashes-hit gram are contaminated
+            bounds = np.zeros(len(arrays) + 1, dtype=np.int64)
+            np.cumsum(lens, out=bounds[1:])
+            nonempty = lens > 0
+            out[nonempty] = np.logical_or.reduceat(
+                hit, bounds[:-1][nonempty]
+            ).astype(np.int32)
+        return pd.Series(out)
 
     return shingle_hashes(new_train_docs, k=k).select(
         "doc_id", flag("shingles").alias("contaminated")

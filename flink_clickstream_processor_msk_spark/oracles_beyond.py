@@ -612,6 +612,44 @@ LIMIT {k}
 """
 
 
+def ivf_occupancy(n_centroids: int = 16) -> str:
+    """SQL twin of similarity.index_occupancy_stats over the standard
+    IVF index (same deterministic centroids + argmax assignment CTE as
+    the ann_ivf oracle): per-cell count, corpus share, and skew ratio
+    (n_vecs · n_cells / total — 1.0 balanced), EMPTY cells included as
+    zero rows. Integer counts; the two ratios are single BIGINT→DOUBLE
+    divisions, IEEE-identical across engines."""
+    cos_ec = _COS.format(a="e.embedding", b="c.cvec")
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_centroids})
+),
+assigned AS (
+  SELECT vec_id, cidx FROM (
+    SELECT e.vec_id, c.cidx,
+      row_number() OVER (
+        PARTITION BY e.vec_id ORDER BY {cos_ec} DESC, c.cidx ASC
+      ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+counts AS (
+  SELECT ac.cell, COALESCE(n.n_vecs, 0) AS n_vecs
+  FROM (SELECT cidx AS cell FROM cents) ac
+  LEFT JOIN (
+    SELECT cidx AS cell, count(*) AS n_vecs FROM assigned GROUP BY cidx
+  ) n USING (cell)
+),
+tot AS (SELECT sum(n_vecs) AS total, count(*) AS ncells FROM counts)
+SELECT CAST(cell AS INTEGER) AS cell,
+  CAST(n_vecs AS BIGINT) AS n_vecs,
+  n_vecs / total AS share,
+  n_vecs * ncells / total AS skew_ratio
+FROM counts, tot
+"""
+
+
 def ann_ivf_kmeans_topk(
     query_vec_id: int,
     k: int,
