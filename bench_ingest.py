@@ -77,20 +77,29 @@ def main() -> None:
 
     walls = []
     pairs_total = 0
+    epoch_walls: list[float] = []
     for _ in range(N_RUNS):
         state = tempfile.mkdtemp(prefix="bench-ingest-state-")
         init_dedup_state(spark, state)
         counts = []
+        # time each epoch too: batch k probes the state of batches
+        # 1..k-1, so a FLAT per-epoch curve is the direct evidence the
+        # probe cost is corpus-independent (the 100 TB claim), while a
+        # rising curve would reveal a hidden corpus-proportional term
+        epoch_walls = []
+        inner = dedup_ingest_sink(state, lambda df, _e: counts.append(df.count()))
+
+        def timed(df, e):
+            t0 = time.perf_counter()
+            inner(df, e)
+            epoch_walls.append(round(time.perf_counter() - t0, 3))
+
         start = time.perf_counter()
         q = (
             spark.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
-            .writeStream.foreachBatch(
-                dedup_ingest_sink(
-                    state, lambda df, _e: counts.append(df.count())
-                )
-            )
+            .writeStream.foreachBatch(timed)
             .option("checkpointLocation", tempfile.mkdtemp(prefix="bi-ckpt-"))
             .start()
         )
@@ -115,6 +124,7 @@ def main() -> None:
                 "batches": N_BATCHES,
                 "wall_sec": round(med, 3),
                 "wall_spread": [round(w, 3) for w in walls],
+                "epoch_walls_last_run": epoch_walls,
                 "sf": sf_dir,
             }
         )

@@ -128,6 +128,7 @@ def kafka_clickevents(
     watermark: str = "0 seconds",
     glue_sr: bool = True,
     schema_version_id=None,
+    schema_resolver=None,
 ) -> DataFrame:
     """Kafka ClickEvent source (S1 parity, ClickstreamProcessor.java:101-119).
 
@@ -143,9 +144,20 @@ def kafka_clickevents(
     what real MSK bytes look like) strips and validates that envelope in
     Catalyst before ``from_avro``; pass ``schema_version_id`` (a
     ``uuid.UUID``) to additionally pin the reader to one schema version.
-    Only the registry LOOKUP (version id → schema text) stays a
-    deployment concern; with the literal avsc the decode is equivalent.
+    The registry LOOKUP is a one-liner seam: pass
+    ``schema_resolver(version_id) -> avsc_json`` (e.g. a thin wrapper
+    over the Glue GetSchemaVersion API, or a dict for tests) together
+    with ``schema_version_id`` and the reader schema is resolved through
+    it instead of the literal avsc — the resolved text must parse to the
+    ClickEvent contract, which from_avro enforces structurally. Without
+    a resolver the literal avsc decode is equivalent (micro-batch
+    readers pin one schema version per run either way, unlike the
+    reference's per-record SpecificRecord path).
     """
+    if schema_resolver is not None:
+        if schema_version_id is None:
+            raise ValueError("schema_resolver requires schema_version_id to look up")
+        avro_schema_json = schema_resolver(schema_version_id)
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)

@@ -177,6 +177,7 @@ def corpus_ingest_sink(
     threshold: float = JACCARD_THRESHOLD,
     max_bucket_size: int | None = MAX_BUCKET_SIZE_DEFAULT,
     k: int = SHINGLE_K,
+    compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The full training-data ingest leg as ONE foreachBatch writer:
     each micro-batch of documents is near-dup-checked against the
@@ -188,7 +189,8 @@ def corpus_ingest_sink(
     table instead of re-running the Arrow md5 text kernel — the
     per-document text pass, the pipeline's dominant cost, is paid once
     for both checks. ``on_flags(flags_df, epoch)`` receives
-    (doc_id, contaminated) rows; delivery semantics as in
+    (doc_id, contaminated) rows; delivery semantics and the
+    ``compact_every`` inline-LSM-maintenance knob as in
     :func:`dedup_ingest_sink` (wrap in ``sinks.dedup_epochs`` for
     effectively-once state growth)."""
     from flink_clickstream_processor_msk_spark.operators.pipeline import (
@@ -233,6 +235,13 @@ def corpus_ingest_sink(
             append_dedup_state(
                 new_state, state_path, resolved_ptmod=handles.ptmod(spark)
             )
+            if compact_every is not None and (epoch_id + 1) % compact_every == 0:
+                from flink_clickstream_processor_msk_spark.operators.dedup import (
+                    compact_dedup_state,
+                )
+
+                compact_dedup_state(spark, state_path)
+                handles.invalidate()
         finally:
             for df in scratch:
                 df.unpersist()

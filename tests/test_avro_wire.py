@@ -217,6 +217,37 @@ def test_glue_sr_catalyst_strip_raises_on_foreign_bytes(spark):
             raw.select(glue_sr_payload(F.col("value"), SCHEMA_VERSION_ID)).collect()
 
 
+def test_schema_resolver_seam(spark):
+    """The registry-lookup seam on kafka_clickevents: a resolver without
+    a version id to look up refuses immediately, and a provided resolver
+    is invoked with exactly the pinned version id BEFORE any Kafka
+    connectivity is attempted (the sentinel surfaces, not the missing
+    kafka-source error)."""
+    from flink_clickstream_processor_msk_spark.sources.clickevents import (
+        kafka_clickevents,
+    )
+
+    with pytest.raises(ValueError, match="schema_version_id"):
+        kafka_clickevents(spark, "broker:9092", schema_resolver=lambda vid: "{}")
+
+    seen: list = []
+
+    class Sentinel(Exception):
+        pass
+
+    def resolver(vid):
+        seen.append(vid)
+        raise Sentinel()
+
+    with pytest.raises(Sentinel):
+        kafka_clickevents(
+            spark, "broker:9092",
+            schema_version_id=SCHEMA_VERSION_ID,
+            schema_resolver=resolver,
+        )
+    assert seen == [SCHEMA_VERSION_ID]
+
+
 def test_wire_bytes_through_kafka_decode_expression(spark):
     """The full S1 leg when spark-avro is present: reference-pinned wire
     bytes → the production ``avro_decoded_events`` expression → original
