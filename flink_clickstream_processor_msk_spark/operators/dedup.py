@@ -452,6 +452,23 @@ def append_dedup_state(
     pushes down as an ordinary row-group filter), and
     :func:`compact_dedup_state` periodically rebuilds the partitioned
     base from the signature table and clears the delta."""
+    deleted = load_deleted_ids(new_state.sparkSession, path)
+    if deleted is not None:
+        clash = (
+            new_state.join(
+                F.broadcast(deleted.select("doc_id")), "doc_id", "left_semi"
+            )
+            .limit(5)
+            .collect()
+        )
+        if clash:
+            # a live tombstone would silently suppress the re-added rows
+            # at every read — refuse until compaction clears it
+            raise ValueError(
+                f"doc_ids {sorted(r['doc_id'] for r in clash)} are "
+                f"tombstoned at {path}; run compact_dedup_state before "
+                "re-adding deleted documents"
+            )
     new_state.select("doc_id", "shingles", "signature").write.mode(
         "append"
     ).parquet(f"{path}/minhash_state")
@@ -482,7 +499,21 @@ def append_dedup_state(
 
 
 def load_dedup_state(spark, path: str) -> DataFrame:
-    return spark.read.parquet(f"{path}/minhash_state")
+    """The signature state, minus tombstoned ids. Self-heals the one
+    compaction crash window that matters: if ``minhash_state`` is gone
+    but the rewrite staging dir ``minhash_state_new`` survived (crash
+    between compact's delete and rename), the rename is finished here
+    before reading."""
+    fs, cur = _hadoop_fs(spark, f"{path}/minhash_state")
+    if not fs.exists(cur):
+        staged = spark.sparkContext._jvm.org.apache.hadoop.fs.Path(
+            f"{path}/minhash_state_new"
+        )
+        if fs.exists(staged):
+            fs.rename(staged, cur)
+    return apply_tombstones(
+        spark, path, spark.read.parquet(f"{path}/minhash_state")
+    )
 
 
 def _read_banded_or_empty(spark, path: str, sub: str) -> DataFrame:
@@ -515,10 +546,73 @@ def load_banded_delta(spark, path: str) -> DataFrame:
 
 
 def load_banded_state(spark, path: str) -> DataFrame:
-    """Read the pre-banded corpus state: partitioned base ∪ flat delta."""
-    return load_banded_base(spark, path).unionByName(
-        load_banded_delta(spark, path)
+    """Read the pre-banded corpus state: partitioned base ∪ flat delta,
+    minus any tombstoned doc_ids (:func:`delete_from_dedup_state`)."""
+    return apply_tombstones(
+        spark,
+        path,
+        load_banded_base(spark, path).unionByName(
+            load_banded_delta(spark, path)
+        ),
     )
+
+
+# --- deletion (LSM tombstones) ----------------------------------------------
+# Real corpora shrink as well as grow (takedowns, license revocations,
+# opt-outs). An append-only dedup state would keep emitting pairs against
+# ghost documents forever, so deletion follows the same LSM shape as
+# appends: a delete is a cheap flat tombstone write, every read applies
+# tombstones (a broadcast anti-join against the small id list), and
+# compaction physically drops the rows and clears the tombstones.
+
+
+def _hadoop_fs(spark, p: str):
+    sc = spark.sparkContext
+    hp = sc._jvm.org.apache.hadoop.fs.Path(p)
+    return hp.getFileSystem(sc._jsc.hadoopConfiguration()), hp
+
+
+def delete_from_dedup_state(spark, path: str, doc_ids) -> None:
+    """Tombstone documents out of the dedup state: subsequent probes
+    generate no pairs against them (the filter applies at READ time, so
+    in-flight state handles see deletes on their next epoch), and the
+    next :func:`compact_dedup_state` removes their rows physically and
+    clears the tombstones. ``doc_ids``: an iterable of ids or a
+    DataFrame with a ``doc_id`` column. O(ids) flat write — the
+    append-side LSM discipline applied to deletes.
+
+    Re-adding a tombstoned id before a compaction has run is REFUSED by
+    :func:`append_dedup_state` (the tombstone would silently suppress
+    the re-added rows — delete-then-readd requires a compact between)."""
+    ids = (
+        doc_ids
+        if isinstance(doc_ids, DataFrame)
+        else spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long")
+    )
+    ids.select("doc_id").distinct().write.mode("append").parquet(
+        f"{path}/deleted_ids"
+    )
+
+
+def load_deleted_ids(spark, path: str) -> DataFrame | None:
+    """The live tombstone set, or None when no deletes are pending (the
+    existence probe is one filesystem stat — reads in the no-delete
+    common case pay nothing)."""
+    fs, hp = _hadoop_fs(spark, f"{path}/deleted_ids")
+    if not fs.exists(hp):
+        return None
+    return spark.read.parquet(f"{path}/deleted_ids")
+
+
+def apply_tombstones(spark, path: str, df: DataFrame) -> DataFrame:
+    """Filter a state read against the live tombstones: a LEFT ANTI join
+    on doc_id — the deleted set is takedown-sized, so Catalyst
+    broadcasts it and the filter costs one map-side hash probe per row;
+    no-op (and no plan node at all) when no deletes are pending."""
+    deleted = load_deleted_ids(spark, path)
+    if deleted is None:
+        return df
+    return df.join(F.broadcast(deleted.select("doc_id")), "doc_id", "left_anti")
 
 
 def compact_dedup_state(
@@ -534,19 +628,43 @@ def compact_dedup_state(
     duplicated in the base — probes stay correct for pair GENERATION
     (candidates are de-duplicated), but duplicated rows each occupy a
     skew-cap rank slot, so re-run compact (idempotent) before relying on
-    capped probes again."""
+    capped probes again (pinned in tests/test_incremental.py).
+
+    When tombstones are pending (:func:`delete_from_dedup_state`), the
+    rebuild reads the FILTERED state, so the new base physically drops
+    deleted rows; ``minhash_state`` itself is then rewritten via a
+    staging dir (write → delete → rename; the one unrecoverable-looking
+    crash window, delete-before-rename, self-heals in
+    :func:`load_dedup_state`) and the tombstones are cleared — after
+    which the deleted ids may be re-ingested."""
     if n_buckets is None:
         recorded = state_ptmod(spark, path)
         n_buckets = recorded if recorded is not None else NUM_STATE_BUCKETS
+    had_tombstones = load_deleted_ids(spark, path) is not None
     state = _materialized(load_dedup_state(spark, path))
     try:
         _write_banded_state(state, path, "overwrite", n_bands, n_perms, n_buckets)
+        if had_tombstones:
+            # physical removal from the source of truth: stage, swap
+            state.select("doc_id", "shingles", "signature").write.mode(
+                "overwrite"
+            ).parquet(f"{path}/minhash_state_new")
+            fs, cur = _hadoop_fs(spark, f"{path}/minhash_state")
+            staged = spark.sparkContext._jvm.org.apache.hadoop.fs.Path(
+                f"{path}/minhash_state_new"
+            )
+            fs.delete(cur, True)
+            fs.rename(staged, cur)
+            fs.delete(
+                spark.sparkContext._jvm.org.apache.hadoop.fs.Path(
+                    f"{path}/deleted_ids"
+                ),
+                True,
+            )
     finally:
         state.unpersist()
     # portable recursive delete of the folded delta (local FS, HDFS, s3a)
-    sc = spark.sparkContext
-    hpath = sc._jvm.org.apache.hadoop.fs.Path(f"{path}/banded_delta")
-    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    fs, hpath = _hadoop_fs(spark, f"{path}/banded_delta")
     fs.delete(hpath, True)
 
 

@@ -35,6 +35,7 @@ from flink_clickstream_processor_msk_spark.operators.dedup import (
     MAX_BUCKET_SIZE_DEFAULT,
     NUM_STATE_BUCKETS,
     append_dedup_state,
+    apply_tombstones,
     batch_dedup_state,
     incremental_minhash_pairs,
     load_banded_base,
@@ -89,10 +90,16 @@ class _StateHandles:
 
     def banded(self, spark: SparkSession) -> DataFrame:
         """base (cached listing) ∪ delta (re-listed per batch — small,
-        flat, appends-sized)."""
+        flat, appends-sized), minus tombstones (checked fresh each epoch
+        — one filesystem stat when no deletes are pending — so takedowns
+        issued DURING a run take effect on the next micro-batch)."""
         if self._base is None:
             self._base = load_banded_base(spark, self.state_path)
-        return self._base.unionByName(load_banded_delta(spark, self.state_path))
+        return apply_tombstones(
+            spark,
+            self.state_path,
+            self._base.unionByName(load_banded_delta(spark, self.state_path)),
+        )
 
     def invalidate(self) -> None:
         """After compaction: the base was rewritten (stale file listing)

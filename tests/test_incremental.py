@@ -1056,6 +1056,135 @@ def test_ingest_sink_releases_scratch_caches(spark, tmp_path):
     spark.catalog.clearCache()
 
 
+def test_delete_from_dedup_state_tombstones_and_compaction(spark, tmp_path):
+    """The LSM deletion leg: a takedown tombstones a doc (O(ids) flat
+    write), probes immediately stop pairing against it and match the
+    batch pipeline over the shrunken corpus, re-adding before compaction
+    refuses loudly, compaction physically drops the rows + clears the
+    tombstones (after which re-adding works), and the staged-rewrite
+    crash window self-heals on the next read."""
+    import os
+    import shutil
+
+    import pytest
+
+    corpus, new = _corpus_and_batch(spark)
+    path = str(tmp_path / "dedup_state_delete")
+    dedup.save_dedup_state(corpus, path)
+
+    # doc 2 is the corpus partner of new doc 10 — delete it
+    dedup.delete_from_dedup_state(spark, path, [2])
+    b = dedup.batch_dedup_state(new)
+    try:
+        got = _pairs_set(
+            dedup.incremental_minhash_pairs(
+                b, None, max_bucket_size=None,
+                corpus_banded=dedup.load_banded_state(spark, path),
+                corpus_ptmod=dedup.state_ptmod(spark, path),
+            )
+        )
+        want = {
+            t
+            for t in _pairs_set(
+                dedup.minhash_near_duplicates(
+                    corpus.filter(F.col("doc_id") != 2).unionByName(new),
+                    max_bucket_size=None,
+                )
+            )
+            if t[0] >= 10 or t[1] >= 10
+        }
+        assert got == want
+        assert all(2 not in (a, b_) for a, b_, _ in got)
+        assert len(got) > 0  # new-new pairs survive the takedown
+
+        # re-adding the tombstoned doc before compaction refuses
+        readd = dedup.batch_dedup_state(
+            corpus.filter(F.col("doc_id") == 2)
+        )
+        try:
+            with pytest.raises(ValueError, match="tombstoned"):
+                dedup.append_dedup_state(readd, path)
+        finally:
+            readd.unpersist()
+
+        # compaction drops the rows physically and clears the tombstones
+        dedup.compact_dedup_state(spark, path)
+        assert not os.path.exists(f"{path}/deleted_ids")
+        raw_ids = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{path}/minhash_state")
+            .select("doc_id").distinct().collect()
+        }
+        assert 2 not in raw_ids and 0 in raw_ids
+        banded_ids = {
+            r["doc_id"]
+            for r in dedup.load_banded_state(spark, path)
+            .select("doc_id").distinct().collect()
+        }
+        assert 2 not in banded_ids
+        got_after = _pairs_set(
+            dedup.incremental_minhash_pairs(
+                b, None, max_bucket_size=None,
+                corpus_banded=dedup.load_banded_state(spark, path),
+                corpus_ptmod=dedup.state_ptmod(spark, path),
+            )
+        )
+        assert got_after == want
+
+        # now the re-add is accepted
+        readd2 = dedup.batch_dedup_state(corpus.filter(F.col("doc_id") == 2))
+        try:
+            dedup.append_dedup_state(readd2, path)
+        finally:
+            readd2.unpersist()
+        assert 2 in {
+            r["doc_id"]
+            for r in dedup.load_dedup_state(spark, path)
+            .select("doc_id").distinct().collect()
+        }
+    finally:
+        b.unpersist()
+
+    # crash window: minhash_state deleted, staging dir survives → the
+    # next load finishes the rename
+    shutil.move(f"{path}/minhash_state", f"{path}/minhash_state_new")
+    healed = {
+        r["doc_id"]
+        for r in dedup.load_dedup_state(spark, path)
+        .select("doc_id").distinct().collect()
+    }
+    assert 2 in healed and os.path.isdir(f"{path}/minhash_state")
+    spark.catalog.clearCache()
+
+
+def test_sink_sees_mid_run_takedown(spark, tmp_path):
+    """A delete issued BETWEEN micro-batches of a live ingest takes
+    effect on the next epoch, through the sink's cached state handles
+    (tombstones are re-checked per epoch; the cached base listing is
+    not)."""
+    from flink_clickstream_processor_msk_spark.streaming.ingest import (
+        dedup_ingest_sink,
+        init_dedup_state,
+    )
+
+    corpus, new = _corpus_and_batch(spark)
+    path = str(tmp_path / "dedup_state_midrun")
+    init_dedup_state(spark, path, corpus=corpus)
+
+    per_epoch: dict[int, set] = {}
+    write = dedup_ingest_sink(
+        path, lambda df, e: per_epoch.__setitem__(e, _pairs_set(df)),
+        max_bucket_size=None,
+    )
+    write(new.filter(F.col("doc_id") == 13), 0)  # warm the handles
+    dedup.delete_from_dedup_state(spark, path, [2])
+    write(new.filter(F.col("doc_id") == 10), 1)  # 10's partner is doc 2
+    assert per_epoch[1] == set()  # takedown visible through cached handles
+    write(new.filter(F.col("doc_id").isin(11, 12)), 2)
+    assert any(a == 11 and b == 12 for a, b, _ in per_epoch[2])
+    spark.catalog.clearCache()
+
+
 def _vec(val: float, i: int) -> list[float]:
     """64-dim vector around `val` with mild deterministic per-dim texture
     (avoids exact-tie degeneracy in argmin/argmax paths)."""
