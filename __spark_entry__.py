@@ -544,8 +544,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _on_table("documents", text.tfidf_top_terms),
         # exact percentile_disc token-length stats per language
         "length_percentiles": _on_table("documents", text.length_percentiles),
-        # Lee-et-al-style cross-doc duplicated fixed-width span stats
-        "dup_span_stats": _on_table("documents", dedup.dup_span_stats),
+        # Lee-et-al exact-substring dedup, the REMOVAL half: duplicated
+        # fixed-width spans excised from every non-owner document and the
+        # text rebuilt (rotated in r9; dup_span_stats — whose window/
+        # cross-doc CTEs this oracle composes verbatim, dup_frac being a
+        # trivial division of the same counts — moved to the tail)
+        "remove_dup_spans": _on_table("documents", dedup.remove_dup_spans),
         # dedup suite
         # oracle-checked dedup entries pass max_bucket_size=None: candidate
         # generation must be exact to hash-match the SQL oracle (library
@@ -687,6 +691,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             max_bucket_size=None,
             pairs=_minhash_pairs(spark, sf_dir),
         ),
+        # duplicated-span AUDIT stats: g/cross-doc machinery spanned
+        # in-window by remove_dup_spans (same CTEs composed verbatim in
+        # its oracle); rotated out in r9; driver-green through r8
+        "dup_span_stats": _on_table("documents", dedup.dup_span_stats),
         # round-9 IVF drift monitor over the same cached index: its
         # assignment term is spanned in-window by sim_ann_ivfpq_topk
         # (identical routing CTE) and its count/share machinery by
@@ -760,6 +768,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": oracles_beyond.tfidf_top_terms(),
         "length_percentiles": oracles_beyond.length_percentiles(),
         "dup_span_stats": oracles_beyond.dup_span_stats(),
+        "remove_dup_spans": oracles_beyond.remove_dup_spans(),
         "dedup_exact": oracles_beyond.exact_duplicates(),
         "dedup_minhash_jaccard": oracles_beyond.minhash_near_duplicates(),
         "dedup_ngram_jaccard": oracles_beyond.ngram_jaccard_near_duplicates(),

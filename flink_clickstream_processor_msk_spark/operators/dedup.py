@@ -1442,3 +1442,110 @@ def dup_span_stats(documents: DataFrame, width: int = 8) -> DataFrame:
             (F.col("dup_windows") / F.col("n_windows")).alias("dup_frac"),
         )
     )
+
+
+def remove_dup_spans(documents: DataFrame, width: int = 8) -> DataFrame:
+    """The REMOVAL half of Lee et al. 2022's exact-substring dedup —
+    :func:`dup_span_stats` is the audit, this is the scrub: every
+    fixed-``width`` word window occurring in ≥2 documents keeps its
+    occurrences only in the OWNER document (min doc_id containing the
+    window — deterministic, engine-replayable); in every other document
+    the tokens covered by such windows are excised (overlapping removed
+    windows merge naturally through position coverage) and the text is
+    rebuilt from the survivors. Returns ``(doc_id, cleaned_text,
+    n_tokens, removed_tokens)`` — counts so pipelines can audit the
+    excision rate; docs with fewer than ``width`` tokens form one
+    whole-text window (the shared <k convention), so a short doc whose
+    text occurs elsewhere is emptied rather than partially cut.
+
+    Scale shape: the window hashing is the same Arrow kernel pass
+    :func:`dup_span_stats` pays; ownership is one map-side-combined
+    groupBy over (doc_id, h) distinct; the removable-window join carries
+    only duplicated windows (O(duplicated) — real corpora: a few % of
+    windows); the rebuild is one more Arrow pass over (text, starts)
+    with the start list per doc collected as an array column, never to
+    the driver. No all-pairs term, no token-level explode: coverage is
+    resolved positionally inside the kernel. SQL twin:
+    oracles_beyond.remove_dup_spans (same g/cross-doc CTEs as the stats
+    oracle + ownership, coverage, ordered rebuild)."""
+    from flink_clickstream_processor_msk_spark.functions.grams import (
+        ascii_words,
+        md5_60,
+        word_grams,
+    )
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def span_hashes(texts: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+
+        def go(text: str | None) -> list[int] | None:
+            if text is None:
+                return None
+            out = []
+            for gram in word_grams(ascii_words(text), width):
+                h = cache.get(gram)
+                if h is None:
+                    h = md5_60(gram)
+                    cache[gram] = h
+                out.append(h)
+            return out
+
+        return texts.map(go)
+
+    docs = _parallelized(documents.filter(F.col("text").isNotNull()))
+    g = _materialized(
+        docs.select(
+            "doc_id", F.posexplode(span_hashes("text")).alias("i", "h")
+        )
+    )
+    owners = (
+        g.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("owner"),
+            F.count(F.lit(1)).alias("nd"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("h", "owner")
+    )
+    starts = (
+        g.join(owners, "h")
+        .filter(F.col("doc_id") != F.col("owner"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("i")).alias("starts"))
+    )
+
+    out_type = T.StructType(
+        [
+            T.StructField("cleaned_text", T.StringType()),
+            T.StructField("n_tokens", T.IntegerType()),
+            T.StructField("removed_tokens", T.IntegerType()),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def rebuild(texts: pd.Series, start_lists: pd.Series) -> pd.DataFrame:
+        rows = []
+        for text, starts_ in zip(texts, start_lists):
+            words = ascii_words(text)
+            n = len(words)
+            if starts_ is None or len(starts_) == 0:
+                rows.append((" ".join(words), n, 0))
+                continue
+            covered = [False] * n
+            for i in starts_:
+                i = int(i)
+                # <width tokens → the single whole-text window covers all
+                for j in range(i, min(i + width, n) if n >= width else n):
+                    covered[j] = True
+            kept = [w for j, w in enumerate(words) if not covered[j]]
+            rows.append((" ".join(kept), n, n - len(kept)))
+        return pd.DataFrame(
+            rows, columns=["cleaned_text", "n_tokens", "removed_tokens"]
+        )
+
+    joined = docs.select("doc_id", "text").join(starts, "doc_id", "left")
+    return joined.select(
+        "doc_id", rebuild("text", "starts").alias("r")
+    ).select("doc_id", "r.*")

@@ -1086,6 +1086,73 @@ FROM per
 """
 
 
+def remove_dup_spans(width: int = 8) -> str:
+    """SQL twin of dedup.remove_dup_spans: the stats oracle's window/
+    cross-doc machinery plus min-doc ownership, positional coverage
+    (clamped to the token count, so the <width whole-text window covers
+    everything), and an ordered token rebuild. Engine-parity notes:
+    DuckDB list slices are end-inclusive (w[i:i+width-1] = width words),
+    array_to_string of an empty slice is NULL → COALESCE '', list(...
+    ORDER BY pos) makes the rebuild order explicit."""
+    w1 = width - 1
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS.format(x="text")} AS w FROM documents
+  WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id, u['i'] AS i, {_h60("u['s']")} AS h
+  FROM (
+    SELECT doc_id,
+      unnest([{{'i': i - 1,
+                's': COALESCE(array_to_string(w[i:i+{w1}], ' '), '')}}
+              for i in range(1, greatest(len(w) - {w1}, 1) + 1)]) AS u
+    FROM toks
+  )
+),
+own AS (
+  SELECT h, min(doc_id) AS owner
+  FROM (SELECT DISTINCT doc_id, h FROM g)
+  GROUP BY h HAVING count(*) >= 2
+),
+cov AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT g.doc_id,
+      unnest(range(g.i,
+                   CASE WHEN t.n >= {width}
+                        THEN least(g.i + {width}, t.n)
+                        ELSE t.n END)) AS pos
+    FROM g
+    JOIN own ON g.h = own.h AND g.doc_id != own.owner
+    JOIN (SELECT doc_id, len(w) AS n FROM toks) t ON g.doc_id = t.doc_id
+  )
+),
+tok AS (
+  SELECT doc_id, u['pos'] AS pos, u['word'] AS word
+  FROM (
+    SELECT doc_id,
+      unnest([{{'pos': i - 1, 'word': w[i]}} for i in range(1, len(w) + 1)]) AS u
+    FROM toks
+  )
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.word FROM tok t
+  ANTI JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.pos
+),
+agg AS (
+  SELECT doc_id,
+    array_to_string(list(word ORDER BY pos), ' ') AS cleaned_text,
+    count(*) AS kept_n
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(a.cleaned_text, '') AS cleaned_text,
+  CAST(len(d.w) AS INTEGER) AS n_tokens,
+  CAST(len(d.w) - COALESCE(a.kept_n, 0) AS INTEGER) AS removed_tokens
+FROM toks d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def resample_corpus(group_col: str = "lang") -> str:
     """SQL twin of text.resample_corpus (salted md5 draw vs weight*2^20 —
     exact int->double promotion, correctly rounded multiply)."""

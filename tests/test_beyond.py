@@ -492,6 +492,36 @@ def test_dup_span_stats_flags_cross_doc_spans_only(spark):
     assert out[2] == (1, 1, 1.0) and out[3] == (1, 1, 1.0)
 
 
+def test_remove_dup_spans_excises_non_owner_occurrences(spark):
+    """Lee-et-al span REMOVAL semantics on a crafted fixture: the owner
+    (min doc_id) keeps every occurrence; non-owners lose exactly the
+    covered positions; overlapping removed windows merge through
+    position coverage; sub-width whole-text duplicates empty the
+    non-owner; unique docs pass through verbatim; the empty doc is a
+    no-op."""
+    shared = "one two three four five six seven eight"  # exactly width=8
+    rows = [
+        (0, shared, "en"),                       # owner of the shared window
+        (1, shared + " tail", "en"),             # loses tokens 0-7, keeps "tail"
+        (2, "head " + shared, "en"),             # loses tokens 1-8, keeps "head"
+        (3, "totally different words", "en"),    # <width, owner of its text
+        (4, "totally different words", "en"),    # whole-text dup -> emptied
+        (5, "a unique little document", "en"),   # untouched
+        (6, "", "en"),                           # empty: no-op
+    ]
+    out = {
+        r["doc_id"]: (r["cleaned_text"], r["n_tokens"], r["removed_tokens"])
+        for r in dedup.remove_dup_spans(_docs_ids(spark, rows)).collect()
+    }
+    assert out[0] == (shared, 8, 0)              # owner untouched
+    assert out[1] == ("tail", 9, 8)
+    assert out[2] == ("head", 9, 8)
+    assert out[3] == ("totally different words", 3, 0)
+    assert out[4] == ("", 3, 3)                  # short dup fully excised
+    assert out[5] == ("a unique little document", 4, 0)
+    assert out[6] == ("", 0, 0)
+
+
 def test_span_and_decontaminate_oracle_lockstep_on_empty_text(spark, tmp_path):
     """Empty-token documents: the Python kernels emit the '' whole-text
     gram while DuckDB's array_to_string over an empty slice is NULL — the
@@ -520,6 +550,7 @@ def test_span_and_decontaminate_oracle_lockstep_on_empty_text(spark, tmp_path):
     )
     for fn, sql in (
         (dedup.dup_span_stats(df), oracles_beyond.dup_span_stats()),
+        (dedup.remove_dup_spans(df), oracles_beyond.remove_dup_spans()),
         (pipeline.decontaminate(df), oracles_beyond.decontaminate()),
         (text.fingerprints(df), oracles_beyond.fingerprints()),
         (text.repetition_filter(df), oracles_beyond.repetition_filter()),
