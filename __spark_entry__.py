@@ -44,7 +44,10 @@ from flink_clickstream_processor_msk_spark.operators.sessionize import (
     drop_internal,
     sessionize,
 )
-from flink_clickstream_processor_msk_spark.streaming.sinks import kafka_records
+from flink_clickstream_processor_msk_spark.streaming.sinks import (
+    es_bulk_records,
+    kafka_records,
+)
 from flink_clickstream_processor_msk_spark.sources.clickevents import (
     read_clickevents,
     with_event_time,
@@ -164,6 +167,29 @@ def _k3(gap: str):
             buy_sessions(sessionize(_clickevents(spark, sf_dir), gap=gap))
         )
         return kafka_records(sessions)
+
+    return run
+
+
+def _e1(gap: str, window: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        counts = department_counts(
+            sessionize(_clickevents(spark, sf_dir), gap=gap), window=window
+        )
+        return es_bulk_records(
+            counts, "departments_count",
+            id_cols=["departmentName", "windowBeginTime"],
+        )
+
+    return run
+
+
+def _e2(gap: str, window: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        stats = session_stats(
+            sessionize(_clickevents(spark, sf_dir), gap=gap), window=window
+        )
+        return es_bulk_records(stats, "user_session_counts")
 
     return run
 
@@ -711,6 +737,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_department_counts_1s": _q3(_GAP_1S, _WIN_10S),
         # round-robin JSON encoding covered by k2; payload by q1_buy_sessions
         "k3_buy_sessions_kafka_records": _k3(_GAP_30M),
+        # E1/E2 /_bulk NDJSON line pairs (CP:265-266): source JSON spanned
+        # in-window by k1/k2's value encodings; e1 adds the deterministic
+        # _id the idempotent-delivery pairing uses, e2 the reference's
+        # auto-id action line. e3 (user_session_details) framing+payload
+        # fully spanned by e1/e2 + k3 — library path only.
+        "e1_departments_es_bulk": _e1(_GAP_30M, _WIN_6H),
+        "e2_session_stats_es_bulk": _e2(_GAP_30M, _WIN_6H),
     }
 
 
@@ -735,6 +768,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "k3_buy_sessions_kafka_records": oracles.k3_buy_sessions_kafka_records(
             _GAP_30M_MS
+        ),
+        "e1_departments_es_bulk": oracles.e1_departments_es_bulk(
+            _GAP_30M_MS, _WIN_6H_MS
+        ),
+        "e2_session_stats_es_bulk": oracles.e2_session_stats_es_bulk(
+            _GAP_30M_MS, _WIN_6H_MS
         ),
         "tpch_q1_pricing_summary": oracles_beyond.pricing_summary(),
         "tpch_q1_rollup": oracles_beyond.pricing_rollup(),

@@ -202,6 +202,48 @@ FROM base
 """
 
 
+def e1_departments_es_bulk(gap_ms: int, window_ms: int) -> str:
+    """SQL twin of es_bulk_records(department_counts(...),
+    "departments_count", id_cols=[departmentName, windowBeginTime]) —
+    E1's exact /_bulk NDJSON line pair (CP:265;
+    AmazonElasticsearchSink.java:38-44), with the deterministic _id the
+    idempotent-delivery pairing uses."""
+    return f"""
+WITH base AS ({q3_department_counts(gap_ms, window_ms)})
+SELECT
+  to_json(struct_pack(index := struct_pack(
+    "_index" := 'departments_count',
+    "_type" := 'departments_count',
+    "_id" := departmentName || ':' || CAST(windowBeginTime AS VARCHAR)
+  ))) AS action,
+  to_json(struct_pack(departmentName := departmentName,
+                      departmentCount := departmentCount,
+                      windowBeginTime := windowBeginTime,
+                      windowEndTime := windowEndTime)) AS source
+FROM base
+"""
+
+
+def e2_session_stats_es_bulk(gap_ms: int, window_ms: int) -> str:
+    """SQL twin of es_bulk_records(session_stats(...),
+    "user_session_counts") — E2, reference-default auto ids (no _id in
+    the action line, CP:266)."""
+    return f"""
+WITH base AS ({q2_session_stats(gap_ms, window_ms)})
+SELECT
+  to_json(struct_pack(index := struct_pack(
+    "_index" := 'user_session_counts',
+    "_type" := 'user_session_counts'
+  ))) AS action,
+  to_json(struct_pack(userSessionCount := userSessionCount,
+                      userSessionCountWithOrderCheckout := userSessionCountWithOrderCheckout,
+                      percentSessionswithBuy := percentSessionswithBuy,
+                      windowBeginTime := windowBeginTime,
+                      windowEndTime := windowEndTime)) AS source
+FROM base
+"""
+
+
 def k3_buy_sessions_kafka_records(gap_ms: int) -> str:
     """SQL twin of kafka_records(buy_sessions(...)) — K3, round-robin
     (CP:243-251). deptList stays an ARRAY here: the JSON value embeds it as

@@ -60,6 +60,38 @@ def kafka_records(
     return df.select(*cols)
 
 
+def es_bulk_records(
+    df: DataFrame,
+    index: str,
+    doc_type: str | None = None,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """E1-E3 wire encoding: the exact NDJSON line PAIR a ``/_bulk`` POST
+    carries per record — ``action`` (``{"index":{"_index":…,"_type":…}}``)
+    and ``source`` (the row's JSON, the same Catalyst ``to_json`` bytes
+    the Kafka sinks pin). The reference indexes with index == type and
+    auto-generated ids (ClickstreamProcessor.java:265-267,
+    AmazonElasticsearchSink.java:38-44); ``id_cols`` opts into
+    DETERMINISTIC ``_id``s (colon-joined values — e.g.
+    ``(key, windowBeginTime)``), which is the pairing
+    :func:`dedup_epochs` recommends to make redelivered epochs
+    idempotent at the target. Pure Catalyst; oracle twins:
+    oracles.e1/e2_*_es_bulk."""
+    doc_type = doc_type or index
+    meta = [F.lit(index).alias("_index"), F.lit(doc_type).alias("_type")]
+    if id_cols:
+        meta.append(
+            F.concat_ws(
+                ":", *[F.col(c).cast("string") for c in id_cols]
+            ).alias("_id")
+        )
+    action = F.to_json(F.struct(F.struct(*meta).alias("index")))
+    return df.select(
+        action.alias("action"),
+        F.to_json(F.struct(*df.columns)).alias("source"),
+    )
+
+
 def kafka_sink_frame(
     df: DataFrame,
     key_cols: list[str] | None = None,
@@ -249,17 +281,31 @@ def send_with_backoff(
 def make_bulk_writer(
     send: Callable[[list[str]], None],
     policy: BulkFlushPolicy = BulkFlushPolicy(),
+    es_index: str | None = None,
+    es_type: str | None = None,
+    es_id_cols: list[str] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Default ``bulk_write`` for :func:`bulk_foreach_batch_sink`.
 
-    Rows are JSON-encoded by Catalyst (:func:`json_value`); each partition
-    then streams chunked bulk requests through ``send`` (the client-specific
-    delivery callable, e.g. an ES ``_bulk`` POST — must be picklable, it
-    runs on executors) under the flush/backoff policy. No driver collection:
-    delivery parallelism = partition count."""
+    Rows are JSON-encoded by Catalyst; each partition then streams
+    chunked bulk requests through ``send`` (the client-specific delivery
+    callable, e.g. an ES ``_bulk`` POST — must be picklable, it runs on
+    executors) under the flush/backoff policy. No driver collection:
+    delivery parallelism = partition count.
+
+    With ``es_index`` set, each document is the full ``/_bulk`` line
+    pair (:func:`es_bulk_records`, action + newline + source), so a
+    chunk joined with newlines (plus the trailing one) IS a valid bulk
+    request body; without it, documents are bare row JSON and ``send``
+    owns the framing."""
 
     def bulk_write(batch_df: DataFrame, epoch_id: int) -> None:
-        encoded = json_value(batch_df)
+        if es_index is not None:
+            encoded = es_bulk_records(
+                batch_df, es_index, es_type, es_id_cols
+            ).select(F.concat_ws("\n", "action", "source").alias("value"))
+        else:
+            encoded = json_value(batch_df)
 
         def write_partition(rows) -> None:
             for chunk in bulk_chunks((r["value"] for r in rows), policy):

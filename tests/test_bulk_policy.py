@@ -98,3 +98,44 @@ def test_bulk_writer_delivers_all_rows(spark, tmp_path):
             got += [json.loads(line) for line in f]
     assert sorted(r["id"] for r in got) == list(range(20))
     assert all(r["v"] == r["id"] * 2 for r in got)
+
+
+def test_bulk_writer_es_framing_is_valid_bulk_body(spark, tmp_path):
+    """With es_index set, every delivered document is the /_bulk line
+    PAIR: an action line ({"index":{"_index","_type"[,"_id"]}}) followed
+    by the row's source JSON — so a newline-joined chunk is a valid bulk
+    request body. Deterministic _id from id_cols; every row arrives
+    exactly once."""
+    import json
+
+    out = str(tmp_path)
+
+    def send(chunk):
+        import uuid
+
+        with open(os.path.join(out, f"{uuid.uuid4().hex}.ndjson"), "w") as f:
+            f.write("\n".join(chunk) + "\n")
+
+    df = spark.range(10).selectExpr("id", "id * 3 as v")
+    writer = make_bulk_writer(
+        send,
+        BulkFlushPolicy(max_actions=3),
+        es_index="things",
+        es_id_cols=["id", "v"],
+    )
+    writer(df, epoch_id=0)
+
+    pairs = []
+    for name in os.listdir(out):
+        with open(os.path.join(out, name)) as f:
+            lines = [ln for ln in f.read().splitlines() if ln]
+        # each chunk entry was action\nsource; the file joined entries by
+        # \n, so the flat line stream alternates action/source
+        assert len(lines) % 2 == 0
+        for a, s in zip(lines[0::2], lines[1::2]):
+            pairs.append((json.loads(a), json.loads(s)))
+    assert sorted(p[1]["id"] for p in pairs) == list(range(10))
+    for a, s in pairs:
+        assert a["index"]["_index"] == "things"
+        assert a["index"]["_type"] == "things"
+        assert a["index"]["_id"] == f"{s['id']}:{s['v']}"
