@@ -31,14 +31,14 @@ from typing import Any
 # clickevents.py next to the Kafka source that consumes it)
 
 
-def _schema_fields() -> list[tuple[str, Any]]:
-    from flink_clickstream_processor_msk_spark.sources.clickevents import (
-        CLICK_EVENT_AVSC,
-    )
+def _schema_fields(schema_json: str | None = None) -> list[dict]:
+    if schema_json is None:
+        from flink_clickstream_processor_msk_spark.sources.clickevents import (
+            CLICK_EVENT_AVSC,
+        )
 
-    return [
-        (f["name"], f["type"]) for f in json.loads(CLICK_EVENT_AVSC)["fields"]
-    ]
+        schema_json = CLICK_EVENT_AVSC
+    return list(json.loads(schema_json)["fields"])
 
 
 def _zigzag(n: int) -> int:
@@ -107,26 +107,70 @@ def _read_value(buf: bytes, pos: int, typ: Any) -> tuple[Any, int]:
     raise NotImplementedError(f"avro type {typ!r} not supported")  # pragma: no cover
 
 
-def encode_click_event(row: dict) -> bytes:
+def encode_click_event(row: dict, schema_json: str | None = None) -> bytes:
     """dict (avsc field names) → Avro binary record bytes, the exact
-    payload the reference's Kafka producer frames."""
+    payload the reference's Kafka producer frames. ``schema_json``
+    defaults to the ClickEvent contract; pass an older writer schema to
+    produce historical wire bytes (schema-evolution tests)."""
     out = bytearray()
-    for name, typ in _schema_fields():
-        _write_value(out, typ, row[name])
+    for f in _schema_fields(schema_json):
+        _write_value(out, f["type"], row[f["name"]])
     return bytes(out)
 
 
-def decode_click_event(payload: bytes) -> dict:
+def decode_click_event(
+    payload: bytes,
+    writer_schema_json: str | None = None,
+    reader_schema_json: str | None = None,
+) -> dict:
     """Avro binary record bytes → dict; inverse of
-    :func:`encode_click_event`, asserting full consumption."""
+    :func:`encode_click_event`, asserting full consumption.
+
+    With ``writer_schema_json`` differing from the reader, applies Avro
+    SCHEMA RESOLUTION (spec §"Schema Resolution" — the registry's whole
+    point: v1 producers keep working after the schema evolves): fields
+    are read in WRITER order; a writer field the reader lacks is decoded
+    and DISCARDED (its bytes must still be consumed); a reader field the
+    writer lacks takes the reader schema's ``default`` (e.g.
+    ``prevglobalseq: 0`` in ClickEvent.avsc:13) or refuses loudly when
+    no default exists; matching fields must carry the same type (this
+    codec's schema subset has no promotions). Resolution is parity-pinned
+    against the Apache Avro reference implementation's
+    GenericDatumReader(writer, reader) in tests/test_avro_wire.py."""
+    reader = _schema_fields(reader_schema_json)
+    writer = (
+        reader
+        if writer_schema_json is None
+        else _schema_fields(writer_schema_json)
+    )
+    reader_by_name = {f["name"]: f for f in reader}
     row: dict = {}
     pos = 0
-    for name, typ in _schema_fields():
-        row[name], pos = _read_value(payload, pos, typ)
+    for f in writer:
+        value, pos = _read_value(payload, pos, f["type"])
+        rf = reader_by_name.get(f["name"])
+        if rf is None:
+            continue  # writer-only field: bytes consumed, value dropped
+        if rf["type"] != f["type"]:
+            raise NotImplementedError(
+                f"type change on field {f['name']!r}: writer {f['type']!r} "
+                f"vs reader {rf['type']!r} (no promotions in this subset)"
+            )
+        row[f["name"]] = value
     if pos != len(payload):
         raise ValueError(
             f"trailing bytes: consumed {pos} of {len(payload)}"
         )
+    writer_names = {f["name"] for f in writer}
+    for rf in reader:
+        if rf["name"] in writer_names:
+            continue
+        if "default" not in rf:
+            raise ValueError(
+                f"reader field {rf['name']!r} absent from writer schema "
+                "and has no default"
+            )
+        row[rf["name"]] = rf["default"]
     return row
 
 
