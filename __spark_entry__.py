@@ -384,6 +384,13 @@ def _ivf_saved_index(spark: SparkSession, sf_dir: str):
     )
 
 
+def _ivfpq_saved_index(spark: SparkSession, sf_dir: str):
+    return _saved_index(
+        spark, sf_dir, "ivfpq_saved",
+        similarity.save_ivfpq_index, similarity.load_ivfpq_index,
+    )
+
+
 # Which session-cached artifact each PROBE/CONSUMER query reads. The bench
 # harness clearCache()s between timing runs (so a query's own scratch
 # persists never leak into its next timing) and then re-warms exactly these
@@ -407,6 +414,7 @@ CACHE_DEPS: dict[str, tuple[str, ...]] = {
     "sim_ann_lsh_saved_topk": ("lsh_saved",),
     "sim_ann_ivf_saved_topk": ("ivf_saved",),
     "sim_ann_pq_saved_topk": ("pq_saved",),
+    "sim_ann_ivfpq_saved_topk": ("ivfpq_saved",),
     "sim_ann_ivf_kmeans_topk": ("ivf_kmeans",),
     "sim_ann_pq_kmeans_topk": ("pq_kmeans",),
 }
@@ -420,6 +428,7 @@ _CACHE_BUILDERS = {
     "lsh_saved": _lsh_saved_index,
     "ivf_saved": lambda spark, sf_dir: _ivf_saved_index(spark, sf_dir)[1],
     "pq_saved": lambda spark, sf_dir: _pq_saved_index(spark, sf_dir)[1],
+    "ivfpq_saved": lambda spark, sf_dir: _ivfpq_saved_index(spark, sf_dir)[2],
     "ivf_kmeans": lambda spark, sf_dir: _ivf_kmeans_index(spark, sf_dir)[1],
     "pq_kmeans": lambda spark, sf_dir: _pq_kmeans_index(spark, sf_dir)[1],
 }
@@ -700,6 +709,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _TOPK,
             index=_pq_saved_index(spark, sf_dir),
         ),
+        # composed IVFADC written layout: cell + codes in ONE row —
+        # partition-pruned probe with inline ADC, NO join (result- and
+        # oracle-identical to sim_ann_ivfpq_topk, which spans it)
+        "sim_ann_ivfpq_saved_topk": lambda spark, sf_dir: similarity.ann_ivfpq_topk(
+            _embeddings(spark, sf_dir),
+            _QUERY_VEC_ID,
+            _TOPK,
+            composed_index=_ivfpq_saved_index(spark, sf_dir),
+        ),
         # threshold filter over text_stats' own formulas (its oracle is
         # literally text_stats + a WHERE), rotated out in r8 to admit
         # charset_stats; driver-green through r7
@@ -833,6 +851,11 @@ def oracle_sql() -> dict[str, str]:
         "sim_ann_ivf_saved_topk": oracles_beyond.ann_ivf_topk(_QUERY_VEC_ID, _TOPK),
         # identical semantics to sim_ann_pq_topk (written index read back)
         "sim_ann_pq_saved_topk": oracles_beyond.ann_pq_topk(_QUERY_VEC_ID, _TOPK),
+        # identical semantics to sim_ann_ivfpq_topk — the composed written
+        # layout merely removes the probe-time join
+        "sim_ann_ivfpq_saved_topk": oracles_beyond.ann_ivfpq_topk(
+            _QUERY_VEC_ID, _TOPK
+        ),
         "sim_ann_ivf_kmeans_topk": oracles_beyond.ann_ivf_kmeans_topk(
             _QUERY_VEC_ID, _TOPK
         ),

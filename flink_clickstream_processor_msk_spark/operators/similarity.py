@@ -824,6 +824,64 @@ def append_to_pq_index(new_embeddings: DataFrame, path: str) -> None:
     ).write.mode("append").parquet(f"{path}/codes")
 
 
+# --- composed IVFADC written layout -----------------------------------------
+
+
+def save_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = N_CENTROIDS,
+    m: int = PQ_M,
+    k_cb: int = PQ_K,
+) -> None:
+    """The IVFADC layout as ONE written table: (vec_id, v, codes)
+    partitioned by ``cell`` — cell routing and PQ codes live in the same
+    row, so a probe is a partition-pruned scan with the ADC lookup inline
+    and NO join (the billion-scale layout of Jégou et al. 2011 §V; the
+    separate-index composition ``ann_ivfpq_topk`` joins per probe
+    instead, which is the right shape only while both structures are
+    session-cached). Sidecars: ``centroids`` + ``codebooks`` (same
+    formats as the standalone indexes). ``v`` rides along for query
+    lookup and exact re-ranking — a deployment trimming bytes drops it
+    and keeps a separate id→vector table for the re-rank tier."""
+    cents, cells = build_ivf_index(embeddings, n_centroids)
+    cbs, codes = build_pq_index(embeddings, m, k_cb)
+    spark = embeddings.sparkSession
+    (
+        cells.join(codes, "vec_id")  # one-time build-side join
+        .repartition("cell")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(f"{path}/cells")
+    )
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cidx int, cvec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (s, j, list(map(float, c)))
+            for s, cb in enumerate(cbs)
+            for j, c in enumerate(cb)
+        ],
+        "s int, j int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    cells.unpersist()
+    codes.unpersist()
+
+
+def load_ivfpq_index(spark, path: str):
+    """Read a composed IVFADC index → (centroids, codebooks, table);
+    plugs into ``ann_ivfpq_topk(..., composed_index=...)``."""
+    cents_rows = spark.read.parquet(f"{path}/centroids").orderBy("cidx").collect()
+    cents = [[float(x) for x in r["cvec"]] for r in cents_rows]
+    cb_rows = spark.read.parquet(f"{path}/codebooks").orderBy("s", "j").collect()
+    m = max(r["s"] for r in cb_rows) + 1
+    cbs: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in cb_rows:
+        cbs[r["s"]].append([float(x) for x in r["cvec"]])
+    return cents, cbs, spark.read.parquet(f"{path}/cells")
+
+
 # --- PQ drift monitoring (out-of-distribution mass → re-seed trigger) -------
 
 #: base-distribution quantile defining "out of distribution": a vector
@@ -987,6 +1045,7 @@ def ann_ivfpq_topk(
     n_probe: int = 4,
     ivf_index: tuple[list[list[float]], DataFrame] | None = None,
     pq_index: tuple[list[list[list[float]]], DataFrame] | None = None,
+    composed_index=None,
 ) -> DataFrame:
     """IVF+PQ composition: route the query to its ``n_probe`` nearest IVF
     cells, then rank ONLY those cells' vectors by PQ ADC distance — the
@@ -1001,8 +1060,26 @@ def ann_ivfpq_topk(
     plan shape).
 
     Reuses both session-cached indexes; the probe-time join keys the two
-    small index tables on vec_id (at scale: no join — cell and codes live
-    in the same written row)."""
+    small index tables on vec_id. Pass ``composed_index``
+    (:func:`load_ivfpq_index`) instead to probe the WRITTEN IVFADC
+    layout: cell and codes live in the same row, so the probe is a
+    partition-pruned scan with the ADC lookup inline and no join at all
+    — result-identical, plan-asserted in tests/test_ann_index.py."""
+    if composed_index is not None:
+        cents, cbs, table = composed_index
+        q = _query_vector_from_index(table, query_vec_id)
+        probes = sorted(
+            range(len(cents)), key=lambda i: (-_py_cosine(cents[i], q), i)
+        )[:n_probe]
+        score = _adc_score(_adc_lut(cbs, q))
+        return (
+            table.filter(
+                F.col("cell").isin(probes) & (F.col("vec_id") != query_vec_id)
+            )
+            .select("vec_id", score.alias("adc_dist"))
+            .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+            .limit(k)
+        )
     cents, cells = (
         ivf_index if ivf_index is not None else build_ivf_index(embeddings)
     )

@@ -104,6 +104,27 @@ def test_saved_lsh_index_roundtrip_and_partition_pruning(spark, tmp_path):
     spark.catalog.clearCache()
 
 
+def test_saved_ivfpq_composed_layout_joinless_probe(spark, tmp_path):
+    """The composed IVFADC written table (cell + codes in one row): the
+    probe must (a) return the identical top-k as the separate-index
+    composition, (b) prune cell partitions, and (c) contain NO join —
+    the layout's whole point is that routing and scoring read the same
+    row."""
+    from flink_clickstream_processor_msk_spark.operators import similarity
+
+    emb = _emb(spark)
+    path = str(tmp_path / "ivfpq")
+    similarity.save_ivfpq_index(emb, path)
+    composed = similarity.load_ivfpq_index(spark, path)
+    probe = similarity.ann_ivfpq_topk(emb, 0, 10, composed_index=composed)
+    assert probe.collect() == similarity.ann_ivfpq_topk(emb, 0, 10).collect()
+    plan = _explain_str(probe)
+    assert "PartitionFilters" in plan
+    assert "PartitionFilters: []" not in plan  # the n_probe cells prune
+    assert "Join" not in plan  # routing + ADC read the same written row
+    spark.catalog.clearCache()
+
+
 def test_ann_topk_same_with_prebuilt_index(spark):
     """Probing a pre-built index returns the identical top-k as the
     build-inline path (amortization must not change results)."""
