@@ -869,6 +869,41 @@ def save_ivfpq_index(
     codes.unpersist()
 
 
+def append_to_ivfpq_index(new_embeddings: DataFrame, path: str) -> None:
+    """Incremental refresh of the composed IVFADC layout (the
+    :func:`append_to_ivf_index` pattern applied to the single-table
+    form): route AND encode only the new vectors with the index's saved
+    centroids + codebooks, append the composed rows into the existing
+    ``cell=N`` partition directories. Probes over the refreshed table
+    see old + new identically to a same-structure full rebuild (pinned
+    in tests/test_incremental.py); drift policy per PLANS.md — IVF
+    routing needs no re-train, re-train the PQ half (re-seeded) past
+    ~10% OOD mass."""
+    spark = new_embeddings.sparkSession
+    cents_rows = spark.read.parquet(f"{path}/centroids").orderBy("cidx").collect()
+    if not cents_rows:
+        raise ValueError(f"no centroids sidecar at {path}/centroids")
+    cents = [[float(x) for x in r["cvec"]] for r in cents_rows]
+    cb_rows = spark.read.parquet(f"{path}/codebooks").orderBy("s", "j").collect()
+    m = max(r["s"] for r in cb_rows) + 1
+    cbs: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in cb_rows:
+        cbs[r["s"]].append([float(x) for x in r["cvec"]])
+    cell_udf = _make_cell_udf(spark.sparkContext.broadcast(cents))
+    codes_udf, _bc = _make_pq_codes_udf(spark.sparkContext, cbs)
+    (
+        new_embeddings.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+            cell_udf("embedding").alias("cell"),
+            codes_udf("embedding").alias("codes"),
+        )
+        .write.partitionBy("cell")
+        .mode("append")
+        .parquet(f"{path}/cells")
+    )
+
+
 def load_ivfpq_index(spark, path: str):
     """Read a composed IVFADC index → (centroids, codebooks, table);
     plugs into ``ann_ivfpq_topk(..., composed_index=...)``."""

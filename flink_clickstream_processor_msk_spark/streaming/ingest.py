@@ -303,6 +303,7 @@ def index_ingest_sink(
         "ivf": similarity.append_to_ivf_index,
         "pq": similarity.append_to_pq_index,
         "lsh": similarity.append_to_lsh_index,
+        "ivfpq": similarity.append_to_ivfpq_index,
     }[kind]
     if ood_retrain_fraction is None:
         ood_retrain_fraction = similarity.PQ_OOD_RETRAIN_FRACTION

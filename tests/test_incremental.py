@@ -447,6 +447,32 @@ def test_ivf_append_matches_same_centroid_rebuild(spark, tmp_path):
     spark.catalog.clearCache()
 
 
+def test_ivfpq_composed_append_matches_same_structure_rebuild(spark, tmp_path):
+    """The composed IVFADC table's incremental refresh: new vectors are
+    routed AND encoded by the saved sidecars and appended into the cell
+    partitions; the joinless probe over the refreshed table equals the
+    separate-structure rebuild under the same centroids + codebooks."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") < 50)
+    new = emb.filter(F.col("vec_id") >= 50)
+    path = str(tmp_path / "ivfpq_inc")
+    similarity.save_ivfpq_index(old, path)
+    similarity.append_to_ivfpq_index(new, path)
+
+    cents, cbs, table = similarity.load_ivfpq_index(spark, path)
+    assert table.count() == emb.count()
+    got = similarity.ann_ivfpq_topk(
+        emb, 0, 10, composed_index=(cents, cbs, table)
+    ).collect()
+    want = similarity.ann_ivfpq_topk(
+        emb, 0, 10,
+        ivf_index=similarity.build_ivf_index(emb, centroids=cents),
+        pq_index=similarity.build_pq_index(emb, codebooks=cbs),
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    spark.catalog.clearCache()
+
+
 def test_corpus_ingest_sink_dedups_and_decontaminates_in_one_pass(
     spark, tmp_path
 ):
