@@ -522,6 +522,65 @@ def test_remove_dup_spans_excises_non_owner_occurrences(spark):
     assert out[6] == ("", 0, 0)
 
 
+def test_remove_dup_spans_matches_pure_python_model(spark):
+    """Property-style check on a randomized-ish corpus drawn from a tiny
+    vocabulary (maximizing cross-doc window collisions): Spark's
+    distributed ownership/coverage/rebuild equals an independent
+    pure-Python model of the spec (windows per grams.word_grams, owner =
+    min doc containing the window hash across ≥2 docs, coverage clamped
+    to the token count)."""
+    import random
+
+    from flink_clickstream_processor_msk_spark.functions.grams import (
+        ascii_words,
+        md5_60,
+        word_grams,
+    )
+
+    width = 8
+    rng = random.Random(17)
+    # two-word vocabulary → only 2^8 distinct 8-grams, so 40 docs of up
+    # to 20 tokens are guaranteed real cross-doc window collisions
+    vocab = ["alpha", "beta"]
+    rows = []
+    for i in range(40):
+        n = rng.randrange(0, 20)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n)), "en"))
+    rows.append((100, None, "en"))  # NULL text: excluded on both sides
+
+    # pure-Python model
+    win = {
+        i: [md5_60(g) for g in word_grams(ascii_words(t), width)]
+        for i, t, _ in rows
+        if t is not None
+    }
+    holders: dict[int, set[int]] = {}
+    for i, hs in win.items():
+        for h in hs:
+            holders.setdefault(h, set()).add(i)
+    expected = {}
+    for i, t, _ in rows:
+        if t is None:
+            continue
+        words = ascii_words(t)
+        n = len(words)
+        covered = [False] * n
+        for pos, h in enumerate(win[i]):
+            docs = holders[h]
+            if len(docs) >= 2 and min(docs) != i:
+                for j in range(pos, min(pos + width, n) if n >= width else n):
+                    covered[j] = True
+        kept = [w for j, w in enumerate(words) if not covered[j]]
+        expected[i] = (" ".join(kept), n, n - len(kept))
+
+    got = {
+        r["doc_id"]: (r["cleaned_text"], r["n_tokens"], r["removed_tokens"])
+        for r in dedup.remove_dup_spans(_docs_ids(spark, rows)).collect()
+    }
+    assert got == expected
+    assert sum(v[2] for v in expected.values()) > 0  # removal exercised
+
+
 def test_span_and_decontaminate_oracle_lockstep_on_empty_text(spark, tmp_path):
     """Empty-token documents: the Python kernels emit the '' whole-text
     gram while DuckDB's array_to_string over an empty slice is NULL — the
