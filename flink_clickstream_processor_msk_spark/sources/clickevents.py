@@ -129,6 +129,7 @@ def kafka_clickevents(
     glue_sr: bool = True,
     schema_version_id=None,
     schema_resolver=None,
+    kafka_options: dict[str, str] | None = None,
 ) -> DataFrame:
     """Kafka ClickEvent source (S1 parity, ClickstreamProcessor.java:101-119).
 
@@ -158,13 +159,18 @@ def kafka_clickevents(
         if schema_version_id is None:
             raise ValueError("schema_resolver requires schema_version_id to look up")
         avro_schema_json = schema_resolver(schema_version_id)
-    raw = (
+    reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)
-        .load()
     )
+    # consumer-config passthrough (the reference's kafkaConfig properties
+    # — group.id CP:104, the commented SASL_SSL/SCRAM security settings
+    # CP:105-106): plain names are prefixed per Spark's kafka.* convention
+    for key, value in kafka_client_options(kafka_options).items():
+        reader = reader.option(key, value)
+    raw = reader.load()
     return with_event_time(
         avro_decoded_events(
             raw, avro_schema_json, glue_sr=glue_sr,
@@ -172,6 +178,30 @@ def kafka_clickevents(
         ),
         watermark=watermark,
     )
+
+
+def kafka_client_options(options: dict[str, str] | None) -> dict[str, str]:
+    """Normalize Kafka consumer properties for Spark's source: plain
+    Kafka property names (``group.id``, ``security.protocol``,
+    ``sasl.mechanism`` — the reference's kafkaConfig keys, CP:101-106)
+    gain the ``kafka.`` prefix Spark routes to the client; keys already
+    prefixed, and Spark's OWN source options (``maxOffsetsPerTrigger``,
+    ``failOnDataLoss``, …), pass through untouched."""
+    if not options:
+        return {}
+    spark_source_opts = {
+        "maxoffsetspertrigger", "minoffsetspertrigger", "failondataloss",
+        "startingoffsets", "endingoffsets", "subscribe", "subscribepattern",
+        "assign", "includeheaders", "minpartitions", "groupidprefix",
+        "maxtriggerdelay",
+    }
+    out = {}
+    for key, value in options.items():
+        if key.startswith("kafka.") or key.lower() in spark_source_opts:
+            out[key] = value
+        else:
+            out[f"kafka.{key}"] = value
+    return out
 
 
 def glue_sr_payload(value: Column, schema_version_id=None) -> Column:

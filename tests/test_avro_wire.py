@@ -358,6 +358,33 @@ def test_schema_resolver_seam(spark):
     assert seen == [SCHEMA_VERSION_ID]
 
 
+def test_kafka_client_options_prefixing():
+    """Consumer-config passthrough (the reference's kafkaConfig
+    properties): plain Kafka property names gain the kafka. prefix,
+    already-prefixed keys and Spark's own source options don't."""
+    from flink_clickstream_processor_msk_spark.sources.clickevents import (
+        kafka_client_options,
+    )
+
+    assert kafka_client_options(None) == {}
+    got = kafka_client_options(
+        {
+            "group.id": "flink-clickstream-processor",
+            "security.protocol": "SASL_SSL",
+            "kafka.sasl.mechanism": "SCRAM-SHA-512",
+            "maxOffsetsPerTrigger": "10000",
+            "failOnDataLoss": "false",
+        }
+    )
+    assert got == {
+        "kafka.group.id": "flink-clickstream-processor",
+        "kafka.security.protocol": "SASL_SSL",
+        "kafka.sasl.mechanism": "SCRAM-SHA-512",
+        "maxOffsetsPerTrigger": "10000",
+        "failOnDataLoss": "false",
+    }
+
+
 def test_wire_bytes_through_kafka_decode_expression(spark):
     """The full S1 leg when spark-avro is present: reference-pinned wire
     bytes → the production ``avro_decoded_events`` expression → original
