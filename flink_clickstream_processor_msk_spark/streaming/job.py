@@ -30,8 +30,12 @@ from flink_clickstream_processor_msk_spark.streaming.pipeline import (
     session_fanout,
 )
 from flink_clickstream_processor_msk_spark.streaming.sinks import (
+    bulk_foreach_batch_sink,
+    dedup_epochs,
+    http_bulk_sender,
     kafka_json_sink,
     kafka_sink_frame,
+    make_bulk_writer,
 )
 
 
@@ -56,7 +60,7 @@ def run(spark: SparkSession, config: AppConfig) -> list[StreamingQuery]:
         clickevents, gap=config["SessionGap"], window=config["TumblingWindow"]
     )
 
-    return [
+    queries = [
         kafka_json_sink(
             streams.department_counts,
             servers,
@@ -80,6 +84,56 @@ def run(spark: SparkSession, config: AppConfig) -> list[StreamingQuery]:
             timestamp_col="windowEndTime",  # setWriteTimestampToKafka, CP:251
         ),
     ]
+    queries += elasticsearch_sinks(streams, config)
+    return queries
+
+
+#: the reference's three ES indexes, keyed by stream (CP:265-267) with the
+#: deterministic _id columns the delivery-semantics doc prescribes (the
+#: reference uses auto ids; (key, windowBeginTime) makes epoch replays
+#: idempotent at the target — README "Delivery semantics")
+ES_INDEXES: dict[str, tuple[str, list[str]]] = {
+    "department_counts": ("departments_count", ["departmentName", "windowBeginTime"]),
+    "session_stats": ("user_session_counts", ["windowBeginTime"]),
+    "buy_sessions": ("user_session_details", ["userId", "windowBeginTime"]),
+}
+
+
+def elasticsearch_sinks(
+    streams, config: AppConfig, send_factory=None
+) -> list[StreamingQuery]:
+    """E1-E3 (CP:265-267): when ``ElasticsearchEndpoint`` is configured,
+    sink all three streams as /_bulk NDJSON (es_bulk_records framing,
+    the reference's flush/backoff policy) through plain-HTTP POSTs —
+    runnable against any reachable ES with no client library.
+    ``send_factory(index_name) -> send`` overrides delivery (SigV4
+    signing, test doubles); returns [] when no endpoint is configured."""
+    endpoint = config.get("ElasticsearchEndpoint")
+    if not endpoint:
+        return []
+    if send_factory is None:
+        def send_factory(_index):  # noqa: E306
+            return http_bulk_sender(endpoint)
+
+    ckpt = config["CheckpointDir"]
+    out = []
+    for stream_name, (index, id_cols) in ES_INDEXES.items():
+        df = getattr(streams, stream_name)
+        out.append(
+            bulk_foreach_batch_sink(
+                df,
+                dedup_epochs(
+                    make_bulk_writer(
+                        send_factory(index),
+                        es_index=index,
+                        es_id_cols=id_cols,
+                    ),
+                    f"{ckpt}/es_{index}_epochs",
+                ),
+                f"{ckpt}/es_{index}",
+            )
+        )
+    return out
 
 
 def run_single_pass(spark: SparkSession, config: AppConfig) -> StreamingQuery:

@@ -195,6 +195,43 @@ def bulk_foreach_batch_sink(
     )
 
 
+def http_bulk_sender(
+    endpoint: str, timeout_s: float = 10.0
+) -> Callable[[list[str]], None]:
+    """A ``send`` callable for :func:`make_bulk_writer` that POSTs chunks
+    to ``{endpoint}/_bulk`` as NDJSON over plain stdlib HTTP — no client
+    library, so the E1-E3 leg is runnable against any reachable
+    Elasticsearch as-is. Raises on transport errors and non-2xx (and on
+    a response body reporting ``"errors": true``), so
+    :func:`send_with_backoff` drives the reference's bounded retry
+    policy. Amazon OpenSearch with IAM auth needs SigV4-signed requests
+    — supply your own signing ``send`` there (this stays a deployment
+    concern; the chunk framing is identical either way)."""
+    url = endpoint.rstrip("/") + "/_bulk"
+
+    def send(chunk: list[str]) -> None:
+        import json as _json
+        import urllib.request
+
+        body = ("\n".join(chunk) + "\n").encode("utf-8")
+        req = urllib.request.Request(
+            url, data=body,
+            headers={"Content-Type": "application/x-ndjson"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            if not 200 <= resp.status < 300:
+                raise RuntimeError(f"bulk POST {resp.status}")
+            payload = resp.read()
+        try:
+            if _json.loads(payload).get("errors"):
+                raise RuntimeError(f"bulk response reported errors: {payload[:500]!r}")
+        except ValueError:
+            pass  # non-JSON body (test doubles, proxies): transport OK is enough
+
+    return send
+
+
 def dedup_epochs(
     bulk_write: Callable[[DataFrame, int], None], marker_dir: str
 ) -> Callable[[DataFrame, int], None]:

@@ -100,6 +100,74 @@ def test_bulk_writer_delivers_all_rows(spark, tmp_path):
     assert all(r["v"] == r["id"] * 2 for r in got)
 
 
+def test_http_bulk_sender_posts_ndjson_and_retries(tmp_path):
+    """The stdlib /_bulk transport: chunks arrive as one NDJSON body with
+    a trailing newline at {endpoint}/_bulk, a 5xx raises (so
+    send_with_backoff retries and succeeds on recovery), and an
+    "errors": true bulk response raises too."""
+    import http.server
+    import json
+    import threading
+
+    from flink_clickstream_processor_msk_spark.streaming.sinks import (
+        BulkFlushPolicy,
+        http_bulk_sender,
+        send_with_backoff,
+    )
+
+    bodies: list[bytes] = []
+    fail_next: list[str] = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            if fail_next:
+                mode = fail_next.pop(0)
+                if mode == "500":
+                    self.send_response(500)
+                    self.end_headers()
+                    return
+                if mode == "errors":
+                    payload = json.dumps({"errors": True, "items": []}).encode()
+                    self.send_response(200)
+                    self.end_headers()
+                    self.wfile.write(payload)
+                    return
+            bodies.append(body)
+            assert self.path == "/_bulk"
+            assert self.headers["Content-Type"] == "application/x-ndjson"
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(json.dumps({"errors": False, "items": []}).encode())
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        send = http_bulk_sender(f"http://127.0.0.1:{srv.server_port}")
+        chunk = ['{"index":{"_index":"t"}}\n{"a":1}', '{"index":{"_index":"t"}}\n{"a":2}']
+        send(chunk)
+        assert bodies == [("\n".join(chunk) + "\n").encode()]
+
+        # transient 500 -> backoff retry succeeds
+        fail_next.append("500")
+        send_with_backoff(
+            send, chunk, BulkFlushPolicy(backoff_base_s=0.01), sleep=lambda s: None
+        )
+        assert len(bodies) == 2
+
+        # a 200 whose bulk response reports item errors still raises
+        fail_next.append("errors")
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="errors"):
+            send(chunk)
+    finally:
+        srv.shutdown()
+
+
 def test_bulk_writer_es_framing_is_valid_bulk_body(spark, tmp_path):
     """With es_index set, every delivered document is the /_bulk line
     PAIR: an action line ({"index":{"_index","_type"[,"_id"]}}) followed

@@ -610,6 +610,92 @@ def test_es_bulk_sink_wiring_end_to_end(spark, tmp_path_factory):
     assert len(got) > 0
 
 
+def test_elasticsearch_sinks_wire_all_three_reference_indexes(
+    spark, tmp_path_factory
+):
+    """job.elasticsearch_sinks (E1-E3, CP:265-267): with an endpoint
+    configured, all three streams start /_bulk sinks to their reference
+    index names, each record framed as an action/source pair with the
+    deterministic _id; without an endpoint, no ES queries start."""
+    import json as _json
+
+    from flink_clickstream_processor_msk_spark.config import AppConfig
+    from flink_clickstream_processor_msk_spark.streaming.job import (
+        ES_INDEXES,
+        elasticsearch_sinks,
+    )
+
+    base = tmp_path_factory.mktemp("es-job")
+    src = str(base / "src")
+    cols = [f.name for f in CLICK_EVENT.fields]
+    make_clickevents(spark, EVENTS).select(*cols).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    # send runs in executor worker processes — deliver through the
+    # filesystem (one dir per index), as the other bulk-sink tests do
+    import os
+
+    out_root = str(base / "delivered")
+
+    def send_factory(index):
+        out_dir = os.path.join(out_root, index)
+        os.makedirs(out_dir, exist_ok=True)
+
+        def send(chunk, _out=out_dir):
+            import os as _os
+            import uuid as _uuid
+
+            with open(
+                _os.path.join(_out, f"{_uuid.uuid4().hex}.ndjson"), "w"
+            ) as f:
+                f.write("\x00".join(chunk))  # \0-separate chunk entries
+
+        return send
+
+    config = AppConfig(
+        {
+            "CheckpointDir": str(base / "ckpt"),
+            "ElasticsearchEndpoint": "http://example.invalid:9200",
+        }
+    )
+    stream = stream_clickevents(spark, src, watermark="0 seconds")
+    queries = elasticsearch_sinks(build_streams(stream), config, send_factory)
+    assert len(queries) == 3
+    for q in queries:
+        q.processAllAvailable()
+        q.stop()
+
+    def read_docs(index):
+        docs = []
+        d = os.path.join(out_root, index)
+        for name in os.listdir(d):
+            with open(os.path.join(d, name)) as f:
+                docs += [x for x in f.read().split("\x00") if x]
+        return docs
+
+    assert set(os.listdir(out_root)) == {ix for ix, _ in ES_INDEXES.values()}
+    for stream_name, (index, id_cols) in ES_INDEXES.items():
+        docs = read_docs(index)
+        assert docs, index  # every stream produced records
+        for doc in docs:
+            action_s, source_s = doc.split("\n")
+            action, source = _json.loads(action_s), _json.loads(source_s)
+            assert action["index"]["_index"] == index
+            want_id = ":".join(str(source[c]) for c in id_cols)
+            assert action["index"]["_id"] == want_id
+
+    # no endpoint -> no ES sinks
+    assert (
+        elasticsearch_sinks(
+            build_streams(stream_clickevents(spark, src)),
+            AppConfig({"CheckpointDir": str(base / "ckpt2")}),
+            send_factory,
+        )
+        == []
+    )
+
+
 def test_batch_metrics_listener_records_progress(spark, tmp_path_factory):
     """Observability parity (the reference's KDA jobs get CloudWatch
     metrics for free): the listener captures per-batch input rows and the
