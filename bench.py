@@ -4,10 +4,18 @@ Runs every headline query from __spark_entry__.queries() at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS], timing full materialization (noop sink: executes
 the whole plan, writes nothing, so sink I/O doesn't pollute operator
-timings). Prints:
+timings). The LAST stdout line is the compact driver contract:
 
     {"metric": "total_query_seconds", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <dir>}
+     "n_queries": K, "sf": <dir>}
+
+The driver keeps only a ~2000-byte stdout TAIL and json-parses the last
+line, so that line must stay small INDEPENDENT of query count (r5 and r9
+both recorded `parsed: null` when a per-query dict grew past the tail).
+Per-query timings go to their own earlier stdout line and to
+BENCH_SPREAD.json; nothing per-query may ride on the contract line.
+`build_contract_line` is the single source of that line, unit-tested in
+tests/test_bench_contract.py against a simulated 2000-byte truncation.
 """
 
 from __future__ import annotations
@@ -18,6 +26,34 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Hard ceiling on the contract line: the driver's stdout-tail capture is
+# 2000 bytes; 500 leaves room for other tail content while being far above
+# the ~120 bytes the fixed-field line actually needs.
+CONTRACT_LINE_MAX_BYTES = 500
+
+
+def build_contract_line(total: float, n_queries: int, sf_dir: str) -> str:
+    """The LAST stdout line, and nothing else, is parsed by the driver.
+
+    Fixed fields only — no per-query payload — so the serialized size is
+    O(1) in query count (r9's parsed:null was the 71-entry timings dict
+    pushing the line head past the driver's 2000-byte tail capture).
+    """
+    line = json.dumps(
+        {
+            "metric": "total_query_seconds",
+            "value": total,
+            "unit": "sec",
+            "n_queries": n_queries,
+            "sf": sf_dir,
+        }
+    )
+    if len(line.encode("utf-8")) > CONTRACT_LINE_MAX_BYTES:
+        raise ValueError(
+            f"contract line {len(line)}B exceeds {CONTRACT_LINE_MAX_BYTES}B"
+        )
+    return line
 
 
 def main() -> None:
@@ -108,12 +144,12 @@ def main() -> None:
         }
 
     total = round(sum(timings.values()), 3)
-    # The driver keeps only the TAIL of stdout and parses the last JSON
-    # line. Round 5 lesson (VERDICT r5 #1): embedding the 52-query
-    # min/med/max spread dict in that line outgrew the tail capture and
-    # the round recorded `parsed: null`. So: the spread goes to its own
-    # file (and an earlier stdout line for humans), and the LAST line is
-    # the compact contract object the driver parsed fine in r4.
+    # The driver keeps only the ~2000-byte TAIL of stdout and parses the
+    # last JSON line. Round 5 lesson (spread dict) AND round 9 lesson
+    # (timings dict at 71 queries): ANY per-query payload on that line
+    # eventually outgrows the tail and the round records `parsed: null`.
+    # So per-query data lives in BENCH_SPREAD.json + its own earlier
+    # stdout lines, and the LAST line carries fixed fields only.
     try:
         with open(
             os.path.join(
@@ -128,17 +164,8 @@ def main() -> None:
         # destroy it (that would be worse than r5's parsed:null)
         print(f"BENCH_SPREAD.json not written: {exc}", file=sys.stderr)
     print(json.dumps({"spread": spread}))
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir,
-            }
-        )
-    )
+    print(json.dumps({"queries": timings, "sf": sf_dir}))
+    print(build_contract_line(total, len(timings), sf_dir))
     spark.stop()
 
 
