@@ -194,6 +194,19 @@ def _e2(gap: str, window: str):
     return run
 
 
+def _e3(gap: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        sessions = drop_internal(
+            buy_sessions(sessionize(_clickevents(spark, sf_dir), gap=gap))
+        )
+        return es_bulk_records(
+            sessions, "user_session_details",
+            id_cols=["userId", "windowBeginTime"],
+        )
+
+    return run
+
+
 def _pq_kmeans_index(spark: SparkSession, sf_dir: str):
     """Session-cached Lloyd's-refined PQ index (2 per-subspace iterations
     — fixed count, unrolled into the DuckDB oracle like the IVF twin)."""
@@ -755,13 +768,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_department_counts_1s": _q3(_GAP_1S, _WIN_10S),
         # round-robin JSON encoding covered by k2; payload by q1_buy_sessions
         "k3_buy_sessions_kafka_records": _k3(_GAP_30M),
-        # E1/E2 /_bulk NDJSON line pairs (CP:265-266): source JSON spanned
-        # in-window by k1/k2's value encodings; e1 adds the deterministic
-        # _id the idempotent-delivery pairing uses, e2 the reference's
-        # auto-id action line. e3 (user_session_details) framing+payload
-        # fully spanned by e1/e2 + k3 — library path only.
+        # E1/E2/E3 /_bulk NDJSON line pairs (CP:265-267): source JSON
+        # spanned in-window by k1/k2/k3's value encodings; e1 adds the
+        # deterministic _id the idempotent-delivery pairing uses, e2 the
+        # reference's auto-id action line, e3 the third wired index
+        # (user_session_details, buy-sessions stream, job.ES_INDEXES)
+        # with its (userId, windowBeginTime) _id.
         "e1_departments_es_bulk": _e1(_GAP_30M, _WIN_6H),
         "e2_session_stats_es_bulk": _e2(_GAP_30M, _WIN_6H),
+        "e3_buy_sessions_es_bulk": _e3(_GAP_30M),
     }
 
 
@@ -793,6 +808,7 @@ def oracle_sql() -> dict[str, str]:
         "e2_session_stats_es_bulk": oracles.e2_session_stats_es_bulk(
             _GAP_30M_MS, _WIN_6H_MS
         ),
+        "e3_buy_sessions_es_bulk": oracles.e3_buy_sessions_es_bulk(_GAP_30M_MS),
         "tpch_q1_pricing_summary": oracles_beyond.pricing_summary(),
         "tpch_q1_rollup": oracles_beyond.pricing_rollup(),
         "tpch_q1_cube": oracles_beyond.pricing_cube(),

@@ -244,6 +244,35 @@ FROM base
 """
 
 
+def e3_buy_sessions_es_bulk(gap_ms: int) -> str:
+    """SQL twin of es_bulk_records(buy_sessions(...),
+    "user_session_details", id_cols=[userId, windowBeginTime]) — E3's
+    exact /_bulk NDJSON line pair (CP:267), the third ES index wired in
+    job.ES_INDEXES. The source JSON is k3's already-pinned frame
+    (UserIdSessionEvent fields, deptList as an array); the action line
+    carries the deterministic (userId, windowBeginTime) _id the
+    idempotent-delivery pairing prescribes."""
+    return f"""
+WITH {CLICKEVENTS_CTE.strip()},
+{sessions_cte(gap_ms).strip()}
+SELECT
+  to_json(struct_pack(index := struct_pack(
+    "_index" := 'user_session_details',
+    "_type" := 'user_session_details',
+    "_id" := CAST(userId AS VARCHAR) || ':' || CAST(windowBeginTime AS VARCHAR)
+  ))) AS action,
+  to_json(struct_pack(
+    userId := userId,
+    eventCount := eventCount,
+    orderCheckoutEventCount := orderCheckoutEventCount,
+    deptList := deptList,
+    eventKey := eventKey,
+    windowBeginTime := windowBeginTime,
+    windowEndTime := windowEndTime)) AS source
+FROM sessions WHERE orderCheckoutEventCount != 0
+"""
+
+
 def k3_buy_sessions_kafka_records(gap_ms: int) -> str:
     """SQL twin of kafka_records(buy_sessions(...)) — K3, round-robin
     (CP:243-251). deptList stays an ARRAY here: the JSON value embeds it as
