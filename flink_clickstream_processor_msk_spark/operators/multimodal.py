@@ -8,12 +8,15 @@ sizing is the only knob that matters: payloads are large, so operators here
 should run after ``repartition`` sized to keep a batch's payload bytes in
 executor memory.
 
-The container has no image/audio codecs, so the *decode* step is stubbed:
-:func:`decode_image` raises ``NotImplementedError`` unless a real decoder
-(PIL) is importable, and :func:`fake_decode_meta` provides a deterministic
-stand-in so the full pipeline (schema → batches → features → ANN) is
-testable end-to-end. The Spark-side plumbing — schemas, batch shapes, UDF
-signatures — is real and tested.
+The container ships no image libraries, but PPM (P6) and uncompressed
+24-bit BMP are stdlib-decodable (:mod:`operators.imagecodec`), so
+:func:`decode_image` / :func:`resize_image` have a REAL executable branch
+pinned against fixture bytes with known pixel values; other formats go
+through the injection seam (``decoder=`` callable, defaulting to PIL when
+importable, ``NotImplementedError`` at execution otherwise).
+:func:`fake_decode_meta` / :func:`fake_resize` remain the deterministic
+stand-ins for arbitrary (non-image) payload bytes so the full pipeline
+(schema → batches → features → ANN) stays testable on the documents table.
 """
 
 from __future__ import annotations
@@ -26,6 +29,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from . import imagecodec
 
 #: metadata struct carried alongside every payload
 MEDIA_META = T.StructType(
@@ -133,31 +138,58 @@ def fake_decode_meta(media: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(media: DataFrame) -> DataFrame:
-    """Real image decode — requires an image codec, which this environment
-    does not ship. Raises unless PIL is importable; see fake_decode_meta
-    for the deterministic test stand-in."""
+def default_decode(payload: bytes) -> tuple[str, int, int, bytes]:
+    """The built-in decoder seam value: stdlib PPM/BMP first (always
+    available — :mod:`operators.imagecodec`), PIL for anything else when
+    importable, otherwise NotImplementedError naming both escape hatches.
+    Returns ``(format, width, height, top-down RGB bytes)``."""
+    raw = bytes(payload)
+    if imagecodec.sniff(raw) is not None:
+        return imagecodec.decode(raw)
     try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "image decoding requires PIL/pillow, not available in this "
-            "environment; use fake_decode_meta for pipeline testing"
-        ) from exc
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
-        import io
-
         import PIL.Image as Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            f"payload (magic {raw[:2]!r}) is not one of the stdlib-decodable "
+            f"formats {imagecodec.STDLIB_FORMATS} and PIL/pillow is not "
+            "available in this environment; inject decoder= for other codecs"
+        ) from exc
+    import io  # pragma: no cover - environment-dependent
 
+    img = Image.open(io.BytesIO(raw))  # pragma: no cover
+    rgb = img.convert("RGB")  # pragma: no cover
+    return (  # pragma: no cover
+        (img.format or "unknown").lower(), rgb.width, rgb.height, rgb.tobytes()
+    )
+
+
+def decode_image(media: DataFrame, decoder=None) -> DataFrame:
+    """REAL image decode (not the fake_decode_meta stand-in): every payload
+    is decoded to top-down RGB bytes plus its true dimensions. PPM (P6) and
+    uncompressed 24-bit BMP decode with zero dependencies
+    (operators/imagecodec.py); other formats go through ``decoder`` —
+    ``bytes -> (format, width, height, rgb)`` — which defaults to
+    :func:`default_decode` (stdlib formats, then PIL when importable,
+    else NotImplementedError at execution).
+
+    Scale shape: zero-shuffle Arrow-batched map; payload bytes reach the
+    numpy kernels once per batch and never leave the executor."""
+    decoder = decoder or default_decode
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sizes = pdf["payload"].map(lambda b: Image.open(io.BytesIO(b)).size)
+            decoded = pdf["payload"].map(decoder)
             out = pdf[["doc_id"]].copy()
-            out["width"] = sizes.map(lambda s: s[0])
-            out["height"] = sizes.map(lambda s: s[1])
+            out["format"] = decoded.map(lambda d: d[0])
+            out["width"] = decoded.map(lambda d: d[1])
+            out["height"] = decoded.map(lambda d: d[2])
+            out["rgb"] = decoded.map(lambda d: d[3])
             yield out
 
-    return media.mapInPandas(decode, schema="doc_id long, width int, height int")
+    return media.mapInPandas(
+        decode,
+        schema="doc_id long, format string, width int, height int, rgb binary",
+    )
 
 
 def fake_resize(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
@@ -195,33 +227,36 @@ def fake_resize(media: DataFrame, width: int = 32, height: int = 32) -> DataFram
     return media.mapInPandas(resize, schema=MEDIA_SCHEMA)
 
 
-def resize_image(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
-    """Real image resize — PIL-gated exactly like :func:`decode_image`;
-    use :func:`fake_resize` for pipeline testing in codec-less
-    environments."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "image resizing requires PIL/pillow, not available in this "
-            "environment; use fake_resize for pipeline testing"
-        ) from exc
+def resize_image(
+    media: DataFrame, width: int = 32, height: int = 32, decoder=None
+) -> DataFrame:
+    """REAL image resize: decode (same seam as :func:`decode_image`) →
+    nearest-neighbor resample (numpy, operators/imagecodec.py) → re-encode
+    in the SAME container format for stdlib formats (PPM→PPM, BMP→BMP; a
+    PIL-decoded format re-encodes via PIL — capture .format BEFORE
+    resizing, PIL's resize() derivative has format None, ADVICE r7).
+    Keeps the (doc_id, payload, meta) shape so it composes with every
+    other media operator; :func:`fake_resize` remains the codec-free
+    deterministic stand-in for arbitrary payload bytes."""
+    decoder = decoder or default_decode
 
-    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
-        import io
+    def go(b: bytes) -> bytes:
+        raw = bytes(b)
+        fmt, w, h, rgb = decoder(raw)
+        resized = imagecodec.resize_nearest(w, h, rgb, width, height)
+        if fmt in imagecodec.STDLIB_FORMATS:
+            return imagecodec.encode(fmt, width, height, resized)
+        import io  # pragma: no cover - PIL-only leg
 
-        import PIL.Image as Image
+        import PIL.Image as Image  # pragma: no cover
 
+        img = Image.frombytes("RGB", (width, height), resized)  # pragma: no cover
+        buf = io.BytesIO()  # pragma: no cover
+        img.save(buf, format=fmt.upper())  # pragma: no cover
+        return buf.getvalue()  # pragma: no cover
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            def go(b: bytes) -> bytes:
-                src = Image.open(io.BytesIO(bytes(b)))
-                # capture BEFORE resize: PIL's resize() returns a derived
-                # image whose .format is always None (ADVICE r7)
-                fmt = src.format or "PNG"
-                buf = io.BytesIO()
-                src.resize((width, height)).save(buf, format=fmt)
-                return buf.getvalue()
-
             out = pdf.copy()
             out["payload"] = out["payload"].map(go)
             out["meta"] = out["meta"].map(

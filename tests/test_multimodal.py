@@ -51,15 +51,61 @@ def test_fake_decode_fills_dimensions(media):
         assert 1 <= r["height"] <= 1080
 
 
-def test_decode_image_is_gated(media):
+def test_default_decode_gates_non_stdlib_formats_on_pil():
     try:
         import PIL  # noqa: F401
 
-        pytest.skip("PIL present; stub path not reachable")
+        pytest.skip("PIL present; gated path not reachable")
     except ImportError:
         pass
+    # not PPM/BMP and no PIL -> NotImplementedError naming the seam
     with pytest.raises(NotImplementedError, match="PIL"):
-        multimodal.decode_image(media)
+        multimodal.default_decode(b"\x89PNG\r\n\x1a\nrest-of-a-png")
+
+
+# --- real decode path: stdlib PPM/BMP fixtures with known pixel values ---
+
+# 2x2 image: red, green / blue, white (top-down RGB)
+RGB_2X2 = bytes(
+    [255, 0, 0, 0, 255, 0,
+     0, 0, 255, 255, 255, 255]
+)
+
+
+@pytest.fixture(scope="module")
+def image_media(spark):
+    from flink_clickstream_processor_msk_spark.operators import imagecodec
+
+    rows = [
+        (10, imagecodec.encode_ppm(2, 2, RGB_2X2), ("image", "ppm")),
+        (11, imagecodec.encode_bmp(2, 2, RGB_2X2), ("image", "bmp")),
+    ]
+    return spark.createDataFrame(
+        [
+            (doc_id, payload,
+             (mt, fmt, None, None, None, None))
+            for doc_id, payload, (mt, fmt) in rows
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+
+
+def test_decode_image_real_stdlib_branch(image_media):
+    rows = {r["doc_id"]: r for r in multimodal.decode_image(image_media).collect()}
+    assert rows[10]["format"] == "ppm"
+    assert rows[11]["format"] == "bmp"
+    for r in rows.values():
+        assert (r["width"], r["height"]) == (2, 2)
+        assert bytes(r["rgb"]) == RGB_2X2  # exact known pixels, both formats
+
+
+def test_decode_image_decoder_injection_seam(image_media):
+    def fake(payload):
+        return ("injected", 1, 1, b"\x01\x02\x03")
+
+    rows = multimodal.decode_image(image_media, decoder=fake).collect()
+    assert all(r["format"] == "injected" for r in rows)
+    assert all(bytes(r["rgb"]) == b"\x01\x02\x03" for r in rows)
 
 
 def test_fake_resize_constant_size_and_composes(media):
@@ -90,15 +136,46 @@ def test_fake_resize_constant_size_and_composes(media):
     }
 
 
-def test_resize_image_is_gated(media):
+def test_resize_image_real_stdlib_branch(image_media):
+    """2x2 -> 4x4 nearest-neighbor = each source pixel replicated into a
+    2x2 block, re-encoded in the SAME container format, meta stamped."""
+    from flink_clickstream_processor_msk_spark.operators import imagecodec
+
+    out = multimodal.resize_image(image_media, width=4, height=4)
+    assert [f.name for f in out.schema.fields] == ["doc_id", "payload", "meta"]
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # format preserved per payload
+    assert imagecodec.sniff(bytes(rows[10]["payload"])) == "ppm"
+    assert imagecodec.sniff(bytes(rows[11]["payload"])) == "bmp"
+
+    def px(rgb, w, x, y):
+        i = (y * w + x) * 3
+        return tuple(rgb[i : i + 3])
+
+    expect = {
+        (0, 0): (255, 0, 0), (1, 0): (255, 0, 0),
+        (2, 0): (0, 255, 0), (3, 0): (0, 255, 0),
+        (0, 2): (0, 0, 255), (3, 3): (255, 255, 255),
+    }
+    for r in rows.values():
+        assert (r["meta"]["width"], r["meta"]["height"]) == (4, 4)
+        fmt, w, h, rgb = imagecodec.decode(bytes(r["payload"]))
+        assert (w, h) == (4, 4)
+        for (x, y), want in expect.items():
+            assert px(rgb, 4, x, y) == want, (fmt, x, y)
+
+
+def test_resize_image_rejects_non_image_payloads_at_execution(media):
+    """The raw-text media fixture is not decodable: the error surfaces at
+    execution (inside the Arrow batch), naming the injection seam."""
     try:
         import PIL  # noqa: F401
 
-        pytest.skip("PIL present; stub path not reachable")
+        pytest.skip("PIL present; gated path not reachable")
     except ImportError:
         pass
-    with pytest.raises(NotImplementedError, match="PIL"):
-        multimodal.resize_image(media)
+    with pytest.raises(Exception, match="PIL|NotImplementedError"):
+        multimodal.resize_image(media).collect()
 
 
 def test_frame_sample_shapes(media):
