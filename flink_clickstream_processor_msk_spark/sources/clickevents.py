@@ -16,6 +16,8 @@ pruning still reach the parquet scan underneath.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -119,6 +121,91 @@ def stream_clickevents(
     return with_event_time(reader.load(path), watermark=watermark)
 
 
+class UnknownSchemaVersion(LookupError):
+    """A schema-version id the registry does not know (or a resolver that
+    returned nothing for it). Deliberately loud: decoding MSK bytes
+    against a guessed schema would desync silently mid-record."""
+
+
+def cached_schema_resolver(resolver, max_entries: int = 128,
+                           cache_unknown: bool = True):
+    """Bounded memo around a ``schema_resolver(version_id) -> avsc_json``
+    network client — the engine-side half of the reference's Glue
+    Schema Registry lookup (CP:108-111, where
+    ``GlueSchemaRegistryAvroDeserializationSchema`` resolves and caches
+    schema versions client-side; the AWS SerDe does the same with its
+    own LRU). Wrap the deployment's GetSchemaVersion client ONCE and
+    pass the wrapper everywhere a resolver is accepted.
+
+    Semantics:
+
+    - **Hit path**: version-id → schema text, LRU-bounded at
+      ``max_entries`` (version ids are UUIDs; normalize via ``str``,
+      case-insensitive). Repeat lookups never touch the network.
+    - **Unknown ids** (resolver raises ``LookupError``/``KeyError`` or
+      returns ``None``) raise :class:`UnknownSchemaVersion`. With
+      ``cache_unknown=True`` (default) the refusal is memoized too, in
+      its own ``max_entries``-bounded LRU: a poison-pill version id in a
+      replayed topic would otherwise hammer the registry once per
+      micro-batch retry. Schema registries are append-only, so a
+      negative can only go stale through LATE registration — a
+      deployment expecting that passes ``cache_unknown=False`` to
+      re-consult the registry on every miss.
+    - **Malformed results** (text that is not a JSON document) raise
+      ``ValueError`` and are NOT cached either way: a transiently
+      truncated response should not poison the id.
+    """
+    from collections import OrderedDict
+
+    known: OrderedDict[str, str] = OrderedDict()
+    unknown: OrderedDict[str, str] = OrderedDict()
+
+    def _key(version_id) -> str:
+        return str(version_id).lower()
+
+    def resolve(version_id) -> str:
+        k = _key(version_id)
+        if k in known:
+            known.move_to_end(k)
+            return known[k]
+        if k in unknown:
+            unknown.move_to_end(k)
+            raise UnknownSchemaVersion(unknown[k])
+        try:
+            text = resolver(version_id)
+        except LookupError as exc:
+            msg = (
+                f"schema version {version_id} unknown to the registry: {exc}"
+            )
+            if cache_unknown:
+                unknown[k] = msg
+                while len(unknown) > max_entries:
+                    unknown.popitem(last=False)
+            raise UnknownSchemaVersion(msg) from exc
+        if text is None:
+            msg = f"schema version {version_id}: resolver returned None"
+            if cache_unknown:
+                unknown[k] = msg
+                while len(unknown) > max_entries:
+                    unknown.popitem(last=False)
+            raise UnknownSchemaVersion(msg)
+        try:
+            json.loads(text)
+        except (TypeError, ValueError) as exc:
+            raise ValueError(
+                f"schema version {version_id}: resolver returned a "
+                f"non-JSON document ({exc}); not cached"
+            ) from exc
+        known[k] = text
+        while len(known) > max_entries:
+            known.popitem(last=False)
+        return text
+
+    resolve.cache_info = lambda: {"known": len(known), "unknown": len(unknown)}
+    resolve._is_cached_resolver = True
+    return resolve
+
+
 def kafka_clickevents(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -150,7 +237,10 @@ def kafka_clickevents(
     over the Glue GetSchemaVersion API, or a dict for tests) together
     with ``schema_version_id`` and the reader schema is resolved through
     it instead of the literal avsc — the resolved text must parse to the
-    ClickEvent contract, which from_avro enforces structurally. Without
+    ClickEvent contract, which from_avro enforces structurally. Wrap the
+    network client in :func:`cached_schema_resolver` ONCE per process so
+    repeated reader construction (and unknown-id retries) hit its
+    bounded memo instead of the registry (CP:108-111 parity). Without
     a resolver the literal avsc decode is equivalent (micro-batch
     readers pin one schema version per run either way, unlike the
     reference's per-record SpecificRecord path).

@@ -358,6 +358,118 @@ def test_schema_resolver_seam(spark):
     assert seen == [SCHEMA_VERSION_ID]
 
 
+def test_cached_schema_resolver_hit_path_and_lru_bound():
+    """The CP:108-111 client-side cache: repeat lookups never re-consult
+    the registry client; the memo is LRU-bounded."""
+    from flink_clickstream_processor_msk_spark.sources.clickevents import (
+        cached_schema_resolver,
+    )
+
+    calls: list = []
+
+    def client(vid):
+        calls.append(vid)
+        return '{"type": "record"}'
+
+    resolve = cached_schema_resolver(client, max_entries=2)
+    assert resolve("id-a") == '{"type": "record"}'
+    assert resolve("id-a") == '{"type": "record"}'  # cached
+    assert resolve("ID-A") == '{"type": "record"}'  # case-normalized hit
+    assert calls == ["id-a"]
+    resolve("id-b")
+    resolve("id-c")  # evicts id-a (bound 2)
+    resolve("id-a")
+    assert calls == ["id-a", "id-b", "id-c", "id-a"]
+    assert resolve.cache_info()["known"] == 2
+
+
+def test_cached_schema_resolver_unknown_id_refusal_is_memoized():
+    """Unknown-id policy: loud UnknownSchemaVersion, and (by default) the
+    refusal is memoized so a poison-pill id doesn't hammer the registry
+    once per micro-batch retry; cache_unknown=False re-consults."""
+    from flink_clickstream_processor_msk_spark.sources.clickevents import (
+        UnknownSchemaVersion,
+        cached_schema_resolver,
+    )
+
+    calls: list = []
+
+    def client(vid):
+        calls.append(vid)
+        if str(vid).startswith("missing"):
+            raise KeyError(vid)
+        return None  # the other unknown shape: no result
+
+    resolve = cached_schema_resolver(client)
+    for _ in range(3):
+        with pytest.raises(UnknownSchemaVersion, match="missing-1"):
+            resolve("missing-1")
+    with pytest.raises(UnknownSchemaVersion, match="returned None"):
+        resolve("empty-1")
+    with pytest.raises(UnknownSchemaVersion):
+        resolve("empty-1")
+    assert calls == ["missing-1", "empty-1"]  # one registry call each
+    assert resolve.cache_info()["unknown"] == 2
+
+    fresh_each_time = cached_schema_resolver(client, cache_unknown=False)
+    calls.clear()
+    for _ in range(2):
+        with pytest.raises(UnknownSchemaVersion):
+            fresh_each_time("missing-2")
+    assert calls == ["missing-2", "missing-2"]  # late registration allowed
+
+
+def test_cached_schema_resolver_malformed_not_cached():
+    """A non-JSON response raises ValueError and is cached in NEITHER
+    direction: a transiently truncated registry response must not poison
+    the version id."""
+    from flink_clickstream_processor_msk_spark.sources.clickevents import (
+        cached_schema_resolver,
+    )
+
+    responses = iter(["{not json", '{"type": "record"}'])
+    calls: list = []
+
+    def flaky(vid):
+        calls.append(vid)
+        return next(responses)
+
+    resolve = cached_schema_resolver(flaky)
+    with pytest.raises(ValueError, match="non-JSON"):
+        resolve("id-x")
+    assert resolve("id-x") == '{"type": "record"}'  # retried, now cached
+    assert resolve("id-x") == '{"type": "record"}'
+    assert calls == ["id-x", "id-x"]
+
+
+def test_cached_resolver_composes_with_kafka_clickevents(spark):
+    """kafka_clickevents accepts the wrapped resolver unchanged: the
+    cached client is consulted before any Kafka connectivity (the
+    UnknownSchemaVersion surfaces, not the missing kafka-source error),
+    exactly once across repeated reader constructions."""
+    from flink_clickstream_processor_msk_spark.sources.clickevents import (
+        UnknownSchemaVersion,
+        cached_schema_resolver,
+        kafka_clickevents,
+    )
+
+    calls: list = []
+
+    def client(vid):
+        calls.append(vid)
+        raise KeyError(vid)
+
+    resolve = cached_schema_resolver(client)
+    for _ in range(2):
+        with pytest.raises(UnknownSchemaVersion):
+            kafka_clickevents(
+                spark, "broker:9092",
+                schema_version_id=SCHEMA_VERSION_ID,
+                schema_resolver=resolve,
+            )
+    assert calls == [SCHEMA_VERSION_ID]
+
+
 def test_kafka_client_options_prefixing():
     """Consumer-config passthrough (the reference's kafkaConfig
     properties): plain Kafka property names gain the kafka. prefix,
