@@ -291,10 +291,13 @@ def index_ingest_sink(
       ``ood_retrain_fraction`` (default
       ``similarity.PQ_OOD_RETRAIN_FRACTION``, the measured ~10%
       threshold) the hook fires ONCE — it should re-save the index with
-      re-seeded codebooks (``pq_codebooks(representative=True)``, the
-      re-seed the measurement shows recovers what re-running Lloyd
-      cannot) — then monitoring restarts against the re-trained
-      reference. Indexes saved before the ood_ref sidecar existed keep
+      re-seeded AND re-refined codebooks
+      (``pq_refine_codebooks(corpus, codebooks=pq_codebooks(corpus,
+      representative=True))``: the re-seed recovers what re-running
+      Lloyd from stale seeds cannot, but the round-10 bench measured
+      that the re-seed WITHOUT the Lloyd pass reads below the stale
+      twin — both halves are required) — then monitoring restarts
+      against the re-trained reference. Indexes saved before the ood_ref sidecar existed keep
       monitoring off rather than inventing a threshold.
     """
     from flink_clickstream_processor_msk_spark.operators import similarity
