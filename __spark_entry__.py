@@ -603,7 +603,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # generation must be exact to hash-match the SQL oracle (library
         # callers get the production skew cap by default)
         "dedup_exact": _on_table("documents", dedup.exact_duplicates),
-        "dedup_minhash_jaccard": _minhash_pairs,
+        # LM quality score (round 10): the CCNet/Gopher perplexity-proxy
+        # filter — Laplace bigram LM over the corpus, order-free
+        # fixed-point probability sums. In-window slot freed by rotating
+        # dedup_minhash_jaccard to the tail (its pairs CTE is composed
+        # verbatim inside the in-window dedup_graph_stats /
+        # family_safe_split / clean_corpus oracles — the spanning rule)
+        "lm_bigram_score": _on_table("documents", text.lm_bigram_score),
         "dedup_ngram_jaccard": _on_table(
             "documents",
             lambda df: dedup.ngram_jaccard_near_duplicates(df, max_bucket_size=None),
@@ -752,6 +758,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window by remove_dup_spans (same CTEs composed verbatim in
         # its oracle); rotated out in r9; driver-green through r8
         "dup_span_stats": _on_table("documents", dedup.dup_span_stats),
+        # the exact near-dup pairs table: its pairs CTE is composed
+        # verbatim inside the in-window dedup_graph_stats /
+        # family_safe_split / clean_corpus oracles; rotated out in r10
+        # (displaced by lm_bigram_score); driver-green through r9
+        "dedup_minhash_jaccard": _minhash_pairs,
         # round-9 IVF drift monitor over the same cached index: its
         # assignment term is spanned in-window by sim_ann_ivfpq_topk
         # (identical routing CTE) and its count/share machinery by
@@ -839,6 +850,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_documents": oracles_beyond.profile_documents(),
         "decontaminate": oracles_beyond.decontaminate(),
         "tfidf_top_terms": oracles_beyond.tfidf_top_terms(),
+        "lm_bigram_score": oracles_beyond.lm_bigram_score(),
         "length_percentiles": oracles_beyond.length_percentiles(),
         "dup_span_stats": oracles_beyond.dup_span_stats(),
         "remove_dup_spans": oracles_beyond.remove_dup_spans(),

@@ -559,6 +559,105 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     ).filter(F.col("term_rank") <= k)
 
 
+#: fixed-point scale for LM probabilities: floor(p * SCALE) as BIGINT makes
+#: per-doc probability sums ORDER-FREE (the integer-cents rule — a raw
+#: double F.sum would be shuffle-order-dependent and break hash checks).
+#: p <= 1 so a term <= 1e9; even 1e6-bigram documents sum < 2^63.
+LM_PROB_SCALE = 1_000_000_000
+
+
+def doc_bigrams(documents: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) word-bigram occurrences: lowercased whitespace
+    tokens (the token_histogram/tfidf convention), pairs (w[i], w[i+1]);
+    documents with fewer than two tokens yield no rows (NULL text drops
+    via size(NULL) = -1). Native slice/arrays_zip/explode — no
+    interpreted per-element lambda (the repetition_stats Arrow rule is
+    about per-gram LAMBDA work; zip is structural)."""
+    return (
+        documents.select(
+            "doc_id", tokens(F.lower(F.col("text"))).alias("w")
+        )
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("w", 1, F.size("w") - 1),
+                    F.slice("w", 2, F.size("w") - 1),
+                )
+            ).alias("bg"),
+        )
+        .select(
+            "doc_id",
+            F.col("bg")["0"].alias("w1"),
+            F.col("bg")["1"].alias("w2"),
+        )
+    )
+
+
+def lm_bigram_score(
+    documents: DataFrame, lm_documents: DataFrame | None = None
+) -> DataFrame:
+    """Language-model quality score: per-document mean Laplace-smoothed
+    bigram probability under a word-bigram LM trained on
+    ``lm_documents`` (default: the corpus itself — corpus-fit scoring).
+    The CCNet/Gopher-style perplexity-proxy filter (Wenzek et al. 2020
+    "CCNet" §4.3; Rae et al. 2021 §A1.2): text that the reference LM
+    finds predictable scores high, junk/garbled/boilerplate-free-random
+    text scores low — rank or threshold on ``avg_prob`` to filter.
+
+    Determinism contract (the tfidf/no-transcendentals discipline):
+    p = (c2 + 1) / (c1 + V) is one correctly-rounded division of exact
+    integers; each p is floored into fixed-point
+    (``floor(p * LM_PROB_SCALE)`` — floor, not round: round-half ties
+    differ between engines) and summed as BIGINT (order-free);
+    ``avg_prob`` divides twice in a fixed order. No logs — a mean-prob
+    score ranks the same direction as mean-log-prob for filtering
+    purposes and stays bit-replayable cross-engine.
+
+    Scale shape: the exploded bigram table is materialized once (it
+    feeds c2, c1, V, and the scoring join — the tfidf multi-branch
+    rule); c2/c1 are map-side-combined groupBys; V rides as a one-row
+    broadcast cross join; the scoring join shuffles on (w1, w2) —
+    bounded by bigram-occurrence volume, the same class as tfidf's
+    token join. Training on a REFERENCE corpus and scoring a target is
+    the production shape: pass ``lm_documents``; unseen bigrams smooth
+    to 1/(c1+V) and unseen contexts to 1/V via the COALESCE(0)s."""
+    from pyspark.storagelevel import StorageLevel
+
+    own_lm = lm_documents is None
+    doc_bg = doc_bigrams(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    lm_bg = doc_bg if own_lm else doc_bigrams(lm_documents).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    c2 = lm_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = lm_bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # V: distinct tokens of the LM corpus (both bigram positions — the
+    # last token of a text appears only as w2)
+    vocab = (
+        lm_bg.select(F.col("w1").alias("t"))
+        .unionByName(lm_bg.select(F.col("w2").alias("t")))
+        .agg(F.count_distinct("t").alias("v"))
+    )
+    p = (F.coalesce(F.col("c2"), F.lit(0)) + 1) / (
+        F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")
+    )
+    scored = (
+        doc_bg.join(c2, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", F.floor(p * F.lit(LM_PROB_SCALE)).alias("q"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+        F.sum("q").alias("sum_prob_q9"),
+        (
+            (F.sum("q").cast("double") / F.count(F.lit(1)))
+            / F.lit(float(LM_PROB_SCALE))
+        ).alias("avg_prob"),
+    )
+
+
 def length_percentiles(
     documents: DataFrame, approx: bool = False, accuracy: int = 10_000
 ) -> DataFrame:

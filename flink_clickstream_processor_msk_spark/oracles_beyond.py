@@ -1029,6 +1029,50 @@ WHERE term_rank <= {k}
 """
 
 
+def lm_bigram_score(scale: int = 1_000_000_000) -> str:
+    """SQL twin of text.lm_bigram_score (self-trained corpus LM): Laplace
+    bigram probability p = (c2+1)/(c1+V) as one correctly-rounded integer
+    division, floored into fixed-point (floor, not round — round-half
+    ties differ between engines), summed as BIGINT (order-free — the
+    integer-cents rule), then the two final divisions in the same order
+    as the Spark side ((sum/n)/scale). No transcendentals (the tfidf
+    rule): mean-prob ranks like mean-log-prob for filtering."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS.format(x="lower(text)")} AS w FROM documents
+),
+big AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM (
+    SELECT doc_id, w, unnest(range(1, len(w))) AS i
+    FROM toks WHERE len(w) >= 2
+  )
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+v AS (
+  SELECT COUNT(DISTINCT t) AS v FROM (
+    SELECT w1 AS t FROM big UNION ALL SELECT w2 AS t FROM big
+  )
+),
+scored AS (
+  SELECT b.doc_id,
+    CAST(floor(
+      ((COALESCE(c2.c2, 0) + 1) / (COALESCE(c1.c1, 0) + v.v)) * {scale}
+    ) AS BIGINT) AS q
+  FROM big b
+  LEFT JOIN c2 USING (w1, w2)
+  LEFT JOIN c1 USING (w1)
+  CROSS JOIN v
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+  CAST(SUM(q) AS BIGINT) AS sum_prob_q9,
+  (CAST(SUM(q) AS DOUBLE) / COUNT(*)) / {float(scale)} AS avg_prob
+FROM scored GROUP BY doc_id
+"""
+
+
 def length_percentiles() -> str:
     """SQL twin of text.length_percentiles (percentile_disc semantics:
     element at rank ceil(p*n) of the (n_tokens, doc_id) sort)."""

@@ -1079,3 +1079,51 @@ def test_redact_pii_engine_parity_fuzz(spark):
         con.execute(oracles_beyond.redact_pii()).df(),
     )
     assert result["ok"], result
+
+
+def test_lm_bigram_score_hand_computed(spark):
+    """Laplace bigram LM on a corpus small enough to compute by hand:
+    c2(a,b)=3 c2(b,a)=1 c2(b,c)=1; c1(a)=3 c1(b)=2; V={a,b,c}=3.
+    p(a,b)=(3+1)/(3+3)=2/3, p(b,a)=p(b,c)=(1+1)/(2+3)=0.4."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in text.lm_bigram_score(docs).collect()}
+    q_ab = int((2 / 3) * text.LM_PROB_SCALE)  # floor(666666666.67)
+    q_ba = int(0.4 * text.LM_PROB_SCALE)
+    assert rows[1]["n_bigrams"] == 3
+    assert rows[1]["sum_prob_q9"] == 2 * q_ab + q_ba
+    assert abs(rows[1]["avg_prob"] - (2 * q_ab + q_ba) / 3 / 1e9) < 1e-12
+    assert rows[2]["n_bigrams"] == 2
+    assert rows[2]["sum_prob_q9"] == q_ab + q_ba
+
+
+def test_lm_bigram_score_edge_docs_drop(spark):
+    """<2 tokens (incl. empty/whitespace/NULL text) yield no row — no
+    bigram exists to score."""
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, ""), (3, "   "), (4, None), (5, "two tokens")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"] for r in text.lm_bigram_score(docs).collect()}
+    assert got == {5}
+
+
+def test_lm_bigram_score_external_lm_and_ranking(spark):
+    """The production shape: score a target corpus against a REFERENCE
+    LM. Text made of the reference's common bigrams outranks garbled
+    text whose bigrams the reference never saw (unseen smooths to
+    1/(c1+V) or 1/V — nonzero, so no row vanishes)."""
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(10)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, "the cat sat"), (101, "zq xv qqq zk")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["avg_prob"]
+        for r in text.lm_bigram_score(target, lm_documents=ref).collect()
+    }
+    assert rows[100] > rows[101] > 0.0
