@@ -376,6 +376,24 @@ def _saved_index(spark: SparkSession, sf_dir: str, kind: str, save, load):
     return hit[1]
 
 
+def _saved_lm(spark: SparkSession, sf_dir: str):
+    """Session-cached WRITTEN bigram LM (text.save_lm/load_lm) — the
+    train-once/score-many reference-LM artifact, cached like the saved
+    ANN indexes."""
+    import shutil
+    import tempfile
+
+    hit = _ANN_INDEX_CACHE.get(("lm_saved", sf_dir))
+    if hit is None or hit[0] is not spark:
+        if hit is not None:
+            shutil.rmtree(hit[2], ignore_errors=True)
+        path = tempfile.mkdtemp(prefix="lm_saved_")
+        text.save_lm(spark.read.parquet(f"{sf_dir}/documents.parquet"), path)
+        hit = (spark, text.load_lm(spark, path), path)
+        _ANN_INDEX_CACHE[("lm_saved", sf_dir)] = hit
+    return hit[1]
+
+
 def _lsh_saved_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _saved_index(
         spark, sf_dir, "lsh_saved",
@@ -430,6 +448,7 @@ CACHE_DEPS: dict[str, tuple[str, ...]] = {
     "sim_ann_ivfpq_saved_topk": ("ivfpq_saved",),
     "sim_ann_ivf_kmeans_topk": ("ivf_kmeans",),
     "sim_ann_pq_kmeans_topk": ("pq_kmeans",),
+    "lm_bigram_score_saved": ("lm_saved",),
 }
 
 _CACHE_BUILDERS = {
@@ -443,6 +462,7 @@ _CACHE_BUILDERS = {
     "pq_saved": lambda spark, sf_dir: _pq_saved_index(spark, sf_dir)[1],
     "ivfpq_saved": lambda spark, sf_dir: _ivfpq_saved_index(spark, sf_dir)[2],
     "ivf_kmeans": lambda spark, sf_dir: _ivf_kmeans_index(spark, sf_dir)[1],
+    "lm_saved": lambda spark, sf_dir: _saved_lm(spark, sf_dir)[0],
     "pq_kmeans": lambda spark, sf_dir: _pq_kmeans_index(spark, sf_dir)[1],
 }
 
@@ -758,6 +778,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window by remove_dup_spans (same CTEs composed verbatim in
         # its oracle); rotated out in r9; driver-green through r8
         "dup_span_stats": _on_table("documents", dedup.dup_span_stats),
+        # written-LM twin of the in-window lm_bigram_score: scoring the
+        # corpus against its OWN saved LM is result-identical to
+        # self-training (same counts), so the same oracle spans it —
+        # tail per the saved-index-twin rule; pins the save/load path
+        # under the driver
+        "lm_bigram_score_saved": lambda spark, sf_dir: text.lm_bigram_score(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            lm=_saved_lm(spark, sf_dir),
+        ),
         # the exact near-dup pairs table: its pairs CTE is composed
         # verbatim inside the in-window dedup_graph_stats /
         # family_safe_split / clean_corpus oracles; rotated out in r10
@@ -851,6 +880,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": oracles_beyond.decontaminate(),
         "tfidf_top_terms": oracles_beyond.tfidf_top_terms(),
         "lm_bigram_score": oracles_beyond.lm_bigram_score(),
+        "lm_bigram_score_saved": oracles_beyond.lm_bigram_score(),
         "length_percentiles": oracles_beyond.length_percentiles(),
         "dup_span_stats": oracles_beyond.dup_span_stats(),
         "remove_dup_spans": oracles_beyond.remove_dup_spans(),

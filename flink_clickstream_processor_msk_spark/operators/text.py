@@ -595,8 +595,57 @@ def doc_bigrams(documents: DataFrame) -> DataFrame:
     )
 
 
+def _lm_tables(lm_bg: DataFrame):
+    """(c2, c1, vocab) LM count tables from a bigram-occurrence frame:
+    bigram counts, context (prefix) counts, and the 1-row distinct-token
+    vocabulary size — all map-side-combined groupBys."""
+    c2 = lm_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = lm_bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        lm_bg.select(F.col("w1").alias("t"))
+        .unionByName(lm_bg.select(F.col("w2").alias("t")))
+        .agg(F.count_distinct("t").alias("v"))
+    )
+    return c2, c1, vocab
+
+
+def save_lm(documents: DataFrame, path: str) -> None:
+    """Write the bigram LM as a reusable artifact — the production shape
+    for reference-corpus quality filtering (train the LM ONCE on a clean
+    reference corpus, score every incoming shard against it): ``c2``
+    (w1, w2, c2), ``c1`` (w1, c1), ``vocab`` (one row). The bigram
+    explode is materialized once and feeds all three writes (the
+    multi-branch rule). At corpus scale the c2 table is the scoring
+    join's build side — distinct-bigram volume (sublinear in corpus
+    size), not corpus volume."""
+    from pyspark.storagelevel import StorageLevel
+
+    bg = doc_bigrams(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        c2, c1, vocab = _lm_tables(bg)
+        c2.write.mode("overwrite").parquet(f"{path}/c2")
+        c1.write.mode("overwrite").parquet(f"{path}/c1")
+        vocab.write.mode("overwrite").parquet(f"{path}/vocab")
+    finally:
+        bg.unpersist()
+
+
+def load_lm(spark, path: str):
+    """Read a :func:`save_lm` artifact back as the (c2, c1, vocab) triple
+    :func:`lm_bigram_score` accepts via ``lm=`` — score-with-written-LM
+    is pinned result-identical to self-training on the same corpus
+    (tests/test_beyond.py), so the same DuckDB oracle hash-checks it."""
+    return (
+        spark.read.parquet(f"{path}/c2"),
+        spark.read.parquet(f"{path}/c1"),
+        spark.read.parquet(f"{path}/vocab"),
+    )
+
+
 def lm_bigram_score(
-    documents: DataFrame, lm_documents: DataFrame | None = None
+    documents: DataFrame,
+    lm_documents: DataFrame | None = None,
+    lm=None,
 ) -> DataFrame:
     """Language-model quality score: per-document mean Laplace-smoothed
     bigram probability under a word-bigram LM trained on
@@ -621,24 +670,22 @@ def lm_bigram_score(
     broadcast cross join; the scoring join shuffles on (w1, w2) —
     bounded by bigram-occurrence volume, the same class as tfidf's
     token join. Training on a REFERENCE corpus and scoring a target is
-    the production shape: pass ``lm_documents``; unseen bigrams smooth
-    to 1/(c1+V) and unseen contexts to 1/V via the COALESCE(0)s."""
+    the production shape: pass ``lm_documents``, or ``lm`` = the
+    (c2, c1, vocab) triple of :func:`load_lm` for a WRITTEN reference
+    LM (train once, score every shard); unseen bigrams smooth to
+    1/(c1+V) and unseen contexts to 1/V via the COALESCE(0)s."""
     from pyspark.storagelevel import StorageLevel
 
-    own_lm = lm_documents is None
     doc_bg = doc_bigrams(documents).persist(StorageLevel.MEMORY_AND_DISK)
-    lm_bg = doc_bg if own_lm else doc_bigrams(lm_documents).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    c2 = lm_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = lm_bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    # V: distinct tokens of the LM corpus (both bigram positions — the
-    # last token of a text appears only as w2)
-    vocab = (
-        lm_bg.select(F.col("w1").alias("t"))
-        .unionByName(lm_bg.select(F.col("w2").alias("t")))
-        .agg(F.count_distinct("t").alias("v"))
-    )
+    if lm is not None:
+        c2, c1, vocab = lm
+    else:
+        lm_bg = doc_bg if lm_documents is None else doc_bigrams(
+            lm_documents
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        # V: distinct tokens of the LM corpus (both bigram positions —
+        # the last token of a text appears only as w2)
+        c2, c1, vocab = _lm_tables(lm_bg)
     p = (F.coalesce(F.col("c2"), F.lit(0)) + 1) / (
         F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")
     )

@@ -256,6 +256,44 @@ def corpus_ingest_sink(
     return write
 
 
+def lm_quality_ingest_sink(
+    lm_path: str,
+    on_scores: Callable[[DataFrame, int], None],
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch writer scoring each micro-batch of documents against
+    a WRITTEN reference bigram LM (``text.save_lm``) — the streaming
+    shape of CCNet-style quality filtering: the LM is trained once on a
+    clean reference corpus, every incoming shard gets its
+    ``lm_bigram_score`` frame delivered to ``on_scores`` (route/filter/
+    tag there). Completes the incremental-ingest quartet (near-dup
+    state, decontamination grams, ANN index, quality LM).
+
+    The LM tables are resolved ONCE per sink (the ``_StateHandles``
+    discipline — re-reading three parquet dirs per epoch is pure fixed
+    cost) and persisted: c2/c1 are every epoch's join build sides, so an
+    unpersisted plan would re-scan the LM parquet per batch. Scores are
+    identical to the batch operator against the same LM (pinned in
+    tests/test_streaming.py)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from flink_clickstream_processor_msk_spark.operators import text
+
+    handles: dict = {}
+
+    def write(batch_docs: DataFrame, epoch_id: int) -> None:
+        spark = batch_docs.sparkSession
+        if "lm" not in handles:
+            c2, c1, vocab = text.load_lm(spark, lm_path)
+            handles["lm"] = (
+                c2.persist(StorageLevel.MEMORY_AND_DISK),
+                c1.persist(StorageLevel.MEMORY_AND_DISK),
+                vocab,
+            )
+        on_scores(text.lm_bigram_score(batch_docs, lm=handles["lm"]), epoch_id)
+
+    return write
+
+
 def index_ingest_sink(
     index_path: str,
     kind: str = "ivf",

@@ -1127,3 +1127,21 @@ def test_lm_bigram_score_external_lm_and_ranking(spark):
         for r in text.lm_bigram_score(target, lm_documents=ref).collect()
     }
     assert rows[100] > rows[101] > 0.0
+
+
+def test_lm_save_load_roundtrip_scores_identical(spark, tmp_path):
+    """Scoring against the WRITTEN LM (save_lm/load_lm) is row-identical
+    to self-training on the same corpus — the train-once/score-many
+    artifact path the saved-twin driver query pins."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "c c c a")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "lm")
+    text.save_lm(docs, path)
+    direct = {tuple(r) for r in text.lm_bigram_score(docs).collect()}
+    via_artifact = {
+        tuple(r)
+        for r in text.lm_bigram_score(docs, lm=text.load_lm(spark, path)).collect()
+    }
+    assert direct == via_artifact

@@ -1335,3 +1335,49 @@ def test_pq_ood_monitor_retrains_exactly_once_and_recall_improves(spark, tmp_pat
 
     r_stale, r_retrained = recall(stale_path), recall(path)
     assert r_retrained > r_stale, (r_stale, r_retrained)
+
+
+def test_lm_quality_ingest_sink_matches_batch(spark, tmp_path):
+    """The streaming quality scorer: per-epoch scores against a written
+    reference LM compose (across a 2-batch replay) to exactly the batch
+    operator's frame over the same documents and the same LM."""
+    from flink_clickstream_processor_msk_spark.operators import text
+    from flink_clickstream_processor_msk_spark.streaming.ingest import (
+        lm_quality_ingest_sink,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(5)],
+        "doc_id long, text string",
+    )
+    lm_path = str(tmp_path / "lm")
+    text.save_lm(ref, lm_path)
+
+    target = spark.createDataFrame(
+        [(100, "the cat sat"), (101, "zq xv qq"), (102, "on the mat the cat")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "src")
+    target.filter(F.col("doc_id") < 102).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    target.filter(F.col("doc_id") >= 102).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    got: list = []
+    write = lm_quality_ingest_sink(lm_path, lambda df, e: got.extend(df.collect()))
+    q = (
+        spark.readStream.schema(target.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(write)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    want = text.lm_bigram_score(target, lm=text.load_lm(spark, lm_path)).collect()
+    assert {tuple(r) for r in got} == {tuple(r) for r in want}
+    assert len(got) == 3
