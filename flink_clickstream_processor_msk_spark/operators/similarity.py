@@ -29,6 +29,7 @@ import pandas as pd
 from flink_clickstream_processor_msk_spark.functions.hashing import h60
 from flink_clickstream_processor_msk_spark.operators.dedup import (
     N_PLANES,
+    _hadoop_fs,
     _materialized,
     build_lsh_index,
     cosine,
@@ -38,6 +39,119 @@ from flink_clickstream_processor_msk_spark.operators.dedup import (
 )
 
 DEFAULT_K = 10
+
+# --- written-index deletion (LSM tombstones) ---------------------------------
+# Vector stores take deletes too (takedowns, opt-outs, GDPR erasure) — the
+# same lifecycle the dedup state got (operators/dedup.py "deletion"): a
+# delete is an O(ids) flat tombstone write, every load_*_index applies the
+# tombstones (broadcast anti-join on vec_id; a single fs stat and NO plan
+# node when none are pending — the measured-zero dedup read path), and
+# compact_index physically rewrites the data table and clears them.
+# Re-adding a tombstoned vec_id before compaction is REFUSED by the
+# append_to_*_index functions (a live tombstone would silently suppress
+# the re-added rows at every read — the append_dedup_state rule).
+
+#: per-kind data table layout: (subdir, partition column or None)
+_INDEX_TABLES: dict[str, tuple[str, str | None]] = {
+    "ivf": ("cells", "cell"),
+    "ivfpq": ("cells", "cell"),
+    "lsh": ("buckets", "bucket"),
+    "pq": ("codes", None),
+}
+
+
+def delete_from_index(spark, path: str, vec_ids) -> None:
+    """Tombstone vectors out of a written index: subsequent loads (and
+    therefore every probe over them) exclude the ids; the next
+    :func:`compact_index` drops their rows physically. ``vec_ids``: an
+    iterable of ids or a DataFrame with a ``vec_id`` column."""
+    ids = (
+        vec_ids
+        if isinstance(vec_ids, DataFrame)
+        else spark.createDataFrame([(int(i),) for i in vec_ids], "vec_id long")
+    )
+    ids.select("vec_id").distinct().write.mode("append").parquet(
+        f"{path}/deleted_ids"
+    )
+
+
+def load_index_tombstones(spark, path: str) -> DataFrame | None:
+    """The live tombstone set, or None when no deletes are pending (one
+    filesystem stat — loads in the no-delete common case pay nothing)."""
+    fs, hp = _hadoop_fs(spark, f"{path}/deleted_ids")
+    if not fs.exists(hp):
+        return None
+    return spark.read.parquet(f"{path}/deleted_ids")
+
+
+def _apply_index_tombstones(spark, path: str, df: DataFrame) -> DataFrame:
+    deleted = load_index_tombstones(spark, path)
+    if deleted is None:
+        return df
+    return df.join(F.broadcast(deleted.select("vec_id")), "vec_id", "left_anti")
+
+
+def _refuse_tombstoned(new_embeddings: DataFrame, path: str) -> None:
+    """Append-side guard shared by every ``append_to_*_index``."""
+    deleted = load_index_tombstones(new_embeddings.sparkSession, path)
+    if deleted is None:
+        return
+    clash = (
+        new_embeddings.join(
+            F.broadcast(deleted.select("vec_id")), "vec_id", "left_semi"
+        )
+        .limit(5)
+        .collect()
+    )
+    if clash:
+        raise ValueError(
+            f"vec_ids {sorted(r['vec_id'] for r in clash)} are tombstoned "
+            f"at {path}; run compact_index before re-adding deleted vectors"
+        )
+
+
+def _read_index_table(spark, path: str, sub: str) -> DataFrame:
+    """Read an index data table, finishing a crash-interrupted compaction
+    swap first (staged dir present, live dir missing — the
+    load_dedup_state self-heal)."""
+    fs, cur = _hadoop_fs(spark, f"{path}/{sub}")
+    if not fs.exists(cur):
+        staged = spark.sparkContext._jvm.org.apache.hadoop.fs.Path(
+            f"{path}/{sub}_new"
+        )
+        if fs.exists(staged):
+            fs.rename(staged, cur)
+    return spark.read.parquet(f"{path}/{sub}")
+
+
+def compact_index(spark, path: str, kind: str) -> None:
+    """Physically drop tombstoned vectors from a written index
+    (``kind`` in ivf | ivfpq | lsh | pq): rewrite the data table FILTERED
+    through a staging dir (write → delete → rename — the one
+    crash window self-heals in :func:`_read_index_table`), preserving
+    the routing partitioning, then clear the tombstones; the deleted ids
+    may be re-ingested afterwards. Sidecars (centroids/codebooks/
+    ood_ref) are structure, not rows — untouched; note a large delete
+    shifts occupancy/OOD shares, which the monitors read post-delete by
+    construction (they run over the filtered load)."""
+    sub, part_col = _INDEX_TABLES[kind]
+    if load_index_tombstones(spark, path) is None:
+        return
+    filtered = _apply_index_tombstones(
+        spark, path, _read_index_table(spark, path, sub)
+    )
+    writer = filtered.write.mode("overwrite")
+    if part_col is not None:
+        writer = writer.partitionBy(part_col)
+    writer.parquet(f"{path}/{sub}_new")
+    fs, cur = _hadoop_fs(spark, f"{path}/{sub}")
+    staged = spark.sparkContext._jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}_new")
+    fs.delete(cur, True)
+    fs.rename(staged, cur)
+    fs.delete(
+        spark.sparkContext._jvm.org.apache.hadoop.fs.Path(f"{path}/deleted_ids"),
+        True,
+    )
 
 
 def _query_vector(embeddings: DataFrame, query_vec_id: int) -> list[float]:
@@ -436,7 +550,9 @@ def load_ivf_index(
     ``ann_ivf_topk(..., index=...)``."""
     cents_rows = spark.read.parquet(f"{path}/centroids").orderBy("cidx").collect()
     cents = [[float(x) for x in r["cvec"]] for r in cents_rows]
-    return cents, spark.read.parquet(f"{path}/cells")
+    return cents, _apply_index_tombstones(
+        spark, path, _read_index_table(spark, path, "cells")
+    )
 
 
 def append_to_ivf_index(new_embeddings: DataFrame, path: str) -> None:
@@ -452,6 +568,7 @@ def append_to_ivf_index(new_embeddings: DataFrame, path: str) -> None:
     when drift accumulates. Appended files land inside the existing
     ``cell=N`` partition directories, so probe-side partition pruning is
     untouched."""
+    _refuse_tombstoned(new_embeddings, path)
     spark = new_embeddings.sparkSession
     cents_rows = spark.read.parquet(f"{path}/centroids").orderBy("cidx").collect()
     if not cents_rows:
@@ -529,7 +646,9 @@ def save_lsh_index(
 
 
 def load_lsh_index(spark, path: str) -> DataFrame:
-    return spark.read.parquet(f"{path}/buckets")
+    return _apply_index_tombstones(
+        spark, path, _read_index_table(spark, path, "buckets")
+    )
 
 
 def ann_lsh_topk(
@@ -799,7 +918,9 @@ def load_pq_index(
     cbs: list[list[list[float]]] = [[] for _ in range(m)]
     for r in rows:
         cbs[r["s"]].append([float(x) for x in r["cvec"]])
-    return cbs, spark.read.parquet(f"{path}/codes")
+    return cbs, _apply_index_tombstones(
+        spark, path, _read_index_table(spark, path, "codes")
+    )
 
 
 def append_to_pq_index(new_embeddings: DataFrame, path: str) -> None:
@@ -810,6 +931,7 @@ def append_to_pq_index(new_embeddings: DataFrame, path: str) -> None:
     same-codebook full rebuild (tests/test_incremental.py). Codebook
     drift is the trade, as with every quantized index serving inserts
     between re-trains."""
+    _refuse_tombstoned(new_embeddings, path)
     spark = new_embeddings.sparkSession
     rows = spark.read.parquet(f"{path}/codebooks").orderBy("s", "j").collect()
     if not rows:
@@ -879,6 +1001,7 @@ def append_to_ivfpq_index(new_embeddings: DataFrame, path: str) -> None:
     in tests/test_incremental.py); drift policy per PLANS.md — IVF
     routing needs no re-train, re-train the PQ half (re-seeded) past
     ~10% OOD mass."""
+    _refuse_tombstoned(new_embeddings, path)
     spark = new_embeddings.sparkSession
     cents_rows = spark.read.parquet(f"{path}/centroids").orderBy("cidx").collect()
     if not cents_rows:
@@ -914,7 +1037,9 @@ def load_ivfpq_index(spark, path: str):
     cbs: list[list[list[float]]] = [[] for _ in range(m)]
     for r in cb_rows:
         cbs[r["s"]].append([float(x) for x in r["cvec"]])
-    return cents, cbs, spark.read.parquet(f"{path}/cells")
+    return cents, cbs, _apply_index_tombstones(
+        spark, path, _read_index_table(spark, path, "cells")
+    )
 
 
 # --- PQ drift monitoring (out-of-distribution mass → re-seed trigger) -------
@@ -1006,6 +1131,7 @@ def append_to_lsh_index(new_embeddings: DataFrame, path: str) -> None:
         build_lsh_index,
     )
 
+    _refuse_tombstoned(new_embeddings, path)
     index = build_lsh_index(new_embeddings)
     index.write.partitionBy("bucket").mode("append").parquet(f"{path}/buckets")
     index.unpersist()

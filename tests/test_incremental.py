@@ -9,6 +9,9 @@ identically to a same-centroid full rebuild."""
 
 from __future__ import annotations
 
+import pytest
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flink_clickstream_processor_msk_spark.operators import dedup, similarity
@@ -1381,3 +1384,101 @@ def test_lm_quality_ingest_sink_matches_batch(spark, tmp_path):
     want = text.lm_bigram_score(target, lm=text.load_lm(spark, lm_path)).collect()
     assert {tuple(r) for r in got} == {tuple(r) for r in want}
     assert len(got) == 3
+
+
+def _index_rows(spark, path, kind):
+    sub = similarity._INDEX_TABLES[kind][0]
+    return spark.read.parquet(f"{path}/{sub}").count()
+
+
+@pytest.mark.parametrize("kind", ["ivf", "pq", "lsh", "ivfpq"])
+def test_index_delete_lifecycle(spark, tmp_path, kind):
+    """Written-index deletes, all four layouts: tombstoned vectors vanish
+    from loads (and thus probes) immediately, re-adding refuses until a
+    compact, compaction physically drops the rows + clears tombstones,
+    and the ids can then be re-ingested."""
+    base, _ = _base_and_drifted(spark)
+    path = str(tmp_path / f"idx_{kind}")
+    save = {
+        "ivf": similarity.save_ivf_index,
+        "pq": similarity.save_pq_index,
+        "lsh": similarity.save_lsh_index,
+        "ivfpq": similarity.save_ivfpq_index,
+    }[kind]
+    load = {
+        "ivf": similarity.load_ivf_index,
+        "pq": similarity.load_pq_index,
+        "lsh": similarity.load_lsh_index,
+        "ivfpq": similarity.load_ivfpq_index,
+    }[kind]
+    append = {
+        "ivf": similarity.append_to_ivf_index,
+        "pq": similarity.append_to_pq_index,
+        "lsh": similarity.append_to_lsh_index,
+        "ivfpq": similarity.append_to_ivfpq_index,
+    }[kind]
+
+    def loaded_table():
+        out = load(spark, path)
+        return out if isinstance(out, DataFrame) else out[-1]
+
+    save(base, path)
+    victims = [0, 7, 42]
+    similarity.delete_from_index(spark, path, victims)
+
+    got_ids = {r["vec_id"] for r in loaded_table().select("vec_id").collect()}
+    assert got_ids == set(range(100)) - set(victims)  # hidden at load
+    assert _index_rows(spark, path, kind) == 100  # but physically present
+
+    readd = base.filter(F.col("vec_id").isin(victims))
+    with pytest.raises(ValueError, match="tombstoned"):
+        append(readd, path)
+
+    similarity.compact_index(spark, path, kind)
+    assert _index_rows(spark, path, kind) == 97  # physically dropped
+    assert similarity.load_index_tombstones(spark, path) is None
+
+    append(readd, path)  # legal again after compaction
+    assert {r["vec_id"] for r in loaded_table().select("vec_id").collect()} == set(
+        range(100)
+    )
+
+
+def test_index_delete_excludes_from_probes(spark, tmp_path):
+    """The user-visible contract: a deleted vector never appears in top-k
+    again — the prior #1 neighbor disappears from the IVF and PQ probes
+    right after the tombstone write, no compaction needed."""
+    base, _ = _base_and_drifted(spark)
+    for kind, save, load, probe in (
+        ("ivf", similarity.save_ivf_index, similarity.load_ivf_index,
+         lambda idx, q: similarity.ann_ivf_topk(base, q, 5, index=idx)),
+        ("pq", similarity.save_pq_index, similarity.load_pq_index,
+         lambda idx, q: similarity.ann_pq_topk(base, q, 5, index=idx)),
+    ):
+        path = str(tmp_path / f"probe_{kind}")
+        save(base, path)
+        q = 3
+        top1 = probe(load(spark, path), q).first()["vec_id"]
+        similarity.delete_from_index(spark, path, [top1])
+        after = {r["vec_id"] for r in probe(load(spark, path), q).collect()}
+        assert top1 not in after and len(after) == 5, kind
+
+
+def test_index_compact_crash_window_self_heals(spark, tmp_path):
+    """Crash between compact's delete and rename (live dir gone, staged
+    dir present): the next load finishes the swap and reads the
+    compacted rows."""
+    import shutil as _sh
+
+    base, _ = _base_and_drifted(spark)
+    path = str(tmp_path / "crash_ivf")
+    similarity.save_ivf_index(base, path)
+    similarity.delete_from_index(spark, path, [1, 2])
+    similarity.compact_index(spark, path, "ivf")
+    # simulate the window re-opening: stage the live dir, remove it
+    _sh.move(f"{path}/cells", f"{path}/cells_new")
+    cents, cells = similarity.load_ivf_index(spark, path)
+    assert cells.count() == 98
+    import os as _os
+
+    assert _os.path.exists(f"{path}/cells")
