@@ -494,7 +494,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reference-parity operators at fixture-scaled windows
         # (multi-event sessions; constants-exact *_1s variants at the tail)
         "q1_user_sessions_30m": _q1(_GAP_30M),
-        "q1_buy_sessions_30m": _q1_buy(_GAP_30M),
         "q2_session_stats_30m": _q2(_GAP_30M, _WIN_6H),
         "q3_department_counts_30m": _q3(_GAP_30M, _WIN_6H),
         # sliding event-time windows (the window kind the reference lacks;
@@ -569,6 +568,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_session_attribution": _range_session_attribution(_GAP_30M),
         # text analysis + corpus pipeline (documents)
         "text_stats": _on_table("documents", text.text_stats),
+        # text canonicalization (round 10): NFC + control strip +
+        # whitespace collapse — the pre-dedup cleanup step; in-window
+        # slot freed by rotating q1_buy_sessions_30m to the tail (its
+        # oracle is the in-window q1_user_sessions_30m sessions CTE
+        # verbatim + a WHERE on an output column, and the buy-filtered
+        # payload is hash-exercised by the k3/e3 tail frames)
+        "normalize_text": _on_table("documents", text.normalize_text),
         "language_id": _on_table("documents", text.language_id),
         "fingerprints": _on_table("documents", text.fingerprints),
         # char-level junk signals (all-integer histogram stats; the
@@ -787,6 +793,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.read.parquet(f"{sf_dir}/documents.parquet"),
             lm=_saved_lm(spark, sf_dir),
         ),
+        # buy-session filter twin: the sessions CTE is the in-window
+        # q1_user_sessions_30m oracle verbatim; the WHERE's payload is
+        # also pinned by the k3/e3 tail frames; rotated out in r10
+        # (displaced by normalize_text); driver-green through r9
+        "q1_buy_sessions_30m": _q1_buy(_GAP_30M),
         # the exact near-dup pairs table: its pairs CTE is composed
         # verbatim inside the in-window dedup_graph_stats /
         # family_safe_split / clean_corpus oracles; rotated out in r10
@@ -860,6 +871,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_attribution": oracles.asof_attribution(),
         "range_session_attribution": oracles.range_session_attribution(_GAP_30M_MS),
         "text_stats": oracles_beyond.text_stats(),
+        "normalize_text": oracles_beyond.normalize_text(),
         "redact_pii": oracles_beyond.redact_pii(),
         "family_safe_split": oracles_beyond.family_safe_split(),
         "language_id": oracles_beyond.language_id(),

@@ -559,6 +559,64 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     ).filter(F.col("term_rank") <= k)
 
 
+def normalize_text(documents: DataFrame) -> DataFrame:
+    """Canonicalize text before dedup/fingerprinting — the standard
+    pre-processing step that makes byte-different renderings of the same
+    content hash equal (NFC composition, control-char strip, horizontal
+    whitespace collapse, paragraph-run clamp, edge trim — the C4/CCNet
+    cleanup class). Output: ``(doc_id, clean_text, changed, delta_chars)``
+    with ``changed`` = text IS DISTINCT FROM clean_text (NULL-safe on
+    both engines) and ``delta_chars`` = length(text) − length(clean_text)
+    (negative when NFC composition shortens differently than strips
+    remove).
+
+    Determinism contract: the kernel uses EXPLICIT character classes,
+    never ``\\s`` — Python ``re`` treats ``\\s`` as Unicode whitespace
+    (NBSP matches) while RE2/Java do not, so a ``\\s`` here would
+    hash-diverge from the DuckDB twin on exotic whitespace. NFC itself is
+    pinned equal between ``unicodedata`` and DuckDB's ``nfc_normalize``
+    (tests/test_beyond.py). Steps apply in a fixed order (NFC → control
+    strip → [ \\t]+ collapse → \\n{{3,}} clamp → edge trim), mirrored
+    verbatim in the oracle.
+
+    Scale shape: one zero-shuffle Arrow kernel pass (per-char Python work
+    belongs in the vectorized kernel per the repo rule); the derived
+    flag/delta are Catalyst expressions over the kernel's output."""
+    import re as _re
+
+    ctrl = _re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+    hspace = _re.compile("[ \t]+")
+    para = _re.compile("\n{3,}")
+    edge = _re.compile("^[ \t\n\r]+|[ \t\n\r]+$")
+
+    @F.pandas_udf("string")
+    def clean(texts: pd.Series) -> pd.Series:
+        import unicodedata
+
+        def go(t):
+            if t is None:
+                return None
+            t = unicodedata.normalize("NFC", t)
+            t = ctrl.sub("", t)
+            t = hspace.sub(" ", t)
+            t = para.sub("\n\n", t)
+            return edge.sub("", t)
+
+        return texts.map(go)
+
+    out = documents.select(
+        "doc_id", F.col("text"), clean("text").alias("clean_text")
+    )
+    return out.select(
+        "doc_id",
+        "clean_text",
+        (~F.col("text").eqNullSafe(F.col("clean_text"))).alias("changed"),
+        (F.length("text") - F.length("clean_text"))
+        .cast("int")
+        .alias("delta_chars"),
+    )
+
+
 #: fixed-point scale for LM probabilities: floor(p * SCALE) as BIGINT makes
 #: per-doc probability sums ORDER-FREE (the integer-cents rule — a raw
 #: double F.sum would be shuffle-order-dependent and break hash checks).

@@ -1029,6 +1029,30 @@ WHERE term_rank <= {k}
 """
 
 
+def normalize_text() -> str:
+    """SQL twin of text.normalize_text: nfc_normalize (pinned equal to
+    Python unicodedata NFC) then the same fixed-order regexp_replace
+    chain with EXPLICIT character classes (never \\s — Python re's \\s is
+    Unicode-wide, RE2's is not; an implicit class here would diverge on
+    exotic whitespace), then the same NULL-safe change flag and char
+    delta."""
+    clean = (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "nfc_normalize(text),"
+        " '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),"
+        " '[ \\t]+', ' ', 'g'),"
+        " '\\n{3,}', chr(10) || chr(10), 'g'),"
+        " '^[ \\t\\n\\r]+|[ \\t\\n\\r]+$', '', 'g')"
+    )
+    return f"""
+WITH base AS (SELECT doc_id, text, {clean} AS clean_text FROM documents)
+SELECT doc_id, clean_text,
+  (text IS DISTINCT FROM clean_text) AS changed,
+  CAST(len(text) - len(clean_text) AS INTEGER) AS delta_chars
+FROM base
+"""
+
+
 def lm_bigram_score(scale: int = 1_000_000_000) -> str:
     """SQL twin of text.lm_bigram_score (self-trained corpus LM): Laplace
     bigram probability p = (c2+1)/(c1+V) as one correctly-rounded integer

@@ -1145,3 +1145,72 @@ def test_lm_save_load_roundtrip_scores_identical(spark, tmp_path):
         for r in text.lm_bigram_score(docs, lm=text.load_lm(spark, path)).collect()
     }
     assert direct == via_artifact
+
+
+def test_normalize_text_canonicalization_cases(spark):
+    """Hand-pinned cleanup semantics: NFC composition, control strip,
+    [ \\t]+ collapse, paragraph-run clamp, edge trim — and the two
+    contract edges: NBSP is PRESERVED (explicit classes, never Python's
+    Unicode-wide \\s) and NULL propagates with changed=False (NULL-safe
+    comparison)."""
+    import unicodedata
+
+    decomposed = "café  \t x"  # e + combining acute, then runs
+    docs = spark.createDataFrame(
+        [
+            (1, decomposed),
+            (2, "a\x00b\x07c\x7fd"),
+            (3, "  lead trail  "),
+            (4, "p1\n\n\n\n\np2"),
+            (5, None),
+            (6, "nb sp"),
+            (7, "already clean"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.normalize_text(docs).collect()}
+    assert rows[1]["clean_text"] == unicodedata.normalize("NFC", "café x")
+    assert rows[1]["changed"] is True
+    assert rows[2]["clean_text"] == "abcd" and rows[2]["delta_chars"] == 3
+    assert rows[3]["clean_text"] == "lead trail"
+    assert rows[4]["clean_text"] == "p1\n\np2"
+    assert rows[5]["clean_text"] is None and rows[5]["changed"] is False
+    assert rows[6]["clean_text"] == "nb sp" and rows[6]["changed"] is False
+    assert rows[7]["changed"] is False and rows[7]["delta_chars"] == 0
+
+
+def test_normalize_text_oracle_lockstep_on_nasty_fixtures(spark):
+    """Spark kernel vs the DuckDB twin on inputs the sf tier never
+    exercises (combining marks, controls, NBSP, compat chars, NULL/empty)
+    — the lockstep that guards the explicit-character-class contract."""
+    import duckdb
+    import pandas as pd
+
+    from flink_clickstream_processor_msk_spark import oracles_beyond
+
+    rows = [
+        (1, "café  \t x"),
+        (2, "a\x00b\x07c\x7fd"),
+        (3, "  lead trail  "),
+        (4, "p1\n\n\n\n\np2"),
+        (5, None),
+        (6, ""),
+        (7, "nb sp"),
+        (8, "ﬁn Ⅻ ½"),
+        (9, "tabs\t\tand  spaces"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    sdf = spark.createDataFrame(
+        pdf.astype(object).where(pd.notnull(pdf), None),
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], bool(r["changed"]), r["delta_chars"])
+        for r in text.normalize_text(sdf).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    for did, clean, changed, delta in con.execute(
+        oracles_beyond.normalize_text()
+    ).fetchall():
+        assert got[int(did)] == (clean, bool(changed), delta), did
