@@ -559,6 +559,30 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     ).filter(F.col("term_rank") <= k)
 
 
+import re as _re
+
+_NORM_CTRL = _re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+_NORM_HSPACE = _re.compile("[ \t]+")
+_NORM_PARA = _re.compile("\n{3,}")
+_NORM_EDGE = _re.compile("^[ \t\n\r]+|[ \t\n\r]+$")
+
+
+def normalize_one(t: str | None) -> str | None:
+    """The per-document canonicalization kernel of :func:`normalize_text`
+    — module-level so the Spark-free fuzz test can run it head-to-head
+    against the DuckDB oracle's regexp chain. EXPLICIT character classes
+    only (no ``\\s``): Python re's ``\\s`` is Unicode-wide, RE2's is not."""
+    import unicodedata
+
+    if t is None:
+        return None
+    t = unicodedata.normalize("NFC", t)
+    t = _NORM_CTRL.sub("", t)
+    t = _NORM_HSPACE.sub(" ", t)
+    t = _NORM_PARA.sub("\n\n", t)
+    return _NORM_EDGE.sub("", t)
+
+
 def normalize_text(documents: DataFrame) -> DataFrame:
     """Canonicalize text before dedup/fingerprinting — the standard
     pre-processing step that makes byte-different renderings of the same
@@ -582,27 +606,9 @@ def normalize_text(documents: DataFrame) -> DataFrame:
     Scale shape: one zero-shuffle Arrow kernel pass (per-char Python work
     belongs in the vectorized kernel per the repo rule); the derived
     flag/delta are Catalyst expressions over the kernel's output."""
-    import re as _re
-
-    ctrl = _re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
-    hspace = _re.compile("[ \t]+")
-    para = _re.compile("\n{3,}")
-    edge = _re.compile("^[ \t\n\r]+|[ \t\n\r]+$")
-
     @F.pandas_udf("string")
     def clean(texts: pd.Series) -> pd.Series:
-        import unicodedata
-
-        def go(t):
-            if t is None:
-                return None
-            t = unicodedata.normalize("NFC", t)
-            t = ctrl.sub("", t)
-            t = hspace.sub(" ", t)
-            t = para.sub("\n\n", t)
-            return edge.sub("", t)
-
-        return texts.map(go)
+        return texts.map(normalize_one)
 
     out = documents.select(
         "doc_id", F.col("text"), clean("text").alias("clean_text")

@@ -1035,7 +1035,11 @@ def normalize_text() -> str:
     chain with EXPLICIT character classes (never \\s — Python re's \\s is
     Unicode-wide, RE2's is not; an implicit class here would diverge on
     exotic whitespace), then the same NULL-safe change flag and char
-    delta."""
+    delta. Known oracle-engine limit: DuckDB's nfc_normalize truncates
+    at \\x00 in some paths (utf8proc C-string behavior), so NUL-bearing
+    text can't be oracle-checked — the kernel's (correct) NUL handling
+    is pinned Python-side instead (tests/test_beyond.py); sf parquet
+    text contains no NULs."""
     clean = (
         "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
         "nfc_normalize(text),"

@@ -1214,3 +1214,57 @@ def test_normalize_text_oracle_lockstep_on_nasty_fixtures(spark):
         oracles_beyond.normalize_text()
     ).fetchall():
         assert got[int(did)] == (clean, bool(changed), delta), did
+
+
+def test_normalize_text_fuzz_lockstep_with_duckdb():
+    """Property fuzz (no Spark — the extracted normalize_one kernel vs
+    the DuckDB oracle's regexp chain) over an alphabet covering every
+    class the formula touches: ASCII, tabs/newlines/CR, control chars,
+    NBSP and other Unicode whitespace (must be PRESERVED), combining
+    marks, and compat/composed codepoints. Guards the explicit-class
+    contract and NFC agreement between unicodedata and nfc_normalize."""
+    import duckdb
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_clickstream_processor_msk_spark import oracles_beyond
+
+    # \x00 excluded: DuckDB's nfc_normalize truncates at NUL in some
+    # paths (utf8proc C-string behavior) — a known ORACLE-engine quirk,
+    # not kernel drift (the kernel's NUL handling is pinned separately
+    # below); sf parquet text never contains NUL
+    alphabet = (
+        "ab Z9.\t\n\r"
+        "\x01\x07\x1f\x7f"          # controls (stripped)
+        "  　"        # unicode whitespace (preserved)
+        "éñ"            # combining acute / tilde
+        "é½ﬁⅫ가"                    # precomposed + compat + hangul
+    )
+    con = duckdb.connect()
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.text(alphabet=alphabet, max_size=40), min_size=1, max_size=8))
+    def run(texts):
+        pdf = pd.DataFrame(
+            {"doc_id": range(len(texts)), "text": texts}
+        )
+        con.register("documents", pdf)
+        rows = con.execute(oracles_beyond.normalize_text()).fetchall()
+        for did, clean, changed, delta in rows:
+            t = texts[int(did)]
+            want = text.normalize_one(t)
+            assert clean == want, (repr(t), repr(clean), repr(want))
+            assert bool(changed) == (t != want)
+            assert delta == len(t) - len(want)
+
+    run()
+
+
+def test_normalize_one_handles_nul_correctly():
+    """NUL is a control char like any other to the KERNEL (stripped);
+    the DuckDB twin can't check this one — its nfc_normalize truncates
+    at NUL (utf8proc C-string path), so the fuzz alphabet excludes \\x00
+    and this pin carries the kernel's contract instead."""
+    assert text.normalize_one("\x00\xa0") == "\xa0"
+    assert text.normalize_one("a\x00b") == "ab"
