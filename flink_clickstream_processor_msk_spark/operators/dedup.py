@@ -564,6 +564,16 @@ def load_banded_state(spark, path: str) -> DataFrame:
 # appends: a delete is a cheap flat tombstone write, every read applies
 # tombstones (a broadcast anti-join against the small id list), and
 # compaction physically drops the rows and clears the tombstones.
+#
+# SINGLE-WRITER CONTRACT (appends + compaction): one owner mutates a state
+# path at a time — the shape streaming/ingest.py enforces naturally (the
+# sink serializes epochs and calls compact BETWEEN them via compact_every).
+# An append racing a foreign compaction can land its delta rows after the
+# compact's state read but before its delta delete; those rows stay safe in
+# minhash_state (the source of truth — the next compact restores them) but
+# probes would MISS them until then. Deletes and reads are race-free (flat
+# appends / read-time filters). Cross-JOB coordination needs an external
+# lock or a manifest layer (Delta/Iceberg) — out of scope here.
 
 
 def _hadoop_fs(spark, p: str):
