@@ -325,8 +325,82 @@ def pq_retrain_mode() -> None:
     spark.stop()
 
 
+def lm_quality_mode() -> None:
+    """Streaming quality-scoring throughput (lm_quality_ingest_sink):
+    train the reference LM on the sf-tier documents once (untimed), then
+    replay the same documents file-at-a-time and score every micro-batch
+    against the written LM. The signal is the per-epoch curve: handles
+    resolve once at epoch 0, steady-state epochs pay only the scoring
+    joins over the persisted LM tables."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_batches = int(os.environ.get("BENCH_INGEST_BATCHES", "10"))
+
+    from flink_clickstream_processor_msk_spark import get_spark
+    from flink_clickstream_processor_msk_spark.operators import text
+    from flink_clickstream_processor_msk_spark.streaming.ingest import (
+        lm_quality_ingest_sink,
+    )
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="bench-ingest-lm-quality")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+
+    lm_path = tempfile.mkdtemp(prefix="bench-lm-")
+    text.save_lm(docs, lm_path)
+
+    src = tempfile.mkdtemp(prefix="bench-lmsrc-")
+    for i in range(n_batches):
+        docs.filter(
+            F.pmod(F.col("doc_id"), F.lit(n_batches)) == i
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    scored = []
+    inner = lm_quality_ingest_sink(lm_path, lambda df, _e: scored.append(df.count()))
+    epoch_walls: list[float] = []
+
+    def timed(df, e):
+        t0 = time.perf_counter()
+        inner(df, e)
+        epoch_walls.append(round(time.perf_counter() - t0, 3))
+
+    start = time.perf_counter()
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(timed)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bench-lmck-"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    wall = time.perf_counter() - start
+    shutil.rmtree(lm_path, ignore_errors=True)
+    shutil.rmtree(src, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "metric": "lm_quality_docs_per_sec",
+                "value": round(n_docs / wall, 1),
+                "unit": "docs/sec",
+                "docs": n_docs,
+                "scored": sum(scored),
+                "batches": n_batches,
+                "wall_sec": round(wall, 3),
+                "epoch_walls": epoch_walls,
+                "sf": sf_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
 if __name__ == "__main__":
-    if os.environ.get("BENCH_INGEST_MODE") == "pq_retrain":
+    mode = os.environ.get("BENCH_INGEST_MODE")
+    if mode == "pq_retrain":
         pq_retrain_mode()
+    elif mode == "lm_quality":
+        lm_quality_mode()
     else:
         main()
