@@ -185,6 +185,9 @@ def corpus_ingest_sink(
     max_bucket_size: int | None = MAX_BUCKET_SIZE_DEFAULT,
     k: int = SHINGLE_K,
     compact_every: int | None = None,
+    lm_path: str | None = None,
+    min_avg_prob: float | None = None,
+    on_rejected: Callable[[DataFrame, int], None] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The full training-data ingest leg as ONE foreachBatch writer:
     each micro-batch of documents is near-dup-checked against the
@@ -199,7 +202,19 @@ def corpus_ingest_sink(
     (doc_id, contaminated) rows; delivery semantics and the
     ``compact_every`` inline-LSM-maintenance knob as in
     :func:`dedup_ingest_sink` (wrap in ``sinks.dedup_epochs`` for
-    effectively-once state growth)."""
+    effectively-once state growth).
+
+    ``lm_path`` + ``min_avg_prob`` turn on the QUALITY GATE, applied in
+    the real pipeline order — filter BEFORE dedup: each batch is scored
+    against the written reference LM (``text.save_lm``;
+    :func:`lm_quality_ingest_sink`'s leg) and only documents with
+    ``avg_prob >= min_avg_prob`` are probed and folded into the corpus
+    state. Documents the LM cannot assess (fewer than two tokens — no
+    bigram to score) are REJECTED too: a gate that admits unscoreable
+    text is no gate. ``on_rejected(df, epoch)`` receives the rejects as
+    (doc_id, avg_prob) with NULL avg_prob for the unscoreable class —
+    route to quarantine/sampling there. The LM tables resolve once per
+    sink and persist (the handles discipline)."""
     from flink_clickstream_processor_msk_spark.operators.pipeline import (
         _flag_contaminated,
         decontaminate_incremental,
@@ -207,9 +222,44 @@ def corpus_ingest_sink(
     )
 
     handles = _StateHandles(state_path)
+    lm_handle: dict = {}
+
+    def _quality_gate(batch_docs: DataFrame, epoch_id: int) -> DataFrame:
+        from pyspark.storagelevel import StorageLevel
+
+        from flink_clickstream_processor_msk_spark.operators import text
+
+        spark = batch_docs.sparkSession
+        if "lm" not in lm_handle:
+            c2, c1, vocab = text.load_lm(spark, lm_path)
+            lm_handle["lm"] = (
+                c2.persist(StorageLevel.MEMORY_AND_DISK),
+                c1.persist(StorageLevel.MEMORY_AND_DISK),
+                vocab,
+            )
+        scores = text.lm_bigram_score(batch_docs, lm=lm_handle["lm"])
+        passing = scores.filter(F.col("avg_prob") >= min_avg_prob)
+        admitted = batch_docs.join(
+            passing.select("doc_id"), "doc_id", "left_semi"
+        )
+        if on_rejected is not None:
+            scored_rejects = scores.filter(
+                F.col("avg_prob") < min_avg_prob
+            ).select("doc_id", "avg_prob")
+            unscoreable = (
+                batch_docs.select("doc_id")
+                .join(scores.select("doc_id"), "doc_id", "left_anti")
+                .select(
+                    "doc_id", F.lit(None).cast("double").alias("avg_prob")
+                )
+            )
+            on_rejected(scored_rejects.unionByName(unscoreable), epoch_id)
+        return admitted
 
     def write(batch_docs: DataFrame, epoch_id: int) -> None:
         spark = batch_docs.sparkSession
+        if lm_path is not None and min_avg_prob is not None:
+            batch_docs = _quality_gate(batch_docs, epoch_id)
         new_state = batch_dedup_state(batch_docs)
         scratch: list[DataFrame] = [new_state]
         try:

@@ -1482,3 +1482,81 @@ def test_index_compact_crash_window_self_heals(spark, tmp_path):
     import os as _os
 
     assert _os.path.exists(f"{path}/cells")
+
+
+def test_corpus_ingest_quality_gate_filters_before_dedup(spark, tmp_path):
+    """The lm_path/min_avg_prob gate: junk (and unscoreable <2-token)
+    documents are rejected BEFORE the dedup/decontamination legs — they
+    reach on_rejected with their scores (NULL for unscoreable), never
+    enter the state, and produce no pairs or flags."""
+    from flink_clickstream_processor_msk_spark.operators import pipeline, text
+    from flink_clickstream_processor_msk_spark.streaming.ingest import (
+        corpus_ingest_sink,
+        init_dedup_state,
+    )
+
+    ref = spark.createDataFrame(
+        [_doc(800 + i, "the quick brown fox jumps over the lazy dog today")
+         for i in range(6)],
+        DOCS_SCHEMA,
+    )
+    lm_path = str(tmp_path / "gate-lm")
+    text.save_lm(ref, lm_path)
+
+    good_a = _doc(1, "the quick brown fox jumps over the lazy dog today")
+    good_b = _doc(2, "the quick brown fox jumps over the lazy dog today now")
+    junk = _doc(3, "zq xv qqq zk wvv xoxo qq zzz")
+    tiny = _doc(4, "one")
+    batch = spark.createDataFrame([good_a, good_b, junk, tiny], DOCS_SCHEMA)
+
+    # threshold between the junk and good scores, derived from the LM
+    scores = {
+        r["doc_id"]: r["avg_prob"]
+        for r in text.lm_bigram_score(
+            batch, lm=text.load_lm(spark, lm_path)
+        ).collect()
+    }
+    assert scores[1] > scores[3] and scores[2] > scores[3]
+    cut = (max(scores[3], 0.0) + min(scores[1], scores[2])) / 2
+
+    grams_path = str(tmp_path / "gate-grams")
+    pipeline.save_test_grams(
+        spark.createDataFrame(
+            [_doc(900, "the quick brown fox jumps over the lazy dog today")],
+            DOCS_SCHEMA,
+        ),
+        grams_path,
+    )
+    state_path = str(tmp_path / "gate-state")
+    init_dedup_state(spark, state_path)
+
+    got_pairs, got_flags, got_rejects = [], {}, {}
+    write = corpus_ingest_sink(
+        state_path, grams_path,
+        on_pairs=lambda df, e: got_pairs.extend(
+            (r["doc_a"], r["doc_b"]) for r in df.collect()
+        ),
+        on_flags=lambda df, e: got_flags.update(
+            (r["doc_id"], r["contaminated"]) for r in df.collect()
+        ),
+        lm_path=lm_path,
+        min_avg_prob=cut,
+        on_rejected=lambda df, e: got_rejects.update(
+            (r["doc_id"], r["avg_prob"]) for r in df.collect()
+        ),
+    )
+    write(batch, 0)
+
+    assert set(got_rejects) == {3, 4}
+    assert got_rejects[4] is None  # unscoreable: no bigram to judge
+    assert got_rejects[3] is not None and got_rejects[3] < cut
+    # only admitted docs entered the state / legs
+    state_ids = {
+        r["doc_id"]
+        for r in dedup.load_dedup_state(spark, state_path).collect()
+    }
+    assert state_ids == {1, 2}
+    assert set(got_flags) == {1, 2}  # flags only for admitted
+    assert bool(got_flags[1])  # shares grams with the benchmark doc
+    assert all({a, b} <= {1, 2} for a, b in got_pairs)
+    assert (1, 2) in got_pairs  # near-dups among admitted still detected
