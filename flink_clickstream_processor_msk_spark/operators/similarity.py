@@ -34,7 +34,6 @@ from flink_clickstream_processor_msk_spark.operators.dedup import (
     build_lsh_index,
     cosine,
     double_array_literal,
-    embedding_lsh_bucket,
     hyperplanes,
 )
 
