@@ -623,6 +623,84 @@ def normalize_text(documents: DataFrame) -> DataFrame:
     )
 
 
+def lm_bigram_score_by_lang(
+    documents: DataFrame, lm_documents: DataFrame | None = None
+) -> DataFrame:
+    """Per-LANGUAGE LM quality scoring — CCNet's actual design (Wenzek et
+    al. 2020 train one KenLM per language and score each document against
+    its own language's model; a single mixed-language LM systematically
+    under-scores low-resource languages whose bigrams look "rare"). Same
+    formula and determinism contract as :func:`lm_bigram_score`, with
+    every count table keyed by ``lang``: c2 per (lang, w1, w2), c1 per
+    (lang, w1), V per lang — a document's Laplace smoothing uses ITS
+    language's vocabulary size. Documents whose language has no LM rows
+    are unscored (inner join on lang — there is no model to judge them
+    against; route them to a default-LM pass or quarantine upstream).
+    Output adds the ``lang`` column.
+
+    Scale shape: identical to the global scorer — lang rides along the
+    same map-side-combined groupBys and the scoring join's key grows to
+    (lang, w1, w2), which only SHARPENS partitioning (language is a
+    natural shard key for corpus work)."""
+    from pyspark.storagelevel import StorageLevel
+
+    def bigrams_with_lang(docs: DataFrame) -> DataFrame:
+        return (
+            docs.select(
+                "doc_id", "lang", tokens(F.lower(F.col("text"))).alias("w")
+            )
+            .filter(F.size("w") >= 2)
+            .select(
+                "doc_id",
+                "lang",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("w", 1, F.size("w") - 1),
+                        F.slice("w", 2, F.size("w") - 1),
+                    )
+                ).alias("bg"),
+            )
+            .select(
+                "doc_id",
+                "lang",
+                F.col("bg")["0"].alias("w1"),
+                F.col("bg")["1"].alias("w2"),
+            )
+        )
+
+    doc_bg = bigrams_with_lang(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    lm_bg = doc_bg if lm_documents is None else bigrams_with_lang(
+        lm_documents
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    c2 = lm_bg.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = lm_bg.groupBy("lang", "w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        lm_bg.select("lang", F.col("w1").alias("t"))
+        .unionByName(lm_bg.select("lang", F.col("w2").alias("t")))
+        .groupBy("lang")
+        .agg(F.count_distinct("t").alias("v"))
+    )
+    p = (F.coalesce(F.col("c2"), F.lit(0)) + 1) / (
+        F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")
+    )
+    scored = (
+        doc_bg.join(c2, ["lang", "w1", "w2"], "left")
+        .join(c1, ["lang", "w1"], "left")
+        .join(F.broadcast(vocab), ["lang"])  # inner: unmodeled langs drop
+        .select(
+            "doc_id", "lang", F.floor(p * F.lit(LM_PROB_SCALE)).alias("q")
+        )
+    )
+    return scored.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+        F.sum("q").alias("sum_prob_q9"),
+        (
+            (F.sum("q").cast("double") / F.count(F.lit(1)))
+            / F.lit(float(LM_PROB_SCALE))
+        ).alias("avg_prob"),
+    )
+
+
 #: fixed-point scale for LM probabilities: floor(p * SCALE) as BIGINT makes
 #: per-doc probability sums ORDER-FREE (the integer-cents rule — a raw
 #: double F.sum would be shuffle-order-dependent and break hash checks).

@@ -1268,3 +1268,47 @@ def test_normalize_one_handles_nul_correctly():
     and this pin carries the kernel's contract instead."""
     assert text.normalize_one("\x00\xa0") == "\xa0"
     assert text.normalize_one("a\x00b") == "ab"
+
+
+def test_lm_bigram_score_by_lang_uses_own_language_model(spark):
+    """CCNet-style per-language scoring: identical text scores against
+    ITS language's counts — the same bigrams in lang en vs de see
+    different c2/c1/V; a doc whose lang has no LM rows is unscored
+    (inner join), and within one language the formula equals the global
+    scorer run on that language's slice alone."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b", "en", "s", 7),
+            (2, "a b c", "en", "s", 5),
+            (3, "a b a b", "de", "s", 7),
+            (4, "x y", "xx", "s", 3),  # lang with a model (itself)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {
+        r["doc_id"]: r for r in text.lm_bigram_score_by_lang(docs).collect()
+    }
+    # en slice == the global scorer over the en docs alone
+    en_only = docs.filter(F.col("lang") == "en")
+    en_global = {
+        r["doc_id"]: r for r in text.lm_bigram_score(en_only).collect()
+    }
+    for did in (1, 2):
+        assert rows[did]["sum_prob_q9"] == en_global[did]["sum_prob_q9"]
+        assert rows[did]["n_bigrams"] == en_global[did]["n_bigrams"]
+    # de's lone doc trains its own model: c2=2,c1=... V={a,b}=2:
+    # p(a,b)=(2+1)/(2+2)=0.75, p(b,a)=(1+1)/(1+2)=2/3
+    q_ab = int(0.75 * text.LM_PROB_SCALE)
+    q_ba = int((2 / 3) * text.LM_PROB_SCALE)
+    assert rows[3]["sum_prob_q9"] == 2 * q_ab + q_ba
+    # same text as doc 1 but a DIFFERENT score: per-language counts
+    assert rows[3]["sum_prob_q9"] != rows[1]["sum_prob_q9"]
+    assert rows[4]["n_bigrams"] == 1  # xx modeled by itself
+
+    # external reference LM missing lang xx -> doc 4 unscored
+    ref = docs.filter(F.col("lang") != "xx")
+    got = {
+        r["doc_id"]
+        for r in text.lm_bigram_score_by_lang(docs, lm_documents=ref).collect()
+    }
+    assert got == {1, 2, 3}
