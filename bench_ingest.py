@@ -308,9 +308,12 @@ def pq_retrain_mode() -> None:
         json.dumps(
             {
                 "metric": "pq_retrain_ingest_vecs_per_sec",
-                "value": round(n_base / total_wall, 1),
+                # the timed loop replays the DRIFTED half (n_d vectors,
+                # != n_base when the embedding count is odd) — label the
+                # throughput with the population it actually ingested
+                "value": round(n_d / total_wall, 1),
                 "unit": "vecs/sec",
-                "vecs": n_base,
+                "vecs": n_d,
                 "batches": n_batches,
                 "wall_sec": round(total_wall, 3),
                 "epoch_walls": epoch_walls,

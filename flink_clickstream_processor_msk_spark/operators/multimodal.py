@@ -199,7 +199,8 @@ def fake_resize(media: DataFrame, width: int = 32, height: int = 32) -> DataFram
     output is full-size, as a real resampler's would be) and stamps the
     target dimensions into ``meta``. Same (doc_id, payload, meta) shape
     in and out, so resize composes with every other media operator; the
-    real-codec path is :func:`resize_image` (PIL-gated like
+    real-codec path is :func:`resize_image` (stdlib PPM/BMP codec by
+    default, other formats via the same ``decoder=`` injection seam as
     :func:`decode_image`).
 
     Scale shape: zero-shuffle Arrow-batched map; output payload size is

@@ -624,7 +624,10 @@ def normalize_text(documents: DataFrame) -> DataFrame:
 
 
 def lm_bigram_score_by_lang(
-    documents: DataFrame, lm_documents: DataFrame | None = None
+    documents: DataFrame,
+    lm_documents: DataFrame | None = None,
+    lm=None,
+    scratch: list | None = None,
 ) -> DataFrame:
     """Per-LANGUAGE LM quality scoring — CCNet's actual design (Wenzek et
     al. 2020 train one KenLM per language and score each document against
@@ -641,45 +644,44 @@ def lm_bigram_score_by_lang(
     Scale shape: identical to the global scorer — lang rides along the
     same map-side-combined groupBys and the scoring join's key grows to
     (lang, w1, w2), which only SHARPENS partitioning (language is a
-    natural shard key for corpus work)."""
+    natural shard key for corpus work). ``lm`` accepts a lang-keyed
+    (c2, c1, vocab) triple (``load_lm(..., by_lang=True)``) for the
+    train-once/score-every-shard shape; persist policy is the global
+    scorer's ``scratch`` contract (no persist unless caller-managed)."""
     from pyspark.storagelevel import StorageLevel
 
-    def bigrams_with_lang(docs: DataFrame) -> DataFrame:
-        return (
-            docs.select(
-                "doc_id", "lang", tokens(F.lower(F.col("text"))).alias("w")
-            )
-            .filter(F.size("w") >= 2)
-            .select(
-                "doc_id",
-                "lang",
-                F.explode(
-                    F.arrays_zip(
-                        F.slice("w", 1, F.size("w") - 1),
-                        F.slice("w", 2, F.size("w") - 1),
-                    )
-                ).alias("bg"),
-            )
-            .select(
-                "doc_id",
-                "lang",
-                F.col("bg")["0"].alias("w1"),
-                F.col("bg")["1"].alias("w2"),
-            )
-        )
+    bigrams_with_lang = doc_bigrams_by_lang
 
-    doc_bg = bigrams_with_lang(documents).persist(StorageLevel.MEMORY_AND_DISK)
-    lm_bg = doc_bg if lm_documents is None else bigrams_with_lang(
-        lm_documents
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    c2 = lm_bg.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = lm_bg.groupBy("lang", "w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = (
-        lm_bg.select("lang", F.col("w1").alias("t"))
-        .unionByName(lm_bg.select("lang", F.col("w2").alias("t")))
-        .groupBy("lang")
-        .agg(F.count_distinct("t").alias("v"))
-    )
+    def _managed(df: DataFrame) -> DataFrame:
+        if scratch is None:
+            return df
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        scratch.append(df)
+        return df
+
+    if lm is not None:
+        doc_bg = bigrams_with_lang(documents)  # single consumer
+        c2, c1, vocab = lm
+    else:
+        if lm_documents is None:
+            doc_bg = _managed(bigrams_with_lang(documents))
+            lm_bg = doc_bg
+        else:
+            doc_bg = bigrams_with_lang(documents)
+            lm_bg = bigrams_with_lang(lm_documents)
+        # c1/vocab derived FROM c2 (the _lm_tables identity, lang-keyed):
+        # the bigram explode has one aggregation consumer, and the
+        # derivation scans the small distinct-bigram table
+        c2 = _managed(
+            lm_bg.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+        )
+        c1 = c2.groupBy("lang", "w1").agg(F.sum("c2").alias("c1"))
+        vocab = (
+            c2.select("lang", F.col("w1").alias("t"))
+            .unionByName(c2.select("lang", F.col("w2").alias("t")))
+            .groupBy("lang")
+            .agg(F.count_distinct("t").alias("v"))
+        )
     p = (F.coalesce(F.col("c2"), F.lit(0)) + 1) / (
         F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")
     )
@@ -737,21 +739,53 @@ def doc_bigrams(documents: DataFrame) -> DataFrame:
     )
 
 
+def doc_bigrams_by_lang(documents: DataFrame) -> DataFrame:
+    """(doc_id, lang, w1, w2) — :func:`doc_bigrams` with the document's
+    language riding along (the per-language LM's partition key)."""
+    return (
+        documents.select(
+            "doc_id", "lang", tokens(F.lower(F.col("text"))).alias("w")
+        )
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("w", 1, F.size("w") - 1),
+                    F.slice("w", 2, F.size("w") - 1),
+                )
+            ).alias("bg"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("bg")["0"].alias("w1"),
+            F.col("bg")["1"].alias("w2"),
+        )
+    )
+
+
 def _lm_tables(lm_bg: DataFrame):
-    """(c2, c1, vocab) LM count tables from a bigram-occurrence frame:
-    bigram counts, context (prefix) counts, and the 1-row distinct-token
-    vocabulary size — all map-side-combined groupBys."""
+    """(c2, c1, vocab) LM count tables from a bigram-occurrence frame.
+    c1 and vocab are derived FROM c2, not from the occurrence frame:
+    c1(w1) = Σ_w2 c2(w1, w2) (a bigram's prefix count IS the sum of its
+    continuations' counts) and the vocabulary is the distinct tokens of
+    c2's (w1, w2) pairs — identical values, but the expensive bigram
+    explode has ONE aggregation consumer (c2) instead of three, and the
+    c1/vocab scans run over the far smaller distinct-bigram table
+    (sublinear in corpus size, Heaps' law)."""
     c2 = lm_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = lm_bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = (
-        lm_bg.select(F.col("w1").alias("t"))
-        .unionByName(lm_bg.select(F.col("w2").alias("t")))
+        c2.select(F.col("w1").alias("t"))
+        .unionByName(c2.select(F.col("w2").alias("t")))
         .agg(F.count_distinct("t").alias("v"))
     )
     return c2, c1, vocab
 
 
-def save_lm(documents: DataFrame, path: str) -> None:
+def save_lm(documents: DataFrame, path: str, by_lang: bool = False) -> None:
     """Write the bigram LM as a reusable artifact — the production shape
     for reference-corpus quality filtering (train the LM ONCE on a clean
     reference corpus, score every incoming shard against it): ``c2``
@@ -759,24 +793,44 @@ def save_lm(documents: DataFrame, path: str) -> None:
     explode is materialized once and feeds all three writes (the
     multi-branch rule). At corpus scale the c2 table is the scoring
     join's build side — distinct-bigram volume (sublinear in corpus
-    size), not corpus volume."""
-    from pyspark.storagelevel import StorageLevel
+    size), not corpus volume.
 
-    bg = doc_bigrams(documents).persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        c2, c1, vocab = _lm_tables(bg)
-        c2.write.mode("overwrite").parquet(f"{path}/c2")
-        c1.write.mode("overwrite").parquet(f"{path}/c1")
-        vocab.write.mode("overwrite").parquet(f"{path}/vocab")
-    finally:
-        bg.unpersist()
+    ``by_lang=True`` writes the PER-LANGUAGE artifact (CCNet's one-model-
+    per-language design): every table keyed by ``lang``, consumed by
+    :func:`lm_bigram_score_by_lang` via ``load_lm(..., by_lang=True)``."""
+    spark = documents.sparkSession
+    bg = doc_bigrams_by_lang(documents) if by_lang else doc_bigrams(documents)
+    keys = ["lang", "w1"] if by_lang else ["w1"]
+    # c2 is written first and READ BACK to derive c1/vocab (_lm_tables'
+    # c1-from-c2 identity): the bigram explode has exactly one consumer
+    # (the c2 write), so nothing needs a persist — the r10 try/finally
+    # persist is gone along with its reason to exist
+    bg.groupBy(*keys, "w2").agg(F.count(F.lit(1)).alias("c2")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/c2")
+    written_c2 = spark.read.parquet(f"{path}/c2")
+    c1 = written_c2.groupBy(*keys).agg(F.sum("c2").alias("c1"))
+    toks = written_c2.select(*keys[:-1], F.col("w1").alias("t")).unionByName(
+        written_c2.select(*keys[:-1], F.col("w2").alias("t"))
+    )
+    vocab = (
+        toks.groupBy("lang").agg(F.count_distinct("t").alias("v"))
+        if by_lang
+        else toks.agg(F.count_distinct("t").alias("v"))
+    )
+    c1.write.mode("overwrite").parquet(f"{path}/c1")
+    vocab.write.mode("overwrite").parquet(f"{path}/vocab")
 
 
-def load_lm(spark, path: str):
+def load_lm(spark, path: str, by_lang: bool = False):
     """Read a :func:`save_lm` artifact back as the (c2, c1, vocab) triple
     :func:`lm_bigram_score` accepts via ``lm=`` — score-with-written-LM
     is pinned result-identical to self-training on the same corpus
-    (tests/test_beyond.py), so the same DuckDB oracle hash-checks it."""
+    (tests/test_beyond.py), so the same DuckDB oracle hash-checks it.
+    ``by_lang=True`` reads a lang-keyed artifact for
+    :func:`lm_bigram_score_by_lang` (the parameter only documents intent
+    — the reads are schema-driven either way)."""
+    del by_lang
     return (
         spark.read.parquet(f"{path}/c2"),
         spark.read.parquet(f"{path}/c1"),
@@ -788,6 +842,7 @@ def lm_bigram_score(
     documents: DataFrame,
     lm_documents: DataFrame | None = None,
     lm=None,
+    scratch: list | None = None,
 ) -> DataFrame:
     """Language-model quality score: per-document mean Laplace-smoothed
     bigram probability under a word-bigram LM trained on
@@ -815,19 +870,44 @@ def lm_bigram_score(
     the production shape: pass ``lm_documents``, or ``lm`` = the
     (c2, c1, vocab) triple of :func:`load_lm` for a WRITTEN reference
     LM (train once, score every shard); unseen bigrams smooth to
-    1/(c1+V) and unseen contexts to 1/V via the COALESCE(0)s."""
+    1/(c1+V) and unseen contexts to 1/V via the COALESCE(0)s.
+
+    Persist policy (the difficulty_buckets r8 rule — a lazily-returned
+    result may not hold a persist it cannot release): on the ``lm=``
+    path the document bigram frame has exactly ONE consumer (the
+    scoring probe), so nothing is persisted — the streaming sinks'
+    per-epoch calls hold no cache. On the self-train/``lm_documents``
+    paths the multi-consumer frames (doc_bg feeding c2-build + probe;
+    c2 feeding join + c1 + vocab) are persisted ONLY when the caller
+    passes ``scratch`` (a list the persisted frames are appended to —
+    the ``incremental_minhash_pairs`` contract; unpersist them after
+    consuming the result). Without ``scratch`` the plan recomputes the
+    bigram explode per consumer — correct, cache-leak-free, and the
+    right default for one-shot calls; loops and benchmarks pass
+    ``scratch``."""
     from pyspark.storagelevel import StorageLevel
 
-    doc_bg = doc_bigrams(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    def _managed(df: DataFrame) -> DataFrame:
+        if scratch is None:
+            return df
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        scratch.append(df)
+        return df
+
     if lm is not None:
+        doc_bg = doc_bigrams(documents)  # single consumer — no persist
         c2, c1, vocab = lm
+    elif lm_documents is None:
+        # self-train: doc_bg feeds the c2 build AND the scoring probe
+        doc_bg = _managed(doc_bigrams(documents))
+        c2, c1, vocab = _lm_tables(doc_bg)
+        c2 = _managed(c2)  # feeds the scoring join AND c1 AND vocab
     else:
-        lm_bg = doc_bg if lm_documents is None else doc_bigrams(
-            lm_documents
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        # V: distinct tokens of the LM corpus (both bigram positions —
-        # the last token of a text appears only as w2)
-        c2, c1, vocab = _lm_tables(lm_bg)
+        # external LM corpus: doc_bg and lm_bg each have ONE consumer
+        # (probe / c2 build) — only the shared c2 table is persisted
+        doc_bg = doc_bigrams(documents)
+        c2, c1, vocab = _lm_tables(doc_bigrams(lm_documents))
+        c2 = _managed(c2)
     p = (F.coalesce(F.col("c2"), F.lit(0)) + 1) / (
         F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")
     )

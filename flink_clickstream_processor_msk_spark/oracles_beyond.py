@@ -1101,6 +1101,54 @@ FROM scored GROUP BY doc_id
 """
 
 
+def lm_bigram_score_by_lang(scale: int = 1_000_000_000) -> str:
+    """SQL twin of text.lm_bigram_score_by_lang — the :func:`lm_bigram_score`
+    formula with every count table keyed by ``lang`` (CCNet's one-model-
+    per-language design, Wenzek et al. 2020): c2 per (lang, w1, w2), c1
+    per (lang, w1), V per lang, and the vocab join INNER on lang so
+    documents of an unmodeled language drop on both engines (NULL lang
+    never equals NULL under either engine's join — same drop). The
+    per-language formula is NOT spanned by the global twin (a document's
+    smoothing denominator is its OWN language's vocabulary), so this row
+    sits in-window."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_TOKENS.format(x="lower(text)")} AS w FROM documents
+),
+big AS (
+  SELECT doc_id, lang, w[i] AS w1, w[i + 1] AS w2
+  FROM (
+    SELECT doc_id, lang, w, unnest(range(1, len(w))) AS i
+    FROM toks WHERE len(w) >= 2
+  )
+),
+c2 AS (
+  SELECT lang, w1, w2, COUNT(*) AS c2 FROM big GROUP BY lang, w1, w2
+),
+c1 AS (SELECT lang, w1, COUNT(*) AS c1 FROM big GROUP BY lang, w1),
+v AS (
+  SELECT lang, COUNT(DISTINCT t) AS v FROM (
+    SELECT lang, w1 AS t FROM big UNION ALL SELECT lang, w2 AS t FROM big
+  ) GROUP BY lang
+),
+scored AS (
+  SELECT b.doc_id, b.lang,
+    CAST(floor(
+      ((COALESCE(c2.c2, 0) + 1) / (COALESCE(c1.c1, 0) + v.v)) * {scale}
+    ) AS BIGINT) AS q
+  FROM big b
+  LEFT JOIN c2 USING (lang, w1, w2)
+  LEFT JOIN c1 USING (lang, w1)
+  JOIN v USING (lang)
+)
+SELECT doc_id, lang,
+  CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+  CAST(SUM(q) AS BIGINT) AS sum_prob_q9,
+  (CAST(SUM(q) AS DOUBLE) / COUNT(*)) / {float(scale)} AS avg_prob
+FROM scored GROUP BY doc_id, lang
+"""
+
+
 def length_percentiles() -> str:
     """SQL twin of text.length_percentiles (percentile_disc semantics:
     element at rank ceil(p*n) of the (n_tokens, doc_id) sort)."""

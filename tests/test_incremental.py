@@ -1560,3 +1560,26 @@ def test_corpus_ingest_quality_gate_filters_before_dedup(spark, tmp_path):
     assert bool(got_flags[1])  # shares grams with the benchmark doc
     assert all({a, b} <= {1, 2} for a, b in got_pairs)
     assert (1, 2) in got_pairs  # near-dups among admitted still detected
+
+
+def test_corpus_ingest_half_configured_gate_refused(spark, tmp_path):
+    """Passing exactly one of lm_path/min_avg_prob is a silently-disabled
+    quality gate the caller believes is on (ADVICE r10) — sink
+    construction must refuse loudly, before any epoch runs."""
+    import pytest
+
+    from flink_clickstream_processor_msk_spark.streaming.ingest import (
+        corpus_ingest_sink,
+    )
+
+    for kwargs in (
+        {"lm_path": str(tmp_path / "lm")},
+        {"min_avg_prob": 0.5},
+    ):
+        with pytest.raises(ValueError, match="quality gate"):
+            corpus_ingest_sink(
+                str(tmp_path / "state"), str(tmp_path / "grams"),
+                on_pairs=lambda df, e: None,
+                on_flags=lambda df, e: None,
+                **kwargs,
+            )
