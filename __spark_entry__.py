@@ -514,7 +514,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reference-parity operators at fixture-scaled windows
         # (multi-event sessions; constants-exact *_1s variants at the tail)
         "q1_user_sessions_30m": _q1(_GAP_30M),
-        "q2_session_stats_30m": _q2(_GAP_30M, _WIN_6H),
+        # real subword token counts (round 11): the fixed public BPE
+        # (functions/bpe.py — Sennrich training on a committed seed,
+        # string-replace encode shared verbatim with the recursive-CTE
+        # DuckDB twin). In-window slot freed by rotating
+        # q2_session_stats_30m to the tail: its oracle is composed
+        # VERBATIM as the base CTE of the in-window
+        # k2_session_stats_kafka_records twin, whose JSON value frames
+        # every q2 output column (any value divergence flips the k2 hash)
+        "bpe_token_stats": _on_table("documents", text.bpe_token_stats),
         # per-LANGUAGE LM quality score (round 11): CCNet's actual
         # one-model-per-language design — the per-lang smoothing formula
         # is NOT spanned by the global lm_bigram_score twin. In-window
@@ -840,11 +848,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _ivf_index(spark, sf_dir)[1],
             n_cells=len(_ivf_index(spark, sf_dir)[0]),
         ),
-        # Q3 at fixture-scaled windows: its oracle is the base CTE of the
-        # in-window k1_departments_kafka_records twin VERBATIM, and k1's
-        # JSON value frames every q3 column — rotated out in r11
-        # (displaced by lm_bigram_score_by_lang); driver-green through r10
+        # Q2/Q3 at fixture-scaled windows: each oracle is the base CTE of
+        # its in-window Kafka-sink twin VERBATIM (k2/k1), whose JSON value
+        # frames every output column — rotated out in r11 (displaced by
+        # bpe_token_stats / lm_bigram_score_by_lang); driver-green
+        # through r10
+        "q2_session_stats_30m": _q2(_GAP_30M, _WIN_6H),
         "q3_department_counts_30m": _q3(_GAP_30M, _WIN_6H),
+        # pack_sequences over REAL subword counts: the count CTE is the
+        # in-window bpe_token_stats oracle verbatim and the packing tail
+        # is the in-window pack_sequences oracle verbatim
+        # (composition-spanned, the q1_buy precedent)
+        "pack_sequences_bpe": _on_table(
+            "documents", lambda df: text.pack_sequences_bpe(df, ctx_len=512)
+        ),
         # reference-parity constants (CP:129,143,152) — same operators as
         # the *_30m head rows, the reference's exact window constants
         "q1_user_sessions_1s": _q1(_GAP_1S),
@@ -917,6 +934,8 @@ def oracle_sql() -> dict[str, str]:
         "difficulty_buckets": oracles_beyond.difficulty_buckets(),
         "repetition_filter": oracles_beyond.repetition_filter(),
         "pack_sequences": oracles_beyond.pack_sequences(ctx_len=512),
+        "bpe_token_stats": oracles_beyond.bpe_token_stats(),
+        "pack_sequences_bpe": oracles_beyond.pack_sequences_bpe(ctx_len=512),
         "source_mix_weights": oracles_beyond.source_mix_weights(group_col="lang"),
         "ngram_topk_per_lang": oracles_beyond.ngram_topk_per_lang(),
         "resample_corpus": oracles_beyond.resample_corpus(),

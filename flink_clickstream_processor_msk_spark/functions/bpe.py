@@ -10,44 +10,56 @@ that tool), NOT data-derived state.
 
 Encoding semantics — the string-replace formulation, chosen because it is
 expressible IDENTICALLY in Python and DuckDB SQL (the oracle-parity
-requirement):
+requirement). Every symbol is wrapped in an open/close marker pair:
 
-    pieces(pre_token) = for (a, b) in MERGES, in order:
-        s = s.replace(a + SEP + b, a + b)        # greedy, left-to-right
-    over s = SEP.join(characters of pre_token)
+    s = "".join(OPEN + ch + CLOSE for ch in pre_token)
+    for (a, b) in MERGES, in order:                      # training rank
+        s = s.replace(OPEN+a+CLOSE + OPEN+b+CLOSE, OPEN+a+b+CLOSE)
 
 One greedy non-overlapping left-to-right pass per merge, merges applied
-strictly in training-rank order, is equivalent to the reference
-"repeatedly merge the lowest-rank pair present" loop: a merge's
-constituent symbols are produced only by earlier-ranked merges, so by the
-time rank r runs, every lower rank has been exhausted and applying r
-cannot create a lower-ranked pair. Pre-tokenization is the repo's
-whitespace convention (``text.tokens`` — ASCII ``\\s``) over lowercased
-text with the separator byte stripped (``\\x1f`` in a document would
-corrupt the joined representation, so both engines remove it first).
+strictly in training-rank order. The WRAPPED representation is what makes
+a raw string replace a correct symbol-level merge: with a bare single
+separator, ``a + SEP + b`` also matches where ``b`` is a PREFIX of the
+actual next symbol (or ``a`` a suffix of the previous one) — e.g. pattern
+``a␟s`` inside ``a␟sc`` — merging across a symbol boundary (caught by the
+property fuzz in tests/test_beyond.py). With each symbol carrying its own
+``OPEN…CLOSE`` frame, the pattern can only match a complete adjacent
+symbol pair, and consecutive matches share no characters, so one pass has
+exactly the reference greedy-merge semantics. Rank-order application then
+matches the classic "repeatedly merge the lowest-rank pair present" loop
+— a merge's constituents are produced only by earlier-ranked merges, so
+by the time rank r runs every lower rank is exhausted — which the
+property test pins against a reference implementation of that loop.
 
-The SQL twin (oracles_beyond.bpe_token_stats) compiles MERGES into a
-nested ``replace(...replace(base, 'a'||chr(31)||'b', 'ab')...)`` chain —
-same passes, same order, same greedy scan — which is why the Python
-kernel below uses str.replace rather than the classic list-based merge
-loop: both sides run the LITERAL same algorithm.
+Pre-tokenization is the repo's whitespace convention (``text.tokens`` —
+ASCII ``\\s``) over lowercased text with BOTH marker bytes stripped
+(``\\x1f``/``\\x1e`` in a document would corrupt the representation, so
+both engines remove them first).
+
+The SQL twin (oracles_beyond._bpe_ctes) compiles MERGES into a recursive
+merge CTE running the same ``replace`` passes in the same order over the
+same representation: both sides run the LITERAL same algorithm.
 """
 
 from __future__ import annotations
 
-#: token-piece separator inside the joined representation; stripped from
+#: symbol open/close markers of the wrapped representation; stripped from
 #: input text on both engines before encoding
 BPE_SEP = "\x1f"
+BPE_CLOSE = "\x1e"
 
 
 def bpe_pieces(token: str) -> list[str]:
-    """Subword pieces of one (lowercased, SEP-free) pre-token."""
+    """Subword pieces of one (lowercased, marker-free) pre-token."""
     if not token:
         return []
-    s = BPE_SEP.join(token)
+    s = "".join(BPE_SEP + ch + BPE_CLOSE for ch in token)
     for a, b in MERGES:
-        s = s.replace(a + BPE_SEP + b, a + b)
-    return s.split(BPE_SEP)
+        s = s.replace(
+            BPE_SEP + a + BPE_CLOSE + BPE_SEP + b + BPE_CLOSE,
+            BPE_SEP + a + b + BPE_CLOSE,
+        )
+    return s[1:-1].split(BPE_CLOSE + BPE_SEP)
 
 
 def bpe_piece_count(token: str, _memo: dict[str, int] | None = None) -> int:

@@ -274,6 +274,109 @@ WHERE dup_2gram_frac <= {max_dup_2gram} AND dup_3gram_frac <= {max_dup_3gram}
 """
 
 
+def _sqlq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _bpe_ctes() -> str:
+    """The shared BPE-encode CTE block (toks → vocab → merges → enc →
+    counts): the fixed public merges table (functions/bpe.MERGES) compiled
+    into a RECURSIVE merge CTE — one greedy left-to-right ``replace`` pass
+    per merge, in training-rank order, over the WRAPPED symbol
+    representation (every symbol framed chr(31)…chr(30), which is what
+    makes a raw string replace a correct symbol-level merge — see
+    functions/bpe.py's docstring for the prefix/suffix ambiguity a bare
+    separator has). This is literally the Python kernel's algorithm
+    (functions/bpe.bpe_pieces uses str.replace, so both engines run the
+    same passes); recursion instead of 192 nested replace() calls because
+    DuckDB's binder caps expression depth at 128. Encoding the DISTINCT
+    vocabulary then joining counts back is the kernel's memoization,
+    expressed relationally. Requires the query to open with
+    ``WITH RECURSIVE``. Symbol count = count of chr(31) frames."""
+    from flink_clickstream_processor_msk_spark.functions.bpe import MERGES
+
+    vals = ",\n    ".join(
+        f"({i + 1}, "
+        f"chr(31) || {_sqlq(a)} || chr(30) || chr(31) || {_sqlq(b)} || chr(30), "
+        f"chr(31) || {_sqlq(a + b)} || chr(30))"
+        for i, (a, b) in enumerate(MERGES)
+    )
+    toks = _TOKENS.format(
+        x="lower(replace(replace(text, chr(31), ''), chr(30), ''))"
+    )
+    return f"""toks AS (
+  SELECT doc_id, unnest({toks}) AS t FROM documents
+),
+vocab AS (SELECT DISTINCT t FROM toks),
+merges(r, src, tgt) AS (VALUES
+    {vals}),
+enc(t, s, r) AS (
+  SELECT t,
+    chr(31) || array_to_string(
+      regexp_split_to_array(t, ''), chr(30) || chr(31)) || chr(30),
+    0
+  FROM vocab
+  UNION ALL
+  SELECT e.t, replace(e.s, m.src, m.tgt), e.r + 1
+  FROM enc e JOIN merges m ON m.r = e.r + 1
+),
+counts AS (
+  SELECT t, len(s) - len(replace(s, chr(31), '')) AS n
+  FROM enc WHERE r = {len(MERGES)}
+)"""
+
+
+def bpe_token_stats() -> str:
+    """SQL twin of text.bpe_token_stats: real subword counts under the
+    fixed public BPE — per doc, whitespace pre-token count, total BPE
+    piece count, and their single-division ratio."""
+    return f"""
+WITH RECURSIVE {_bpe_ctes()}
+SELECT doc_id,
+  CAST(COUNT(*) AS INTEGER) AS n_word_tokens,
+  CAST(SUM(c.n) AS BIGINT) AS n_bpe_tokens,
+  CAST(SUM(c.n) AS DOUBLE) / COUNT(*) AS bpe_per_word
+FROM toks JOIN counts c USING (t) GROUP BY doc_id
+"""
+
+
+def pack_sequences_bpe(ctx_len: int = 2048, n_shards: int = 32) -> str:
+    """SQL twin of text.pack_sequences_bpe: the pack_sequences machinery
+    (same shard/window/floor formulas) over BPE piece counts — the count
+    CTE is :func:`bpe_token_stats`'s block verbatim and the packing tail
+    is :func:`pack_sequences`'s verbatim, which is why this row sits in
+    the tail (composition-spanned). NULL text keeps its row with NULL
+    seq_tokens (SUM skips it on both engines); token-less text packs 0."""
+    shard = f"({_h60('doc_id::VARCHAR')}) % {n_shards}"
+    return f"""
+WITH RECURSIVE {_bpe_ctes()},
+doc_bpe AS (
+  SELECT doc_id, SUM(c.n) AS n FROM toks JOIN counts c USING (t)
+  GROUP BY doc_id
+),
+base AS (
+  SELECT d.doc_id,
+    CAST({shard} AS INTEGER) AS shard,
+    CASE WHEN d.text IS NULL THEN NULL
+         ELSE CAST(COALESCE(b.n, 0) AS BIGINT) END AS seq_tokens
+  FROM documents d LEFT JOIN doc_bpe b USING (doc_id)
+),
+cum AS (
+  SELECT doc_id, shard, seq_tokens,
+    COALESCE(SUM(seq_tokens) OVER (
+      PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM base
+)
+SELECT doc_id, shard,
+  CAST(seq_tokens AS INTEGER) AS seq_tokens,
+  CAST(start % {ctx_len} AS INTEGER) AS pack_offset,
+  CAST(shard AS BIGINT) * {1 << 32}
+    + CAST(floor(start / {float(ctx_len)}) AS BIGINT) AS pack_id
+FROM cum
+"""
+
+
 def pack_sequences(ctx_len: int = 2048, n_shards: int = 32) -> str:
     """SQL twin of text.pack_sequences (md5-derived shard, windowed
     running token sum, floor-of-double pack index — same formula order)."""

@@ -1365,3 +1365,114 @@ def test_lm_bigram_score_by_lang_uses_own_language_model(spark):
         for r in text.lm_bigram_score_by_lang(docs, lm_documents=ref).collect()
     }
     assert got == {1, 2, 3}
+
+
+# --- byte-BPE tokenizer (functions/bpe.py, round 11) ------------------------
+
+
+def _bpe_reference_pieces(token: str) -> list[str]:
+    """The classic reference formulation (Sennrich/GPT-2 encode loop):
+    repeatedly merge the LOWEST-RANK pair present in the symbol sequence,
+    greedy left-to-right within a pass — the algorithm the string-replace
+    formulation claims equivalence with (functions/bpe.py docstring)."""
+    from flink_clickstream_processor_msk_spark.functions.bpe import MERGES
+
+    rank = {pair: i for i, pair in enumerate(MERGES)}
+    word = list(token)
+    while len(word) > 1:
+        pairs = {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+        ranked = [p for p in pairs if p in rank]
+        if not ranked:
+            break
+        a, b = min(ranked, key=lambda p: rank[p])
+        out, i = [], 0
+        while i < len(word):
+            if i + 1 < len(word) and word[i] == a and word[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(word[i])
+                i += 1
+        word = out
+    return word
+
+
+def test_bpe_replace_formulation_matches_reference_loop():
+    """Property pin of the equivalence claim both engines rely on: the
+    rank-ordered string-replace encode (Python str.replace == DuckDB
+    replace) produces the same pieces as the lowest-rank-present loop."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_clickstream_processor_msk_spark.functions.bpe import bpe_pieces
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz.0", min_size=1, max_size=24))
+    def check(token):
+        assert bpe_pieces(token) == _bpe_reference_pieces(token)
+
+    check()
+    # seed-vocabulary words merge all the way; junk stays char-split
+    assert bpe_pieces("the") == ["the"]
+    assert bpe_pieces("filter") == ["filter"]
+    assert bpe_pieces("zq") == ["z", "q"]
+
+
+def test_bpe_merges_fixture_reproducible():
+    """The committed merges table IS tools/train_bpe_merges.py's output on
+    its fixed seed (re-running the trainer must be a no-op diff — the
+    fixture is a public artifact, not drifting state)."""
+    import importlib.util
+    import os
+
+    from flink_clickstream_processor_msk_spark.functions.bpe import MERGES
+
+    tool = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "train_bpe_merges.py",
+    )
+    spec = importlib.util.spec_from_file_location("train_bpe_merges", tool)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.train(mod.SEED, mod.N_MERGES) == MERGES
+
+
+def test_bpe_token_stats_and_pack_bpe(spark):
+    """Spark-side plumbing: counts match the kernel, token-less/NULL docs
+    follow the contract (stats drops them; pack keeps rows, NULL text →
+    NULL seq_tokens, empty → 0), and pack_sequences_bpe is column-
+    compatible with pack_sequences."""
+    from flink_clickstream_processor_msk_spark.functions.bpe import (
+        bpe_token_count,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The filter joins the Table"),
+            (2, "zq \x1fzq"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    stats = {r["doc_id"]: r for r in text.bpe_token_stats(docs).collect()}
+    assert set(stats) == {1, 2}  # 3 and 4 have nothing to size
+    assert stats[1]["n_word_tokens"] == 5
+    assert stats[1]["n_bpe_tokens"] == bpe_token_count(
+        ["the", "filter", "joins", "the", "table"]
+    )
+    assert stats[1]["bpe_per_word"] == stats[1]["n_bpe_tokens"] / 5
+    # separator byte stripped BEFORE tokenizing: "zq \x1fzq" -> zq, zq
+    assert stats[2]["n_word_tokens"] == 2
+    assert stats[2]["n_bpe_tokens"] == 4  # z q / z q
+
+    packed = {r["doc_id"]: r for r in text.pack_sequences_bpe(docs, ctx_len=8).collect()}
+    assert set(packed) == {1, 2, 3, 4}  # every doc keeps a row
+    assert packed[4]["seq_tokens"] is None
+    assert packed[3]["seq_tokens"] == 0
+    assert packed[1]["seq_tokens"] == stats[1]["n_bpe_tokens"]
+    assert (
+        text.pack_sequences(docs, ctx_len=8).columns
+        == text.pack_sequences_bpe(docs, ctx_len=8).columns
+    )
