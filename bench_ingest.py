@@ -22,6 +22,12 @@ never-retrained stale twin that received the identical appends. One JSON
 line: {"metric": "pq_retrain_ingest_vecs_per_sec", ...,
 "retrain_wall_sec": s, "retrain_epoch": e, "recall_stale": r0,
 "recall_retrained": r1}.
+
+BENCH_INGEST_MODE=pq_policy runs the PERIODIC re-train policy leg
+(OOD + growth triggers composed): same drifted stream through three
+arms (stale / one-shot-OOD / policy) scored at END of stream — the
+one-shot arm's ~0 end recall is the failing baseline the policy must
+beat. BENCH_INGEST_GROWTH overrides growth_retrain_fraction (0.2).
 """
 
 from __future__ import annotations
@@ -328,6 +334,182 @@ def pq_retrain_mode() -> None:
     spark.stop()
 
 
+def pq_policy_mode() -> None:
+    """The PERIODIC re-train policy (OOD + growth triggers composed;
+    VERDICT r10 next#2): pq_retrain_mode proves the one-shot OOD fire
+    recovers recall AT THE FIRE POINT, but PLANS.md round-10 lesson 3
+    measured that by END of stream the drifted region has grown past its
+    codebook allocation and recall reads ~0 under both the stale and the
+    once-retrained twin. This leg replays the identical drifted stream
+    through THREE arms and scores all of them at END of stream (exact
+    squared-L2 truth — PQ's own metric):
+
+      stale   — base codebooks, appends only (no policy)
+      oneshot — OOD trigger only (the r10 failing baseline to beat)
+      policy  — OOD + growth_retrain_fraction: re-fires whenever the
+                corpus grows past the fraction since the last train, so
+                codebook allocation tracks composition
+
+    Pass criterion: recall_policy holds (≫ oneshot ≈ stale ≈ 0) and the
+    policy's re-train count stays bounded (cost amortizes over a growth
+    factor, not per batch)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_batches = int(os.environ.get("BENCH_INGEST_BATCHES", "10"))
+    growth_fraction = float(os.environ.get("BENCH_INGEST_GROWTH", "0.2"))
+    drift_shift = 0.5
+    topk = 10
+    n_queries = 25
+    id_off = 100_000
+
+    import numpy as np
+
+    from flink_clickstream_processor_msk_spark import get_spark
+    from flink_clickstream_processor_msk_spark.operators import similarity
+    from flink_clickstream_processor_msk_spark.streaming.ingest import (
+        index_ingest_sink,
+    )
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="bench-ingest-pq-policy")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    half = emb.count() // 2
+    base = emb.filter(F.col("vec_id") < half)
+    drifted = emb.filter(F.col("vec_id") >= half).select(
+        (F.col("vec_id") + F.lit(id_off)).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x + F.lit(drift_shift)).cast("float")
+        ).alias("embedding"),
+    )
+
+    # contiguous id-range batches (the pq_retrain slicing lesson)
+    lo, n_d = drifted.agg(F.min("vec_id"), F.count(F.lit(1))).first()
+    per = -(-n_d // n_batches)
+    batches = [
+        drifted.filter(
+            (F.col("vec_id") >= lo + i * per)
+            & (F.col("vec_id") < lo + (i + 1) * per)
+        )
+        for i in range(n_batches)
+    ]
+
+    base_cbs = similarity.pq_refine_codebooks(base)
+    arms = {}
+    for arm in ("stale", "oneshot", "policy"):
+        path = tempfile.mkdtemp(prefix=f"bench-pqpol-{arm}-")
+        similarity.save_pq_index(base, path, codebooks=base_cbs)
+        arms[arm] = path
+
+    def make_retrain(path, seen, fires):
+        def retrain(sp, epoch_id):
+            corpus = seen[0]
+            for b in seen[1:]:
+                corpus = corpus.unionByName(b)
+            t0 = time.perf_counter()
+            similarity.save_pq_index(
+                corpus, path,
+                codebooks=similarity.pq_refine_codebooks(
+                    corpus,
+                    codebooks=similarity.pq_codebooks(
+                        corpus, representative=True
+                    ),
+                ),
+            )
+            fires.append(
+                {"epoch": epoch_id,
+                 "wall": round(time.perf_counter() - t0, 3)}
+            )
+        return retrain
+
+    seen_one: list = [base]
+    seen_pol: list = [base]
+    fires_one: list = []
+    fires_pol: list = []
+    writers = {
+        "stale": index_ingest_sink(arms["stale"], kind="pq"),
+        "oneshot": index_ingest_sink(
+            arms["oneshot"], kind="pq",
+            retrain_hook=make_retrain(arms["oneshot"], seen_one, fires_one),
+        ),
+        "policy": index_ingest_sink(
+            arms["policy"], kind="pq",
+            retrain_hook=make_retrain(arms["policy"], seen_pol, fires_pol),
+            growth_retrain_fraction=growth_fraction,
+        ),
+    }
+
+    epoch_walls = []  # policy arm — the cost the policy actually adds
+    start = time.perf_counter()
+    for epoch, b in enumerate(batches):
+        seen_one.append(b)
+        seen_pol.append(b)
+        writers["stale"](b, epoch)
+        writers["oneshot"](b, epoch)
+        t0 = time.perf_counter()
+        writers["policy"](b, epoch)
+        epoch_walls.append(round(time.perf_counter() - t0, 3))
+    total_wall = time.perf_counter() - start
+
+    # END-OF-STREAM recall: the live indexes already hold every vector,
+    # so no fire-point rebuild — this is exactly the state a reader probes
+    # after the stream. Truth over the full end corpus.
+    end_corpus = base
+    for b in batches:
+        end_corpus = end_corpus.unionByName(b)
+    mat = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in end_corpus.collect()
+    }
+    ids = np.array(sorted(mat))
+    X = np.stack([mat[i] for i in ids])
+    stride = max(1, sum(1 for i in ids if i >= id_off) // n_queries)
+    qids = [int(i) for i in ids if i >= id_off][::stride][:n_queries]
+
+    def truth(qid):
+        d2 = ((X - mat[qid]) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d2))
+        return [int(ids[j]) for j in order if ids[j] != qid][:topk]
+
+    def recall(path):
+        idx = similarity.load_pq_index(spark, path)
+        got_total = 0
+        for qid in qids:
+            got = {
+                r["vec_id"]
+                for r in similarity.ann_pq_topk(
+                    end_corpus, qid, topk, index=idx
+                ).collect()
+            }
+            got_total += len(got & set(truth(qid)))
+        return round(got_total / (topk * len(qids)), 3)
+
+    recalls = {arm: recall(path) for arm, path in arms.items()}
+    for path in arms.values():
+        shutil.rmtree(path, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "metric": "pq_policy_end_recall",
+                "value": recalls["policy"],
+                "unit": "recall@10",
+                "recall_stale": recalls["stale"],
+                "recall_oneshot": recalls["oneshot"],
+                "recall_policy": recalls["policy"],
+                "growth_fraction": growth_fraction,
+                "fires_oneshot": fires_one,
+                "fires_policy": fires_pol,
+                "vecs": n_d,
+                "batches": n_batches,
+                "wall_sec": round(total_wall, 3),
+                "policy_epoch_walls": epoch_walls,
+                "sf": sf_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
 def lm_quality_mode() -> None:
     """Streaming quality-scoring throughput (lm_quality_ingest_sink):
     train the reference LM on the sf-tier documents once (untimed), then
@@ -403,6 +585,8 @@ if __name__ == "__main__":
     mode = os.environ.get("BENCH_INGEST_MODE")
     if mode == "pq_retrain":
         pq_retrain_mode()
+    elif mode == "pq_policy":
+        pq_policy_mode()
     elif mode == "lm_quality":
         lm_quality_mode()
     else:

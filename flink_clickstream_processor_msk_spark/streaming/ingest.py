@@ -367,6 +367,7 @@ def index_ingest_sink(
     on_occupancy: Callable[[DataFrame, int], None] | None = None,
     retrain_hook: Callable[[SparkSession, int], None] | None = None,
     ood_retrain_fraction: float | None = None,
+    growth_retrain_fraction: float | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch writer for a streaming DataFrame of embeddings
     (vec_id, embedding, ...): each micro-batch is routed/encoded by the
@@ -404,6 +405,21 @@ def index_ingest_sink(
       twin — both halves are required) — then monitoring restarts
       against the re-trained reference. Indexes saved before the ood_ref sidecar existed keep
       monitoring off rather than inventing a threshold.
+    - ``kind="pq"`` + ``retrain_hook`` + ``growth_retrain_fraction``:
+      the COMPOSITION trigger the one-shot OOD fire lacks (PLANS.md
+      round-10 lesson 3, VERDICT r10 next#2): after a re-train the
+      drifted region is in-distribution, the OOD monitor correctly
+      never re-fires, and the region keeps growing past the codebook
+      allocation it got at train time — by stream end recall reads ~0
+      under BOTH the stale and once-retrained twins. The growth trigger
+      re-fires the hook whenever vectors appended SINCE the last train
+      exceed this fraction of the reference corpus size (base_n from
+      the ood_ref sidecar, refreshed at each re-train), so codebook
+      allocation tracks composition: re-train cost amortizes over a
+      bounded growth factor and end-of-stream recall holds (measured:
+      ``BENCH_INGEST_MODE=pq_policy``). Both triggers compose — OOD
+      catches a sudden distribution break inside the growth window,
+      growth catches the slow composition shift OOD is blind to.
     """
     from flink_clickstream_processor_msk_spark.operators import similarity
 
@@ -435,10 +451,17 @@ def index_ingest_sink(
         monitor["appended"] += agg["n"] or 0
         monitor["ood"] += agg["ood"] or 0
         frac = monitor["ood"] / max(base_n + monitor["appended"], 1)
-        if frac > ood_retrain_fraction:
+        grown = (
+            growth_retrain_fraction is not None
+            and monitor["appended"] / max(base_n, 1) > growth_retrain_fraction
+        )
+        if frac > ood_retrain_fraction or grown:
             retrain_hook(spark, epoch_id)
             # restart against the re-trained reference (new codebooks,
-            # new base quantile, counters cleared)
+            # new base quantile — so base_n now includes everything the
+            # re-train saw — counters cleared): the growth trigger can
+            # therefore RE-fire each time the corpus grows another
+            # fraction, which is what makes it a periodic policy
             monitor.update(ref="unresolved", cbs=None, ood=0, appended=0)
 
     def write(batch_vecs: DataFrame, epoch_id: int) -> None:

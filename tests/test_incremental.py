@@ -1340,6 +1340,54 @@ def test_pq_ood_monitor_retrains_exactly_once_and_recall_improves(spark, tmp_pat
     assert r_retrained > r_stale, (r_stale, r_retrained)
 
 
+def test_pq_growth_trigger_refires_periodically(spark, tmp_path):
+    """The COMPOSITION trigger (VERDICT r10 next#2): a stream of
+    IN-DISTRIBUTION vectors (copies of base — the OOD monitor sees
+    ~(1-q) of them over threshold, far under its 10%) still re-fires the
+    retrain hook every time the corpus grows past growth_retrain_fraction
+    of the CURRENT reference size, with base_n refreshing at each
+    re-train — the periodic policy the one-shot OOD fire lacks.
+
+    Arithmetic pinned: base_n=100, 30-vector batches, fraction 0.5 →
+    fire at epoch 1 (60/100 > 0.5), re-train sees 160 vectors, fire
+    again at epoch 4 (90/160 > 0.5) — exactly [1, 4]."""
+    from flink_clickstream_processor_msk_spark.streaming.ingest import (
+        index_ingest_sink,
+    )
+
+    base, _ = _base_and_drifted(spark)
+    path = str(tmp_path / "pq_growth")
+    similarity.save_pq_index(base, path)
+    seen = [base]
+    fired: list[int] = []
+
+    def retrain(sp, epoch_id):
+        fired.append(epoch_id)
+        corpus = seen[0]
+        for b in seen[1:]:
+            corpus = corpus.unionByName(b)
+        similarity.save_pq_index(
+            corpus, path,
+            codebooks=similarity.pq_codebooks(corpus, representative=True),
+        )
+
+    write = index_ingest_sink(
+        path, kind="pq", retrain_hook=retrain, growth_retrain_fraction=0.5
+    )
+    rows = base.collect()
+    for epoch in range(5):
+        batch = spark.createDataFrame(
+            [
+                (200_000 + 1000 * epoch + i, r["embedding"])
+                for i, r in enumerate(rows[:30])
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        seen.append(batch)
+        write(batch, epoch)
+    assert fired == [1, 4], fired
+
+
 def test_lm_quality_ingest_sink_matches_batch(spark, tmp_path):
     """The streaming quality scorer: per-epoch scores against a written
     reference LM compose (across a 2-batch replay) to exactly the batch
