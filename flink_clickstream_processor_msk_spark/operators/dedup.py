@@ -431,6 +431,7 @@ def append_dedup_state(
     new_state: DataFrame, path: str, n_perms: int = N_PERMS,
     n_bands: int = N_BANDS, n_buckets: int | None = None,
     resolved_ptmod: int | None = None,
+    delta_files: int = 1,
 ) -> None:
     """Fold a new batch's state rows (as returned by
     :func:`batch_dedup_state`) into the saved state, so the NEXT ingest
@@ -451,7 +452,17 @@ def append_dedup_state(
     (the delta is recent-appends-sized and its (band_idx, pt) filter
     pushes down as an ordinary row-group filter), and
     :func:`compact_dedup_state` periodically rebuilds the partitioned
-    base from the signature table and clears the delta."""
+    base from the signature table and clears the delta.
+
+    ``delta_files`` coalesces each append to that many parquet files
+    (default 1): without it the banded frame inherits the session's
+    shuffle partitioning and a 500-doc batch writes ~32 tiny files, so a
+    deep delta's probe cost is FILE-OPEN-bound, not row-bound — measured
+    (tools/measure_compaction_cadence.py) at a 160-batch/80 k-doc delta,
+    ~5000 tiny files put the probe at 8.7 s vs a 3.4 s empty-delta floor;
+    on an object store per-file opens dominate even harder. Coalescing a
+    micro-batch-sized append is free: the banding explode of a ≤ few-k-doc
+    batch is trivially single-partition work."""
     deleted = load_deleted_ids(new_state.sparkSession, path)
     if deleted is not None:
         clash = (
@@ -469,9 +480,9 @@ def append_dedup_state(
                 f"tombstoned at {path}; run compact_dedup_state before "
                 "re-adding deleted documents"
             )
-    new_state.select("doc_id", "shingles", "signature").write.mode(
-        "append"
-    ).parquet(f"{path}/minhash_state")
+    new_state.select("doc_id", "shingles", "signature").coalesce(
+        delta_files
+    ).write.mode("append").parquet(f"{path}/minhash_state")
     recorded = (
         resolved_ptmod
         if resolved_ptmod is not None
@@ -493,6 +504,7 @@ def append_dedup_state(
         _banded(new_state, n_bands, n_perms, None, carry=("shingles",))
         .withColumn("pt", _state_bucket(F.col("band_key"), n_buckets))
         .withColumn("ptmod", F.lit(n_buckets))
+        .coalesce(delta_files)
         .write.mode("append")
         .parquet(f"{path}/banded_delta")
     )

@@ -109,6 +109,59 @@ class _StateHandles:
         self._base = None
 
 
+# Measured constants behind recommended_compact_every (sf0.1 base corpus,
+# 500-doc batches, delta swept log-spaced to 160 batches = 80 k docs —
+# tools/measure_compaction_cadence.py; PLANS.md round-11 row):
+#   - with delta_files=1 appends (the append_dedup_state default), the
+#     probe-vs-delta-rows slope is BELOW the host-noise band through a
+#     16×-base delta (fit −0.007 s/kdoc) — the row term is unmeasurable,
+#   - the term that DOES grow is per-delta-FILE open cost: the pre-fix
+#     sweep (~31 files/append) rose 3.4 → 8.7 s over ~5000 delta files,
+#     i.e. ~1.06 ms/file — on an object store a LIST+GET per file costs
+#     10-100× more, which only shrinks E* by sqrt of that,
+#   - compaction is a corpus-banded rewrite: 5.5-7.2 s here, mildly
+#     delta-sensitive (mean 6.2 s).
+COMPACT_WALL_SEC = 6.2
+PROBE_SEC_PER_DELTA_FILE = 0.00106
+DELTA_FILES_PER_EPOCH = 1
+
+
+def recommended_compact_every(
+    compact_wall_sec: float = COMPACT_WALL_SEC,
+    probe_sec_per_delta_file: float = PROBE_SEC_PER_DELTA_FILE,
+    files_per_epoch: int = DELTA_FILES_PER_EPOCH,
+) -> int:
+    """The measured default for the sinks' ``compact_every`` knob, so
+    operators don't guess (VERDICT r10 next#5).
+
+    With one probe per epoch and ``files_per_epoch`` delta files appended
+    per epoch, a compact-every-E policy pays per cycle the compaction
+    wall C plus the growing per-probe file-open term
+    ``sum_k f·files_per_epoch·k ≈ f·files_per_epoch·E²/2``; the amortized
+    per-epoch cost ``C/E + f·files_per_epoch·E/2`` is minimized at
+
+        E* = sqrt(2·C / (f·files_per_epoch))
+
+    Batch SIZE drops out: the measured row term is below noise through a
+    16×-base delta once appends are coalesced (``delta_files=1``), so the
+    file count — not the doc count — is the delta's real probe cost. With
+    the local measurements this returns ~108 epochs; on an object store
+    pass the store's per-object read overhead (e.g. 0.03 s per GET) to
+    get the tighter ~20. Either way the optimum sits far above an
+    every-few-epochs habit: compacting at single-digit cadences pays the
+    corpus rewrite ~10-20× before the delta costs anything."""
+    return max(
+        1,
+        round(
+            (
+                2 * compact_wall_sec
+                / (probe_sec_per_delta_file * files_per_epoch)
+            )
+            ** 0.5
+        ),
+    )
+
+
 def dedup_ingest_sink(
     state_path: str,
     on_pairs: Callable[[DataFrame, int], None],
@@ -126,8 +179,10 @@ def dedup_ingest_sink(
     N-th epoch's fold, :func:`~...operators.dedup.compact_dedup_state`
     rebuilds the partitioned banded base from the signature table and
     clears the flat append delta, so probe-side partition pruning keeps
-    covering the whole corpus instead of an ever-growing delta. Size N to
-    the batch cadence (compaction costs one corpus-banded rewrite).
+    covering the whole corpus instead of an ever-growing delta. Default
+    N: :func:`recommended_compact_every` — measured, not guessed (the
+    delta's probe cost is file-open-bound, so the optimum is
+    sqrt(2·compact_wall / per-file-cost) epochs, ~100 locally).
 
     Per-epoch fixed cost: the state's modulus and base listing are
     resolved once (:class:`_StateHandles`), only the small flat delta is

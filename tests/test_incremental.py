@@ -1340,6 +1340,49 @@ def test_pq_ood_monitor_retrains_exactly_once_and_recall_improves(spark, tmp_pat
     assert r_retrained > r_stale, (r_stale, r_retrained)
 
 
+def test_recommended_compact_every_arithmetic():
+    """The cadence default is sqrt(2C/(f·k)) — pinned against hand
+    arithmetic, and monotone the right way: costlier compaction → wait
+    longer, costlier per-file probes (object stores) → compact sooner.
+    Also: append_dedup_state's delta_files=1 default writes ONE delta
+    file per append (the knob the derivation's files_per_epoch=1 rests
+    on) — checked in test_append_delta_is_one_file below."""
+    from flink_clickstream_processor_msk_spark.streaming.ingest import (
+        recommended_compact_every,
+    )
+
+    assert recommended_compact_every(6.2, 0.00106, 1) == 108
+    assert recommended_compact_every(6.2, 0.03, 1) == 20  # object store
+    assert recommended_compact_every() == 108  # measured defaults
+    assert recommended_compact_every(24.8, 0.00106, 1) == 216  # 4×C → 2×E
+    assert recommended_compact_every(6.2, 0.00106, 4) == 54  # 4×files → E/2
+    assert recommended_compact_every(0.001, 10.0, 1) == 1  # floor
+
+
+def test_append_delta_is_one_file(spark, tmp_path):
+    """delta_files=1 (default): each append lands exactly ONE parquet
+    file in banded_delta and one in minhash_state, whatever partitioning
+    the batch frame arrives with — the file-count term that made deep
+    deltas probe at 8.7 s vs the 3.4 s floor in the uncoalesced sweep
+    (~31 files/append; tools/measure_compaction_cadence.py) stays
+    O(epochs), not O(epochs × shuffle partitions)."""
+    import os
+
+    def pq_files(sub):
+        d = f"{path}/{sub}"
+        return {f for f in os.listdir(d) if f.endswith(".parquet")}
+
+    corpus, new = _corpus_and_batch(spark)
+    path = str(tmp_path / "one_file_state")
+    dedup.save_dedup_state(corpus, path)
+    state_before = pq_files("minhash_state")
+    batch = dedup.batch_dedup_state(new.repartition(8))  # adversarial
+    dedup.append_dedup_state(batch, path)
+    batch.unpersist()
+    assert len(pq_files("banded_delta")) == 1, pq_files("banded_delta")
+    assert len(pq_files("minhash_state") - state_before) == 1
+
+
 def test_pq_growth_trigger_refires_periodically(spark, tmp_path):
     """The COMPOSITION trigger (VERDICT r10 next#2): a stream of
     IN-DISTRIBUTION vectors (copies of base — the OOD monitor sees
