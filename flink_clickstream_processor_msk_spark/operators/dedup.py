@@ -1396,6 +1396,88 @@ def embedding_near_duplicates(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    iterations: int = 2,
+    threshold: float = COSINE_THRESHOLD,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cluster
+    the embedding space, then search semantic near-duplicates ONLY within
+    a cluster — the clustering IS the candidate generation, replacing the
+    hyperplane-LSH buckets of :func:`embedding_near_duplicates` with
+    learned density-adaptive cells (LSH buckets are data-oblivious; a
+    dense semantic region can straddle hyperplanes and leak pairs, which
+    is exactly the failure SemDeDup's clustering avoids).
+
+    Returns one row per vector: ``(vec_id, cell, is_kept)`` —
+    ``is_kept = false`` iff the vector has a LOWER-id neighbor in the
+    SAME cell with cosine ≥ ``threshold`` (the deterministic keep-first
+    representative rule, as in the exact/minhash dedup family).
+
+    Scale shape: the quadratic term is per-cell (≈ (n/k)² per cell), and
+    k GROWS with the corpus (SemDeDup used 50 k clusters for LAION) so
+    cell populations stay bounded; at cluster scale the cell table is the
+    written IVF index partitioned by ``cell`` (save_ivf_index), making
+    the pair self-join cell-co-partitioned — no corpus-wide shuffle and
+    no all-pairs term. The k-means build reuses the ANN index machinery
+    (:func:`~...similarity.kmeans_refine_centroids`: one distributed
+    pass per iteration, only k×(dim+1) scaled-integer sums to the
+    driver), so the SAME written index serves both search and dedup.
+
+    Pass ``index=`` a prebuilt ``(vec_id, v, cell)`` table (from
+    ``build_ivf_index`` over refined centroids) to amortize the build
+    across calls — the driver query shares the ``ivf_kmeans`` cache with
+    ``sim_ann_ivf_kmeans_topk``.
+    """
+    from flink_clickstream_processor_msk_spark.operators import similarity
+
+    if index is None:
+        seed = similarity.ivf_centroids(embeddings, n_clusters)
+        refined = similarity.kmeans_refine_centroids(
+            embeddings, seed, iterations=iterations
+        )
+        _, index = similarity.build_ivf_index(embeddings, centroids=refined)
+    # hoist the norm folds out of the pair expression: ||x|| is a per-ROW
+    # value (same sequential fold → bit-identical double), so computing it
+    # once per vector instead of twice per candidate pair cuts the
+    # interpreted-HOF work per pair 3× (the CLAUDE.md hot-path rule; the
+    # remaining per-pair fold is the dot alone)
+    cells = index.withColumn(
+        "norm",
+        F.sqrt(
+            F.aggregate(
+                F.transform("v", lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter((dot / (F.col("a.norm") * F.col("b.norm"))) >= threshold)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return index.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.col("dropped").isNull().alias("is_kept"),
+    )
+
+
 def dup_span_stats(documents: DataFrame, width: int = 8) -> DataFrame:
     """Cross-document duplicated-span statistics: for every document, how
     many of its fixed-``width`` word windows (stride 1, non-distinct; the

@@ -753,31 +753,25 @@ FROM counts, tot
 """
 
 
-def ann_ivf_kmeans_topk(
-    query_vec_id: int,
-    k: int,
-    n_centroids: int = 16,
-    n_probe: int = 4,
-    iterations: int = 2,
-    dim: int = 64,
-    round_digits: int = 6,
-) -> str:
-    """SQL twin of similarity.kmeans_refine_centroids + ann_ivf_topk: the
-    fixed-iteration Lloyd's loop unrolled into CTE pairs (assign → mean),
-    then the standard IVF probe against the refined centroids.
+def _kmeans_assigned_ctes(
+    n_centroids: int, iterations: int, dim: int, round_digits: int
+) -> list[str]:
+    """The unrolled fixed-iteration Lloyd's loop as CTE text — cents0
+    (deterministic seeding: n smallest vec_ids, cell = rank), per
+    iteration an assign → gather → rounded-mean cents trio, then the
+    final ``assigned (vec_id, embedding, cidx)`` table against
+    ``cents{iterations}``. Shared by ann_ivf_kmeans_topk and
+    semantic_dedup so the two queries pin ONE refinement contract.
 
-    Engine parity contract (mirrors `similarity.KMEANS_ROUND_DIGITS` /
+    Engine parity (mirrors `similarity.KMEANS_ROUND_DIGITS` /
     `KMEANS_SUM_SCALE`): per-cell per-dim sums run over round(x·2^30)
-    BIGINTs — exact and summation-order-free on BOTH engines, so the mean
-    each engine rounds to the grid is computed from bit-identical inputs
-    (no reliance on the grid absorbing shuffle-order drift; ADVICE r6
-    closed). Assignment argmax is
-    cosine DESC, first centroid wins ties — the Spark builder's near-tie
-    fallback recomputes with the same sequential folds this SQL uses.
-    Empty cells keep the previous centroid (LEFT JOIN + CASE)."""
+    BIGINTs — exact and summation-order-free on BOTH engines, so the
+    mean each engine rounds to the grid is computed from bit-identical
+    inputs (ADVICE r6 closed). Assignment argmax is cosine DESC, first
+    centroid wins ties — the Spark builder's near-tie fallback
+    recomputes with the same sequential folds this SQL uses. Empty cells
+    keep the previous centroid (LEFT JOIN + CASE)."""
     cos_ec = _COS.format(a="e.embedding", b="c.cvec")
-    cos_qc = _COS.format(a="q.embedding", b="c.cvec")
-    cos_eq = _COS.format(a="e.embedding", b="q.embedding")
     ctes = [
         f"""cents0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
@@ -818,12 +812,6 @@ def ann_ivf_kmeans_topk(
 )"""
         )
     last = f"cents{iterations}"
-    ctes.append(f"q AS (SELECT embedding FROM embeddings WHERE vec_id = {query_vec_id})")
-    ctes.append(
-        f"""probe AS (
-  SELECT cidx FROM {last} c, q ORDER BY {cos_qc} DESC, cidx ASC LIMIT {n_probe}
-)"""
-    )
     ctes.append(
         f"""assigned AS (
   SELECT vec_id, embedding, cidx FROM (
@@ -835,6 +823,32 @@ def ann_ivf_kmeans_topk(
   ) WHERE rn = 1
 )"""
     )
+    return ctes
+
+
+def ann_ivf_kmeans_topk(
+    query_vec_id: int,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iterations: int = 2,
+    dim: int = 64,
+    round_digits: int = 6,
+) -> str:
+    """SQL twin of similarity.kmeans_refine_centroids + ann_ivf_topk: the
+    fixed-iteration Lloyd's loop unrolled into CTE pairs (assign → mean;
+    the shared _kmeans_assigned_ctes fragment — parity contract there),
+    then the standard IVF probe against the refined centroids."""
+    cos_qc = _COS.format(a="q.embedding", b="c.cvec")
+    cos_eq = _COS.format(a="e.embedding", b="q.embedding")
+    last = f"cents{iterations}"
+    ctes = _kmeans_assigned_ctes(n_centroids, iterations, dim, round_digits)
+    ctes.append(f"q AS (SELECT embedding FROM embeddings WHERE vec_id = {query_vec_id})")
+    ctes.append(
+        f"""probe AS (
+  SELECT cidx FROM {last} c, q ORDER BY {cos_qc} DESC, cidx ASC LIMIT {n_probe}
+)"""
+    )
     return (
         "WITH "
         + ",\n".join(ctes)
@@ -844,6 +858,41 @@ FROM assigned e, q
 WHERE e.cidx IN (SELECT cidx FROM probe) AND e.vec_id != {query_vec_id}
 ORDER BY cosine DESC, e.vec_id ASC
 LIMIT {k}
+"""
+    )
+
+
+def semantic_dedup(
+    n_centroids: int = 16,
+    iterations: int = 2,
+    threshold: float = COSINE_THRESHOLD,
+    dim: int = 64,
+    round_digits: int = 6,
+) -> str:
+    """SQL twin of dedup.semantic_dedup (SemDeDup, Abbas et al. 2023):
+    the SAME unrolled Lloyd's k-means as ann_ivf_kmeans_topk (shared
+    _kmeans_assigned_ctes fragment), then within-cell cosine pairs and
+    the keep-first representative rule — is_kept = false iff a LOWER-id
+    same-cell neighbor has cosine ≥ threshold. The pair cosine is the
+    same sequential fold the in-window dedup_embedding_cosine pins."""
+    cos_ab = _COS.format(a="a.embedding", b="b.embedding")
+    ctes = _kmeans_assigned_ctes(n_centroids, iterations, dim, round_digits)
+    ctes.append(
+        f"""pairs AS (
+  SELECT b.vec_id AS vec_b
+  FROM assigned a JOIN assigned b
+    ON a.cidx = b.cidx AND a.vec_id < b.vec_id
+  WHERE {cos_ab} >= {threshold}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT e.vec_id,
+  CAST(e.cidx AS INTEGER) AS cell,
+  e.vec_id NOT IN (SELECT vec_b FROM pairs) AS is_kept
+FROM assigned e
 """
     )
 

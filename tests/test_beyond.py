@@ -1476,3 +1476,44 @@ def test_bpe_token_stats_and_pack_bpe(spark):
         text.pack_sequences(docs, ctx_len=8).columns
         == text.pack_sequences_bpe(docs, ctx_len=8).columns
     )
+
+
+def test_semantic_dedup_cluster_scoped_keep_first(spark):
+    """SemDeDup semantics pinned on a constructed geometry: two tight
+    near-dup groups in OPPOSITE half-spaces plus a lone outlier per
+    group-neighborhood. With k=2 deterministic-seeded k-means the groups
+    land in different cells; within a cell the lower vec_id is kept and
+    every higher-id near-dup dropped; cross-cell near-dups (by
+    construction there are none above threshold here) can never pair —
+    the cluster-scoping that distinguishes this from
+    embedding_near_duplicates' data-oblivious LSH buckets."""
+    import random
+
+    rng = random.Random(11)
+
+    def jitter(base, eps):
+        return [x + rng.uniform(-eps, eps) for x in base]
+
+    up = [1.0] * 32 + [0.0] * 32
+    down = [0.0] * 32 + [1.0] * 32
+    rows = [
+        (0, up),                    # seed A (kept)
+        (1, jitter(up, 1e-4)),      # near-dup of 0 -> dropped
+        (2, jitter(up, 1e-4)),      # near-dup of 0 -> dropped
+        (3, down),                  # seed B (kept)
+        (4, jitter(down, 1e-4)),    # near-dup of 3 -> dropped
+        (5, [1.0] * 64),            # equidistant-ish lone vector (kept)
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in dedup.semantic_dedup(
+        emb, n_clusters=2, iterations=2, threshold=0.99
+    ).collect()}
+    assert len(out) == 6  # one row per vector, droppees included
+    assert {i for i, r in out.items() if not r["is_kept"]} == {1, 2, 4}
+    # cluster scoping: the two groups resolved to different cells
+    assert out[0]["cell"] != out[3]["cell"]
+    assert out[1]["cell"] == out[0]["cell"]
+    assert out[4]["cell"] == out[3]["cell"]
