@@ -267,6 +267,10 @@ def _on_table(table: str, op):
 
 
 _QUERY_VEC_ID, _TOPK = 0, 10
+# DSIR target domain: one source slice of the documents table (the
+# "target sample" a data-selection run would hold); src0 exists at every
+# driver tier (20 uniform sources, TESTDATA.md)
+_DSIR_TARGET_SOURCE = "src0"
 
 # Caller-managed persist scratch for the self-trained LM scorers
 # (text.lm_bigram_score's r11 persist policy: no persist unless the caller
@@ -545,10 +549,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "think_time_stats": lambda spark, sf_dir: (
             think_time_stats(read_clickevents(spark, sf_dir))
         ),
-        # multimodal columns (binary payloads + pandas-UDF compute)
-        "multimodal_byte_stats": _on_table(
-            "documents", lambda df: multimodal.byte_stats(multimodal.attach_media(df))
+        # DSIR-style data selection (Xie et al. 2023): hashed-bigram
+        # importance ratios vs a target source slice, fixed-point
+        # order-free sums, bounded n_buckets feature table. In-window
+        # slot freed by rotating multimodal_byte_stats to the tail
+        # (r11): its values are framed in-window by charset_stats
+        # (codepoint == byte counts on the ASCII corpus) and
+        # dedup_exact's md5(text); the multimodal binary surface stays
+        # in-window via multimodal_frame_sample + multimodal_features_ann.
+        "dsir_select": lambda spark, sf_dir: pipeline.dsir_select(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+                f"source = '{_DSIR_TARGET_SOURCE}'"
+            ),
         ),
+        # multimodal columns (binary payloads + pandas-UDF compute)
         "multimodal_frame_sample": _on_table(
             "documents", lambda df: _frame_sample_digests(multimodal.attach_media(df))
         ),
@@ -750,6 +765,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-green through r7
         "tpch_q1_pricing_summary": lambda spark, sf_dir: relational.pricing_summary(
             spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        ),
+        # binary-payload stats: rotated to the tail in r11 to admit
+        # dsir_select — n_bytes/n_distinct_bytes equal charset_stats'
+        # codepoint counts on the ASCII corpus and payload_md5 is
+        # dedup_exact's md5(text); the multimodal surface stays
+        # in-window via frame_sample + features_ann; driver-green
+        # through r10
+        "multimodal_byte_stats": _on_table(
+            "documents", lambda df: multimodal.byte_stats(multimodal.attach_media(df))
         ),
         # brute-force cosine top-k: rotated to the tail in r11 to admit
         # semantic_dedup — its 64-dim sequential cosine fold is pinned
@@ -1004,6 +1028,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sim_ivf_occupancy": oracles_beyond.ivf_occupancy(),
         "multimodal_byte_stats": oracles_beyond.multimodal_byte_stats(),
+        "dsir_select": oracles_beyond.dsir_select(_DSIR_TARGET_SOURCE),
         "multimodal_frame_sample": oracles_beyond.multimodal_frame_sample(),
         "multimodal_features_ann": oracles_beyond.multimodal_features_ann(
             _QUERY_VEC_ID, _TOPK

@@ -344,3 +344,144 @@ def decontaminate_bloom(
     return shingle_hashes(new_train_docs, k=k).select(
         "doc_id", flag("shingles").alias("contaminated")
     )
+
+
+#: fixed-point scale for DSIR importance ratios — floor(ratio * SCALE) as
+#: BIGINT makes per-doc ratio sums ORDER-FREE (the integer-cents / LM_PROB
+#: discipline); ratios are O(n_buckets) at most, so a term fits easily and
+#: even million-gram documents sum far below 2^63.
+DSIR_RATIO_SCALE = 1 << 30
+
+
+def dsir_select(
+    documents: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    keep_fraction: float = 0.25,
+    scratch: list | None = None,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    score every raw document by how TARGET-like its hashed-bigram
+    distribution is, then select the ones at or above ``threshold``.
+
+    Features are hashed word-bigram buckets ``h60(w1 ' ' w2) % n_buckets``
+    (DSIR's hashed n-gram trick: the feature table is BOUNDED at
+    ``n_buckets`` rows regardless of corpus size — no vocabulary blowup,
+    and collisions just coarsen the estimate). Bucket unigram models with
+    add-1 smoothing over the raw corpus (``documents`` itself) and the
+    ``target`` sample give per-bucket importance ratios
+
+        ratio(b) = p_target(b) / p_raw(b)
+                 = (c_t(b)+1)(N_r+B) / ((c_r(b)+1)(N_t+B))
+
+    and a document's score is the MEAN ratio over its bigram occurrences
+    — the ratio-mean ranks like DSIR's log-ratio sum per gram for
+    selection while staying transcendental-free (the lm_bigram_score /
+    tfidf rule). Selection is RANK-based — ``selected`` marks the top
+    ``keep_fraction`` of scored documents by (score DESC, doc_id ASC) —
+    because an absolute cutoff is not smoothing-stable: add-1 mass
+    scales with 1/(N+B), so a small target sample inflates (or a tiny
+    corpus deflates) every ratio by a constant factor that rank ignores
+    (DSIR itself resamples by weight RANK for the same reason).
+
+    Determinism contract (hash-checked by the driver): counts and the
+    two totals are exact integers; each bucket's ratio is ONE double
+    division of exact BIGINT products, floored into fixed-point
+    (``DSIR_RATIO_SCALE``; floor, not round — round-half ties differ
+    between engines) and summed as BIGINT, order-free; the final two
+    divisions run in the same order on both engines. Documents with no
+    bigram (< 2 tokens) have no distribution to judge and are dropped —
+    the lm_bigram_score convention.
+
+    Scale shape at 100 TB: two map-side-combined counts, each BOUNDED at
+    ``n_buckets`` rows and collected driver-side (the centroid/codebook
+    pattern — the only driver materialization), the ratio table built as
+    a ≤ ``n_buckets``-row literal broadcast into the per-occurrence
+    scoring join, one groupBy(doc_id) — no all-pairs term.
+    The exact rank window shuffles ONLY (doc_id, score) scalar pairs;
+    at cluster scale substitute a distributed quantile cut for the
+    exact rank (compute the keep_fraction score threshold from a
+    sample/sketch, then filter — the formula and ordering are
+    unchanged, only the cut becomes approximate).
+    Reference: the raw counts come from ``documents`` itself (importance
+    sampling FROM the raw pool); pass a held-out raw sample instead when
+    the pool is too large to count exactly — the formula is unchanged.
+    """
+    from pyspark.sql import Window
+    from flink_clickstream_processor_msk_spark.operators.text import doc_bigrams
+
+    def buckets(docs: DataFrame) -> DataFrame:
+        bg = doc_bigrams(docs)
+        return bg.select(
+            "doc_id",
+            F.pmod(
+                h60(F.concat_ws(" ", F.col("w1"), F.col("w2"))),
+                F.lit(n_buckets),
+            ).alias("b"),
+        )
+
+    raw_b = buckets(documents)
+    if scratch is not None:
+        # the raw explode has two consumers (c_r and the scoring join);
+        # caller-managed persist, the lm_bigram_score contract — without
+        # a scratch list the explode recomputes once rather than leaking
+        # a cached table per call
+        from pyspark.storagelevel import StorageLevel
+
+        raw_b = raw_b.persist(StorageLevel.MEMORY_AND_DISK)
+        scratch.append(raw_b)
+    # the count tables are BOUNDED at n_buckets rows — collect them and
+    # build the ratio table driver-side (the centroid/codebook-collect
+    # pattern): a lazy derivation re-computed the raw explode once per
+    # total/count consumer (a first cut's plan showed FIVE Generate
+    # subtrees — no exchange reuse across the total-from-count
+    # aggregations), while two bounded collects leave exactly one
+    # distributed consumer per explode. Totals are Σc over the collected
+    # dicts (every occurrence lands in exactly one bucket — identical
+    # values to counting occurrences). float()/float() replays the
+    # engines' CAST(BIGINT AS DOUBLE) then one IEEE division; math.floor
+    # after the exactly-representable 2^30 scale matches F.floor/floor.
+    import math
+
+    cr = {r["b"]: r["c_r"] for r in
+          raw_b.groupBy("b").agg(F.count(F.lit(1)).alias("c_r")).collect()}
+    ct = {r["b"]: r["c_t"] for r in
+          buckets(target).groupBy("b").agg(F.count(F.lit(1)).alias("c_t")).collect()}
+    n_r, n_t = sum(cr.values()), sum(ct.values())
+    spark = documents.sparkSession
+    ratio_q = spark.createDataFrame(
+        [
+            (
+                b,
+                int(
+                    math.floor(
+                        float((ct.get(b, 0) + 1) * (n_r + n_buckets))
+                        / float((c + 1) * (n_t + n_buckets))
+                        * DSIR_RATIO_SCALE
+                    )
+                ),
+            )
+            for b, c in cr.items()
+        ],
+        "b bigint, q bigint",
+    )
+    # every raw occurrence's bucket is in c_r by construction → inner join
+    scored = (
+        raw_b.join(F.broadcast(ratio_q), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_grams"),
+            F.sum("q").alias("sum_ratio_q"),
+            (
+                (F.sum("q").cast("double") / F.count(F.lit(1)))
+                / F.lit(float(DSIR_RATIO_SCALE))
+            ).alias("dsir_score"),
+        )
+    )
+    rank_w = Window.orderBy(F.desc("dsir_score"), F.asc("doc_id"))
+    all_w = Window.partitionBy()
+    return scored.withColumn(
+        "selected",
+        F.row_number().over(rank_w)
+        <= F.ceil(F.lit(keep_fraction) * F.count(F.lit(1)).over(all_w)),
+    )

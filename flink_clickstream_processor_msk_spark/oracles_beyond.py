@@ -1082,6 +1082,62 @@ FROM fam f JOIN deg d USING (doc_id)
 """
 
 
+def dsir_select(
+    target_source: str,
+    n_buckets: int = 1024,
+    keep_fraction: float = 0.25,
+    scale: int = 1 << 30,
+) -> str:
+    """SQL twin of pipeline.dsir_select with the target sample expressed
+    as a source slice of the same table (the driver wiring). Parity:
+    h60-bucketed bigrams (w1 || ' ' || w2 — concat_ws on the Spark side,
+    equal on non-null tokens), exact BIGINT count products, ONE double
+    division per bucket floored into fixed-point (floor, not round),
+    order-free BIGINT sums, final divisions in the Spark side's order;
+    selection rank = (dsir_score DESC, doc_id ASC) over hash-identical
+    doubles, cut at ceil(keep_fraction · n_scored) on both engines."""
+    pair = "w1 || ' ' || w2"
+    b_expr = f"({_h60(pair)}) % {n_buckets}"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKENS.format(x="lower(text)")} AS w FROM documents
+),
+big AS (
+  SELECT doc_id, source, w[i] AS w1, w[i + 1] AS w2
+  FROM (
+    SELECT doc_id, source, w, unnest(range(1, len(w))) AS i
+    FROM toks WHERE len(w) >= 2
+  )
+),
+rawb AS (SELECT doc_id, {b_expr} AS b FROM big),
+tgtb AS (SELECT {b_expr} AS b FROM big WHERE source = '{target_source}'),
+cr AS (SELECT b, COUNT(*) AS c_r FROM rawb GROUP BY b),
+ct AS (SELECT b, COUNT(*) AS c_t FROM tgtb GROUP BY b),
+nr AS (SELECT COUNT(*) AS n_r FROM rawb),
+nt AS (SELECT COUNT(*) AS n_t FROM tgtb),
+ratio AS (
+  SELECT cr.b,
+    CAST(floor(
+      (CAST((COALESCE(ct.c_t, 0) + 1) * (nr.n_r + {n_buckets}) AS DOUBLE)
+       / CAST((cr.c_r + 1) * (nt.n_t + {n_buckets}) AS DOUBLE)) * {scale}
+    ) AS BIGINT) AS q
+  FROM cr LEFT JOIN ct USING (b) CROSS JOIN nr CROSS JOIN nt
+),
+scores AS (
+  SELECT r.doc_id,
+    CAST(COUNT(*) AS INTEGER) AS n_grams,
+    CAST(SUM(q) AS BIGINT) AS sum_ratio_q,
+    (CAST(SUM(q) AS DOUBLE) / COUNT(*)) / {float(scale)} AS dsir_score
+  FROM rawb r JOIN ratio USING (b)
+  GROUP BY r.doc_id
+)
+SELECT doc_id, n_grams, sum_ratio_q, dsir_score,
+  row_number() OVER (ORDER BY dsir_score DESC, doc_id ASC)
+    <= ceil({keep_fraction} * count(*) OVER ()) AS selected
+FROM scores
+"""
+
+
 def decontaminate(test_pct: int = 10) -> str:
     """SQL twin of pipeline.decontaminate: train docs sharing any word-
     3-gram 28-bit hash with the test split (same md5 bucket split, same

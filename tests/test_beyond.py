@@ -1517,3 +1517,41 @@ def test_semantic_dedup_cluster_scoped_keep_first(spark):
     assert out[0]["cell"] != out[3]["cell"]
     assert out[1]["cell"] == out[0]["cell"]
     assert out[4]["cell"] == out[3]["cell"]
+
+
+def test_dsir_select_prefers_target_like_documents(spark):
+    """DSIR semantics pinned on a two-domain corpus: documents sharing
+    the target slice's bigrams outrank the disjoint-vocabulary domain
+    and the rank cut keeps exactly ceil(keep_fraction · n_scored) of
+    them; a <2-token document has no distribution to judge and is
+    absent (the lm_bigram_score convention); n_grams counts bigram
+    OCCURRENCES (len-1 per doc). Selection is RANK-based — an absolute
+    ratio cutoff is smoothing-unstable at tiny corpus sizes (the add-1
+    mass scales with 1/(N+B); this test's first version learned that
+    with a 5-doc corpus whose every ratio sat below 1)."""
+    from flink_clickstream_processor_msk_spark.operators.pipeline import (
+        dsir_select,
+    )
+
+    med = "alpha beta gamma delta epsilon zeta"
+    web = "spam junk click buy now free"
+    docs = spark.createDataFrame(
+        [
+            (0, med, "en", "target"),
+            (1, med + " eta theta", "en", "raw"),     # target-like
+            (2, web, "en", "raw"),                    # off-target
+            (3, web + " cheap deal", "en", "raw"),    # off-target
+            (4, "single", "en", "raw"),               # unscoreable
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    target = docs.where("source = 'target'")
+    out = {r["doc_id"]: r for r in dsir_select(docs, target, keep_fraction=0.5).collect()}
+    assert set(out) == {0, 1, 2, 3}  # doc 4 has no bigram
+    assert out[1]["n_grams"] == 7
+    # ceil(0.5 * 4) = 2 kept: the target doc and its overlapping neighbor
+    assert {i for i, r in out.items() if r["selected"]} == {0, 1}
+    # target-overlapping docs rank strictly above the off-target ones
+    assert min(out[0]["dsir_score"], out[1]["dsir_score"]) > max(
+        out[2]["dsir_score"], out[3]["dsir_score"]
+    )
