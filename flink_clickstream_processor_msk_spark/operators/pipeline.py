@@ -362,7 +362,7 @@ def dsir_select(
 ) -> DataFrame:
     """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
     score every raw document by how TARGET-like its hashed-bigram
-    distribution is, then select the ones at or above ``threshold``.
+    distribution is, then select the top ``keep_fraction`` by score.
 
     Features are hashed word-bigram buckets ``h60(w1 ' ' w2) % n_buckets``
     (DSIR's hashed n-gram trick: the feature table is BOUNDED at
@@ -408,19 +408,8 @@ def dsir_select(
     the pool is too large to count exactly — the formula is unchanged.
     """
     from pyspark.sql import Window
-    from flink_clickstream_processor_msk_spark.operators.text import doc_bigrams
 
-    def buckets(docs: DataFrame) -> DataFrame:
-        bg = doc_bigrams(docs)
-        return bg.select(
-            "doc_id",
-            F.pmod(
-                h60(F.concat_ws(" ", F.col("w1"), F.col("w2"))),
-                F.lit(n_buckets),
-            ).alias("b"),
-        )
-
-    raw_b = buckets(documents)
+    raw_b = _dsir_buckets(documents, n_buckets)
     if scratch is not None:
         # the raw explode has two consumers (c_r and the scoring join);
         # caller-managed persist, the lm_bigram_score contract — without
@@ -430,43 +419,83 @@ def dsir_select(
 
         raw_b = raw_b.persist(StorageLevel.MEMORY_AND_DISK)
         scratch.append(raw_b)
-    # the count tables are BOUNDED at n_buckets rows — collect them and
-    # build the ratio table driver-side (the centroid/codebook-collect
-    # pattern): a lazy derivation re-computed the raw explode once per
-    # total/count consumer (a first cut's plan showed FIVE Generate
-    # subtrees — no exchange reuse across the total-from-count
-    # aggregations), while two bounded collects leave exactly one
-    # distributed consumer per explode. Totals are Σc over the collected
-    # dicts (every occurrence lands in exactly one bucket — identical
-    # values to counting occurrences). float()/float() replays the
-    # engines' CAST(BIGINT AS DOUBLE) then one IEEE division; math.floor
-    # after the exactly-representable 2^30 scale matches F.floor/floor.
+    ratio_q = _dsir_ratio_table(raw_b, target, n_buckets)
+    scored = _dsir_score(raw_b, ratio_q)
+    rank_w = Window.orderBy(F.desc("dsir_score"), F.asc("doc_id"))
+    all_w = Window.partitionBy()
+    return scored.withColumn(
+        "selected",
+        F.row_number().over(rank_w)
+        <= F.ceil(F.lit(keep_fraction) * F.count(F.lit(1)).over(all_w)),
+    )
+
+
+def _dsir_buckets(docs: DataFrame, n_buckets: int) -> DataFrame:
+    """(doc_id, b): one row per word-bigram OCCURRENCE, b = h60 bucket."""
+    from flink_clickstream_processor_msk_spark.operators.text import doc_bigrams
+
+    return doc_bigrams(docs).select(
+        "doc_id",
+        F.pmod(
+            h60(F.concat_ws(" ", F.col("w1"), F.col("w2"))),
+            F.lit(n_buckets),
+        ).alias("b"),
+    )
+
+
+def _dsir_ratio_table(
+    raw_b: DataFrame, target: DataFrame, n_buckets: int
+) -> DataFrame:
+    """The per-bucket fixed-point importance ratio table (b, q), built
+    DRIVER-side from the two BOUNDED (≤ n_buckets rows) count tables —
+    the centroid/codebook-collect pattern: a lazy derivation re-computed
+    the raw explode once per total/count consumer (a first cut's plan
+    showed FIVE Generate subtrees — no exchange reuse across the
+    total-from-count aggregations), while two bounded collects leave
+    exactly one distributed consumer per explode. Totals are Σc over the
+    collected dicts (every occurrence lands in exactly one bucket —
+    identical values to counting occurrences). float()/float() replays
+    the engines' CAST(BIGINT AS DOUBLE) then one IEEE division;
+    math.floor after the exactly-representable 2^30 scale matches
+    F.floor/floor."""
     import math
 
     cr = {r["b"]: r["c_r"] for r in
           raw_b.groupBy("b").agg(F.count(F.lit(1)).alias("c_r")).collect()}
     ct = {r["b"]: r["c_t"] for r in
-          buckets(target).groupBy("b").agg(F.count(F.lit(1)).alias("c_t")).collect()}
+          _dsir_buckets(target, n_buckets)
+          .groupBy("b").agg(F.count(F.lit(1)).alias("c_t")).collect()}
     n_r, n_t = sum(cr.values()), sum(ct.values())
-    spark = documents.sparkSession
-    ratio_q = spark.createDataFrame(
+    # ALL n_buckets rows, not just train-seen ones: add-1 smoothing
+    # defines the ratio at c_r = 0 too, so a later batch with novel
+    # grams (the streaming gate) still hits the scoring join — the
+    # extra rows are unreachable when scoring the training corpus
+    # itself, leaving the oracle untouched
+    return raw_b.sparkSession.createDataFrame(
         [
             (
                 b,
                 int(
                     math.floor(
                         float((ct.get(b, 0) + 1) * (n_r + n_buckets))
-                        / float((c + 1) * (n_t + n_buckets))
+                        / float((cr.get(b, 0) + 1) * (n_t + n_buckets))
                         * DSIR_RATIO_SCALE
                     )
                 ),
             )
-            for b, c in cr.items()
+            for b in range(n_buckets)
         ],
         "b bigint, q bigint",
     )
-    # every raw occurrence's bucket is in c_r by construction → inner join
-    scored = (
+
+
+def _dsir_score(raw_b: DataFrame, ratio_q: DataFrame) -> DataFrame:
+    """(doc_id, n_grams, sum_ratio_q, dsir_score) — the broadcast scoring
+    join + order-free fixed-point mean. The ratio table carries ALL
+    n_buckets rows (add-1 smoothing defines c_r = 0 buckets), so the
+    inner join is total for any input — training corpus or a later
+    streaming batch with novel grams."""
+    return (
         raw_b.join(F.broadcast(ratio_q), "b")
         .groupBy("doc_id")
         .agg(
@@ -478,10 +507,85 @@ def dsir_select(
             ).alias("dsir_score"),
         )
     )
-    rank_w = Window.orderBy(F.desc("dsir_score"), F.asc("doc_id"))
-    all_w = Window.partitionBy()
+
+
+def save_dsir(
+    documents: DataFrame,
+    target: DataFrame,
+    path: str,
+    n_buckets: int = 1024,
+    keep_fraction: float = 0.25,
+) -> None:
+    """Write the DSIR selector as a reusable artifact — the production
+    shape (train the importance model ONCE on the raw pool + target
+    sample, gate every incoming shard against it, exactly the save_lm /
+    lm_quality_ingest_sink pattern): ``ratios`` (b, q — all n_buckets
+    rows, one file) and a one-row ``meta`` (n_buckets, keep_fraction,
+    cutoff, n_train). ``cutoff`` is the TRAIN-TIME score at rank
+    ceil(keep_fraction · n_train) — the rank cut translated into the
+    threshold a per-shard gate can apply without global state; it
+    reproduces :func:`dsir_select`'s selection exactly when no other
+    training document ties the boundary score (ties admit their whole
+    class — a gate cannot split equal scores)."""
+    scratch: list[DataFrame] = []
+    try:
+        raw_b = _dsir_buckets(documents, n_buckets)
+        from pyspark.storagelevel import StorageLevel
+
+        raw_b = raw_b.persist(StorageLevel.MEMORY_AND_DISK)
+        scratch.append(raw_b)
+        ratio_q = _dsir_ratio_table(raw_b, target, n_buckets)
+        ratio_q.coalesce(1).write.mode("overwrite").parquet(f"{path}/ratios")
+        scored = _dsir_score(raw_b, ratio_q)
+        import math
+
+        n_train = scored.count()
+        k = math.ceil(keep_fraction * n_train)
+        cutoff = None
+        if k > 0:
+            kth = (
+                scored.orderBy(
+                    F.desc("dsir_score"), F.asc("doc_id")
+                )
+                .limit(k)
+                .agg(F.min("dsir_score").alias("s"))
+                .first()
+            )
+            cutoff = float(kth["s"])
+        spark = documents.sparkSession
+        spark.createDataFrame(
+            [(n_buckets, float(keep_fraction), cutoff, n_train)],
+            "n_buckets int, keep_fraction double, cutoff double, n_train long",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    finally:
+        for df in scratch:
+            df.unpersist()
+
+
+def load_dsir(spark, path: str):
+    """(ratio_df, meta_row) from a :func:`save_dsir` artifact."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    return spark.read.parquet(f"{path}/ratios"), meta
+
+
+def dsir_score_saved(
+    documents: DataFrame,
+    ratio_q: DataFrame,
+    cutoff: float | None,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Score documents against a WRITTEN ratio table and apply the saved
+    train-time cutoff — the per-shard gate: no global rank, no state,
+    one broadcast join (the ratio table is n_buckets rows). Returns the
+    dsir_select columns; ``selected`` is NULL-free (cutoff None — an
+    empty training corpus — selects nothing). ``n_buckets`` defaults to
+    the table's row count (it is total by construction); a long-running
+    sink threads the meta value through to skip the per-call count."""
+    if n_buckets is None:
+        n_buckets = ratio_q.count()  # self-described: the table is total
+    scored = _dsir_score(_dsir_buckets(documents, n_buckets), ratio_q)
+    if cutoff is None:
+        return scored.withColumn("selected", F.lit(False))
     return scored.withColumn(
-        "selected",
-        F.row_number().over(rank_w)
-        <= F.ceil(F.lit(keep_fraction) * F.count(F.lit(1)).over(all_w)),
+        "selected", F.col("dsir_score") >= F.lit(float(cutoff))
     )

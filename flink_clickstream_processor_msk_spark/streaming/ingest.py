@@ -370,6 +370,53 @@ def corpus_ingest_sink(
     return write
 
 
+def dsir_ingest_sink(
+    dsir_path: str,
+    on_scores: Callable[[DataFrame, int], None],
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch writer scoring each micro-batch of documents against
+    a WRITTEN DSIR selector (``pipeline.save_dsir``) — the streaming
+    shape of importance-based data selection (Xie et al. 2023): the
+    hashed-bigram ratio table and the train-time rank cutoff are learned
+    ONCE on the raw pool + target sample, every incoming shard gets its
+    ``(doc_id, n_grams, sum_ratio_q, dsir_score, selected)`` frame
+    delivered to ``on_scores`` (route/filter/tag there) — selection is
+    per-shard threshold application, no global rank and no state, which
+    is exactly why ``save_dsir`` translates the rank cut into a cutoff
+    score at train time.
+
+    The ratio table (n_buckets rows) and the meta row resolve ONCE per
+    sink (the ``_StateHandles`` discipline) and persist — the table is
+    every epoch's broadcast join build side. Batch-vs-replay equality is
+    pinned in tests/test_incremental.py: scores over a replay equal the
+    batch operator's, and the selected set equals ``dsir_select``'s rank
+    cut on the training corpus when no scores tie the boundary."""
+    from pyspark.storagelevel import StorageLevel
+
+    from flink_clickstream_processor_msk_spark.operators import pipeline
+
+    handles: dict = {}
+
+    def write(batch_docs: DataFrame, epoch_id: int) -> None:
+        spark = batch_docs.sparkSession
+        if "ratios" not in handles:
+            ratio_q, meta = pipeline.load_dsir(spark, dsir_path)
+            handles["ratios"] = ratio_q.persist(StorageLevel.MEMORY_AND_DISK)
+            handles["cutoff"] = meta["cutoff"]
+            handles["n_buckets"] = meta["n_buckets"]
+        on_scores(
+            pipeline.dsir_score_saved(
+                batch_docs,
+                handles["ratios"],
+                handles["cutoff"],
+                n_buckets=handles["n_buckets"],
+            ),
+            epoch_id,
+        )
+
+    return write
+
+
 def lm_quality_ingest_sink(
     lm_path: str,
     on_scores: Callable[[DataFrame, int], None],

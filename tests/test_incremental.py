@@ -1477,6 +1477,76 @@ def test_lm_quality_ingest_sink_matches_batch(spark, tmp_path):
     assert len(got) == 3
 
 
+def test_dsir_ingest_sink_matches_batch_selection(spark, tmp_path):
+    """The streaming DSIR gate: save_dsir learns the ratio table + the
+    train-time rank cutoff once; a 2-batch replay of the training corpus
+    through dsir_ingest_sink reproduces (a) the batch operator's exact
+    scores and (b) dsir_select's rank-cut selected set — the cutoff
+    translation is what lets a per-shard gate apply a GLOBAL rank
+    decision with no state. Novel-gram documents (absent from training)
+    still score: the written ratio table carries all n_buckets rows."""
+    from flink_clickstream_processor_msk_spark.operators import pipeline
+    from flink_clickstream_processor_msk_spark.streaming.ingest import (
+        dsir_ingest_sink,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta", "t"),
+            (1, "alpha beta gamma epsilon", "r"),
+            (2, "spam junk click buy", "r"),
+            (3, "junk spam now free deal", "r"),
+            (4, "alpha beta unrelated words here", "r"),
+            (5, "click buy free junk spam", "r"),
+        ],
+        "doc_id long, text string, src string",
+    )
+    target = corpus.where("src = 't'")
+    path = str(tmp_path / "dsir")
+    pipeline.save_dsir(corpus, target, path, n_buckets=64, keep_fraction=0.5)
+
+    batch_sel = {
+        r["doc_id"]: r
+        for r in pipeline.dsir_select(
+            corpus, target, n_buckets=64, keep_fraction=0.5
+        ).collect()
+    }
+
+    src = str(tmp_path / "src")
+    corpus.filter(F.col("doc_id") < 3).coalesce(1).write.mode("append").parquet(src)
+    corpus.filter(F.col("doc_id") >= 3).coalesce(1).write.mode("append").parquet(src)
+    got: list = []
+    write = dsir_ingest_sink(path, lambda df, e: got.extend(df.collect()))
+    q = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(write)
+        .option("checkpointLocation", str(tmp_path / "dsir_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got_by_id = {r["doc_id"]: r for r in got}
+    assert set(got_by_id) == set(batch_sel)
+    for i, want in batch_sel.items():
+        assert got_by_id[i]["dsir_score"] == want["dsir_score"], i
+        assert got_by_id[i]["selected"] == want["selected"], i
+
+    # a post-training batch with grams never seen at train time still
+    # scores (all-buckets ratio table) and lands below the cutoff
+    novel = spark.createDataFrame(
+        [(99, "zz yy xx ww vv uu", "r")], "doc_id long, text string, src string"
+    )
+    got2: list = []
+    write2 = dsir_ingest_sink(path, lambda df, e: got2.extend(df.collect()))
+    write2(novel, 0)
+    # every unseen bucket carries the constant smoothing ratio
+    # (N_r+B)/(N_t+B), so the score exists and equals that constant
+    assert len(got2) == 1 and got2[0]["n_grams"] == 5
+
+
 def _index_rows(spark, path, kind):
     sub = similarity._INDEX_TABLES[kind][0]
     return spark.read.parquet(f"{path}/{sub}").count()
