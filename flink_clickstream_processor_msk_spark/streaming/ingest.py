@@ -370,6 +370,130 @@ def corpus_ingest_sink(
     return write
 
 
+def semantic_dedup_ingest_sink(
+    index_path: str,
+    on_flags: Callable[[DataFrame, int], None],
+    threshold: float | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch writer running SemDeDup incrementally against a
+    WRITTEN IVF index (``similarity.save_ivf_index``): each micro-batch
+    of embeddings (vec_id, embedding) is routed by the SAVED centroids,
+    compared for semantic near-duplicates ONLY within its own cells —
+    against the index's existing members AND lower-id batch mates — and
+    its ``(vec_id, cell, is_kept)`` flags are delivered to ``on_flags``;
+    the batch then folds into the cell-partitioned layout so the NEXT
+    batch is judged against old + new. Completes the incremental story
+    for the semantic-dedup operator the way dedup_ingest_sink does for
+    MinHash: the written ANN index IS the dedup state.
+
+    Exact batch parity (pinned in tests/test_incremental.py): the drop
+    predicate is ``∃ same-cell neighbor with LOWER vec_id and cosine ≥
+    threshold`` over saved ∪ batch — vec_id order, not arrival order —
+    and ALL rows are appended (flagged duplicates too), so a replayed
+    composition equals ``dedup.semantic_dedup`` over the whole corpus
+    with the same centroids, for ANY batch split: the batch operator
+    drops a vector on a lower-id neighbor even when that neighbor was
+    itself dropped, so survivors-only state would diverge on transitive
+    chains (a~b, b~c, a≁c). Consumers that want the pruned corpus filter
+    on the flags downstream.
+
+    Scale shape: routing is the append path's broadcast-centroid numpy
+    kernel; the probe reads ONLY the batch's touched ``cell=``
+    partitions (driver-bounded ≤ n_centroids values — the dedup-state
+    partition-pruning discipline); norms are hoisted per row (the
+    semantic_dedup 2× lesson); per-epoch scratch unpersists in a
+    finally. At-least-once as elsewhere — wrap in ``sinks.dedup_epochs``
+    (a replayed epoch would otherwise self-match against its own
+    appended rows and flag everything)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from flink_clickstream_processor_msk_spark.operators import similarity
+    from flink_clickstream_processor_msk_spark.operators.dedup import (
+        COSINE_THRESHOLD,
+    )
+
+    if threshold is None:
+        threshold = COSINE_THRESHOLD
+    handles: dict = {}
+
+    def write(batch_vecs: DataFrame, epoch_id: int) -> None:
+        spark = batch_vecs.sparkSession
+        if "cents" not in handles:
+            rows = (
+                spark.read.parquet(f"{index_path}/centroids")
+                .orderBy("cidx")
+                .collect()
+            )
+            handles["cents"] = spark.sparkContext.broadcast(
+                [[float(x) for x in r["cvec"]] for r in rows]
+            )
+        cell_udf = similarity._make_cell_udf(handles["cents"])
+        norm = F.sqrt(
+            F.aggregate(
+                F.transform("v", lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        batch_cells = batch_vecs.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+            cell_udf("embedding").alias("cell"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            touched = [
+                r["cell"]
+                for r in batch_cells.select("cell").distinct().collect()
+            ]
+            saved = similarity._apply_index_tombstones(
+                spark,
+                index_path,
+                similarity._read_index_table(spark, index_path, "cells"),
+            ).filter(F.col("cell").isin(touched))
+            others = saved.select("vec_id", "v", "cell").unionByName(
+                batch_cells.select("vec_id", "v", "cell")
+            )
+            a = others.withColumn("norm", norm).alias("a")
+            b = batch_cells.withColumn("norm", norm).alias("b")
+            dot = F.aggregate(
+                F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            dropped = (
+                a.join(
+                    b,
+                    (F.col("a.cell") == F.col("b.cell"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")),
+                )
+                .filter(
+                    (dot / (F.col("a.norm") * F.col("b.norm"))) >= threshold
+                )
+                .select(F.col("b.vec_id").alias("vec_id"))
+                .distinct()
+                .withColumn("dropped", F.lit(True))
+            )
+            on_flags(
+                batch_cells.join(dropped, "vec_id", "left").select(
+                    "vec_id",
+                    F.col("cell").cast("int").alias("cell"),
+                    F.col("dropped").isNull().alias("is_kept"),
+                ),
+                epoch_id,
+            )
+            # fold AFTER flag delivery (the dedup_ingest_sink crash
+            # contract); routing already computed — write the cells
+            # directly instead of re-running append_to_ivf_index's UDF
+            similarity._refuse_tombstoned(batch_vecs, index_path)
+            batch_cells.write.partitionBy("cell").mode("append").parquet(
+                f"{index_path}/cells"
+            )
+        finally:
+            batch_cells.unpersist()
+
+    return write
+
+
 def dsir_ingest_sink(
     dsir_path: str,
     on_scores: Callable[[DataFrame, int], None],

@@ -1477,6 +1477,89 @@ def test_lm_quality_ingest_sink_matches_batch(spark, tmp_path):
     assert len(got) == 3
 
 
+def test_semantic_dedup_ingest_sink_matches_batch(spark, tmp_path):
+    """Incremental SemDeDup over the written IVF index: streaming flags
+    composed across a 2-batch replay equal dedup.semantic_dedup over the
+    FULL corpus with the same saved centroids — including a transitive
+    chain (0~1, 1~20, 0≁20) deliberately split across epochs: vector 20
+    must be dropped by the already-dropped vector 1, which is exactly
+    why the sink appends flagged duplicates too (survivors-only state
+    would keep 20). Out-of-order ids too: 21 arrives after 30 but the
+    drop rule is vec_id order, not arrival order."""
+    import random
+
+    from flink_clickstream_processor_msk_spark.streaming.ingest import (
+        semantic_dedup_ingest_sink,
+    )
+
+    rng = random.Random(7)
+
+    def jig(base):
+        return [x + rng.uniform(-1e-4, 1e-4) for x in base]
+
+    # chain geometry (cosines hand-checked): 3~30 = 0.925, 30~31 = 0.960,
+    # 3~31 = 4~31 = 0.781 — at threshold 0.9, vector 31 is a near-dup of
+    # the DROPPED 30 ONLY, so its stream-side drop requires the appended
+    # flagged-duplicate row
+    up = [1.0] * 32 + [0.0] * 32
+    down = [0.0] * 32 + [1.0] * 32
+    rows = [
+        (0, up),                           # kept
+        (1, [0.85] * 32 + [0.35] * 32),    # dropped by 0 (0.925)
+        (3, down),                         # kept
+        (4, jig(down)),                    # dropped by 3 (~1.0)
+        (30, [0.35] * 32 + [0.85] * 32),   # dropped by saved 3 (0.925)
+        (31, [0.6] * 32 + [0.75] * 32),    # dropped ONLY by 30 (0.960)
+        (21, jig(up)),                     # dropped by saved 0, arrives last
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    thresh = 0.9
+    # saved index: centroids refined on the FIRST slice (the bootstrap
+    # corpus), streamed batches judged under those FIXED centroids
+    first = emb.filter(F.col("vec_id") <= 4)
+    seed = similarity.ivf_centroids(first, 2)
+    cents = similarity.kmeans_refine_centroids(first, seed, iterations=2)
+    path = str(tmp_path / "semdedup_ivf")
+    _, idx0 = similarity.build_ivf_index(first, centroids=cents)
+    idx0.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/cells")
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cidx int, cvec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    idx0.unpersist()
+
+    got: list = []
+    write = semantic_dedup_ingest_sink(
+        path, lambda df, e: got.extend(df.collect()), threshold=thresh
+    )
+    write(emb.filter(F.col("vec_id") == 30), 0)
+    write(emb.filter(F.col("vec_id").isin([31, 21])), 1)
+
+    _, full_idx = similarity.build_ivf_index(emb, centroids=cents)
+    want = {
+        r["vec_id"]: r
+        for r in dedup.semantic_dedup(
+            emb, threshold=thresh, index=full_idx
+        ).collect()
+    }
+    got_by_id = {r["vec_id"]: r for r in got}
+    assert set(got_by_id) == {30, 31, 21}
+    for i in (30, 31, 21):
+        assert got_by_id[i]["is_kept"] == want[i]["is_kept"], (i, want[i])
+        assert got_by_id[i]["cell"] == want[i]["cell"], i
+    # the interesting cases actually happened: 30 dropped by the saved
+    # corpus, 21 dropped by saved 0 despite arriving last, and 31
+    # dropped by the FLAGGED-AND-APPENDED 30 from the earlier epoch —
+    # survivors-only state would have kept it
+    assert not got_by_id[30]["is_kept"]
+    assert not got_by_id[31]["is_kept"]
+    assert not got_by_id[21]["is_kept"]
+    full_idx.unpersist()
+    spark.catalog.clearCache()
+
+
 def test_dsir_ingest_sink_matches_batch_selection(spark, tmp_path):
     """The streaming DSIR gate: save_dsir learns the ratio table + the
     train-time rank cutoff once; a 2-batch replay of the training corpus
