@@ -23,6 +23,11 @@ line: {"metric": "pq_retrain_ingest_vecs_per_sec", ...,
 "retrain_wall_sec": s, "retrain_epoch": e, "recall_stale": r0,
 "recall_retrained": r1}.
 
+BENCH_INGEST_MODE=dsir_quality runs the streaming DSIR gate leg
+(score+select every micro-batch against a written importance model);
+BENCH_INGEST_MODE=semdedup the incremental-SemDeDup-against-written-IVF
+leg.
+
 BENCH_INGEST_MODE=pq_policy runs the PERIODIC re-train policy leg
 (OOD + growth triggers composed): same drifted stream through three
 arms (stale / one-shot-OOD / policy) scored at END of stream — the
@@ -510,6 +515,150 @@ def pq_policy_mode() -> None:
     spark.stop()
 
 
+def dsir_quality_mode() -> None:
+    """Streaming DSIR gate throughput (dsir_ingest_sink): save_dsir once
+    on the sf-tier documents vs the src0 target slice (untimed), then
+    replay the documents file-at-a-time and score+gate every micro-batch
+    against the written ratio table + train-time cutoff. Signal: the
+    per-epoch curve — handles resolve at epoch 0, steady state pays one
+    broadcast scoring join per batch."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_batches = int(os.environ.get("BENCH_INGEST_BATCHES", "10"))
+
+    from flink_clickstream_processor_msk_spark import get_spark
+    from flink_clickstream_processor_msk_spark.operators import pipeline
+    from flink_clickstream_processor_msk_spark.streaming.ingest import (
+        dsir_ingest_sink,
+    )
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="bench-ingest-dsir")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+
+    dsir_path = tempfile.mkdtemp(prefix="bench-dsir-")
+    pipeline.save_dsir(docs, docs.where("source = 'src0'"), dsir_path)
+
+    src = tempfile.mkdtemp(prefix="bench-dsirsrc-")
+    for i in range(n_batches):
+        docs.filter(
+            F.pmod(F.col("doc_id"), F.lit(n_batches)) == i
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    scored, selected = [], []
+
+    def consume(df, _e):
+        rows = df.collect()
+        scored.append(len(rows))
+        selected.append(sum(1 for r in rows if r["selected"]))
+
+    inner = dsir_ingest_sink(dsir_path, consume)
+    epoch_walls: list[float] = []
+
+    def timed(df, e):
+        t0 = time.perf_counter()
+        inner(df, e)
+        epoch_walls.append(round(time.perf_counter() - t0, 3))
+
+    start = time.perf_counter()
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(timed)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bench-dsirck-"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    wall = time.perf_counter() - start
+    shutil.rmtree(dsir_path, ignore_errors=True)
+    shutil.rmtree(src, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "metric": "dsir_gate_docs_per_sec",
+                "value": round(n_docs / wall, 1),
+                "unit": "docs/sec",
+                "docs": n_docs,
+                "scored": sum(scored),
+                "selected": sum(selected),
+                "batches": n_batches,
+                "wall_sec": round(wall, 3),
+                "epoch_walls": epoch_walls,
+                "sf": sf_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
+def semdedup_mode() -> None:
+    """Incremental SemDeDup throughput (semantic_dedup_ingest_sink):
+    bootstrap the written IVF index on half the sf-tier embeddings
+    (untimed), then stream the other half in contiguous batches — each
+    epoch routes, probes only its touched cells against the growing
+    index, emits keep/drop flags, and folds in. Per-epoch curve shows
+    whether probe cost tracks touched-cell occupancy (it grows as cells
+    fill — the k-knob trade measured in PLANS.md round-11)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_batches = int(os.environ.get("BENCH_INGEST_BATCHES", "10"))
+
+    from flink_clickstream_processor_msk_spark import get_spark
+    from flink_clickstream_processor_msk_spark.operators import similarity
+    from flink_clickstream_processor_msk_spark.streaming.ingest import (
+        semantic_dedup_ingest_sink,
+    )
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="bench-ingest-semdedup")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    half = emb.count() // 2
+    base = emb.filter(F.col("vec_id") < half)
+    rest = emb.filter(F.col("vec_id") >= half)
+    n_rest = rest.count()
+
+    path = tempfile.mkdtemp(prefix="bench-semdedup-")
+    similarity.save_ivf_index(base, path)
+
+    lo = half
+    per = -(-n_rest // n_batches)  # contiguous id slices (the pq lesson)
+    flags = []
+    inner = semantic_dedup_ingest_sink(
+        path, lambda df, _e: flags.append(df.filter("NOT is_kept").count())
+    )
+    epoch_walls: list[float] = []
+    start = time.perf_counter()
+    for i in range(n_batches):
+        batch = rest.filter(
+            (F.col("vec_id") >= lo + i * per)
+            & (F.col("vec_id") < lo + (i + 1) * per)
+        )
+        t0 = time.perf_counter()
+        inner(batch, i)
+        epoch_walls.append(round(time.perf_counter() - t0, 3))
+    wall = time.perf_counter() - start
+    shutil.rmtree(path, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "metric": "semdedup_ingest_vecs_per_sec",
+                "value": round(n_rest / wall, 1),
+                "unit": "vecs/sec",
+                "vecs": n_rest,
+                "dropped": sum(flags),
+                "batches": n_batches,
+                "wall_sec": round(wall, 3),
+                "epoch_walls": epoch_walls,
+                "sf": sf_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
 def lm_quality_mode() -> None:
     """Streaming quality-scoring throughput (lm_quality_ingest_sink):
     train the reference LM on the sf-tier documents once (untimed), then
@@ -587,6 +736,10 @@ if __name__ == "__main__":
         pq_retrain_mode()
     elif mode == "pq_policy":
         pq_policy_mode()
+    elif mode == "dsir_quality":
+        dsir_quality_mode()
+    elif mode == "semdedup":
+        semdedup_mode()
     elif mode == "lm_quality":
         lm_quality_mode()
     else:
