@@ -243,6 +243,7 @@ def corpus_ingest_sink(
     lm_path: str | None = None,
     min_avg_prob: float | None = None,
     on_rejected: Callable[[DataFrame, int], None] | None = None,
+    dsir_path: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The full training-data ingest leg as ONE foreachBatch writer:
     each micro-batch of documents is near-dup-checked against the
@@ -269,7 +270,15 @@ def corpus_ingest_sink(
     text is no gate. ``on_rejected(df, epoch)`` receives the rejects as
     (doc_id, avg_prob) with NULL avg_prob for the unscoreable class —
     route to quarantine/sampling there. The LM tables resolve once per
-    sink and persist (the handles discipline)."""
+    sink and persist (the handles discipline).
+
+    ``dsir_path`` turns on the SELECTION GATE (``pipeline.save_dsir``;
+    :func:`dsir_ingest_sink`'s leg), applied FIRST — select, then
+    quality-filter, then dedup: documents below the written importance
+    model's train-time cutoff (and bigram-less documents it cannot
+    judge) never reach the LM or the state. Its rejects also route to
+    ``on_rejected`` as (doc_id, NULL avg_prob) — they were never
+    LM-scored."""
     from flink_clickstream_processor_msk_spark.operators.pipeline import (
         _flag_contaminated,
         decontaminate_incremental,
@@ -287,6 +296,45 @@ def corpus_ingest_sink(
         )
     handles = _StateHandles(state_path)
     lm_handle: dict = {}
+    dsir_handle: dict = {}
+
+    def _selection_gate(batch_docs: DataFrame, epoch_id: int) -> DataFrame:
+        from pyspark.storagelevel import StorageLevel
+
+        from flink_clickstream_processor_msk_spark.operators import pipeline
+
+        spark = batch_docs.sparkSession
+        if "ratios" not in dsir_handle:
+            ratio_q, meta = pipeline.load_dsir(spark, dsir_path)
+            dsir_handle["ratios"] = ratio_q.persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            dsir_handle["cutoff"] = meta["cutoff"]
+            dsir_handle["n_buckets"] = meta["n_buckets"]
+        scored = pipeline.dsir_score_saved(
+            batch_docs,
+            dsir_handle["ratios"],
+            dsir_handle["cutoff"],
+            n_buckets=dsir_handle["n_buckets"],
+        )
+        admitted = batch_docs.join(
+            scored.filter(F.col("selected")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        if on_rejected is not None:
+            rejects = batch_docs.select("doc_id").join(
+                scored.filter(F.col("selected")).select("doc_id"),
+                "doc_id",
+                "left_anti",
+            )
+            on_rejected(
+                rejects.select(
+                    "doc_id", F.lit(None).cast("double").alias("avg_prob")
+                ),
+                epoch_id,
+            )
+        return admitted
 
     def _quality_gate(batch_docs: DataFrame, epoch_id: int) -> DataFrame:
         from pyspark.storagelevel import StorageLevel
@@ -322,6 +370,8 @@ def corpus_ingest_sink(
 
     def write(batch_docs: DataFrame, epoch_id: int) -> None:
         spark = batch_docs.sparkSession
+        if dsir_path is not None:
+            batch_docs = _selection_gate(batch_docs, epoch_id)
         if lm_path is not None and min_avg_prob is not None:
             batch_docs = _quality_gate(batch_docs, epoch_id)
         new_state = batch_dedup_state(batch_docs)

@@ -1806,6 +1806,81 @@ def test_corpus_ingest_quality_gate_filters_before_dedup(spark, tmp_path):
     assert (1, 2) in got_pairs  # near-dups among admitted still detected
 
 
+def test_corpus_ingest_dsir_gate_selects_before_dedup(spark, tmp_path):
+    """The dsir_path selection gate on the combined ingest leg: documents
+    below the written importance model's train-time cutoff (and
+    bigram-less documents it cannot judge) are rejected FIRST — they
+    reach on_rejected with NULL avg_prob (never LM-scored), never enter
+    the state, produce no pairs or flags; target-like near-dups among
+    the admitted are still detected."""
+    from flink_clickstream_processor_msk_spark.operators import pipeline
+    from flink_clickstream_processor_msk_spark.streaming.ingest import (
+        corpus_ingest_sink,
+        init_dedup_state,
+    )
+
+    med = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    web = "spam junk click buy now free cheap deal win prize"
+    train = spark.createDataFrame(
+        [
+            _doc(800, med),
+            _doc(801, med + " lambda mu"),
+            _doc(802, web),
+            _doc(803, web + " offer code"),
+        ],
+        DOCS_SCHEMA,
+    )
+    dsir_path = str(tmp_path / "gate-dsir")
+    pipeline.save_dsir(
+        train, train.filter(F.col("doc_id") <= 801), dsir_path,
+        n_buckets=128, keep_fraction=0.5,
+    )
+
+    batch = spark.createDataFrame(
+        [
+            _doc(1, med),                       # target-like, admitted
+            _doc(2, med + " nu"),               # near-dup of 1, admitted
+            _doc(3, web + " extra junk words"), # off-target, rejected
+            _doc(4, "one"),                     # unscoreable, rejected
+        ],
+        DOCS_SCHEMA,
+    )
+    grams_path = str(tmp_path / "gate-dsir-grams")
+    pipeline.save_test_grams(
+        spark.createDataFrame([_doc(900, med)], DOCS_SCHEMA), grams_path
+    )
+    state_path = str(tmp_path / "gate-dsir-state")
+    init_dedup_state(spark, state_path)
+
+    got_pairs, got_flags, got_rejects = [], {}, {}
+    write = corpus_ingest_sink(
+        state_path, grams_path,
+        on_pairs=lambda df, e: got_pairs.extend(
+            (r["doc_a"], r["doc_b"]) for r in df.collect()
+        ),
+        on_flags=lambda df, e: got_flags.update(
+            (r["doc_id"], r["contaminated"]) for r in df.collect()
+        ),
+        dsir_path=dsir_path,
+        on_rejected=lambda df, e: got_rejects.update(
+            (r["doc_id"], r["avg_prob"]) for r in df.collect()
+        ),
+    )
+    write(batch, 0)
+
+    assert set(got_rejects) == {3, 4}
+    assert got_rejects[3] is None and got_rejects[4] is None  # never LM-scored
+    state_ids = {
+        r["doc_id"]
+        for r in dedup.load_dedup_state(spark, state_path).collect()
+    }
+    assert state_ids == {1, 2}
+    assert set(got_flags) == {1, 2}
+    assert bool(got_flags[1])  # shares grams with the benchmark doc
+    assert all({a, b} <= {1, 2} for a, b in got_pairs)
+    assert (1, 2) in got_pairs  # near-dups among admitted still detected
+
+
 def test_corpus_ingest_half_configured_gate_refused(spark, tmp_path):
     """Passing exactly one of lm_path/min_avg_prob is a silently-disabled
     quality gate the caller believes is on (ADVICE r10) — sink
