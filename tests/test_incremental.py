@@ -1560,6 +1560,54 @@ def test_semantic_dedup_ingest_sink_matches_batch(spark, tmp_path):
     spark.catalog.clearCache()
 
 
+def test_semantic_dedup_ingest_sink_replay_guard(spark, tmp_path):
+    """The documented at-least-once failure, executed: an UNWRAPPED
+    redelivery of an epoch self-matches against its own appended rows
+    (every vector suddenly has a lower-id... itself is excluded, but its
+    appended twin row flags nothing — the real corruption is the DOUBLE
+    APPEND, which poisons every later epoch's lower-id comparisons and
+    double-counts the index). Wrapped in sinks.dedup_epochs, redelivery
+    is a no-op: no second flag emission, no second append."""
+    import os
+
+    from flink_clickstream_processor_msk_spark.streaming.ingest import (
+        semantic_dedup_ingest_sink,
+    )
+    from flink_clickstream_processor_msk_spark.streaming.sinks import (
+        dedup_epochs,
+    )
+
+    base = spark.createDataFrame(
+        [(i, [float(i % 7)] * 64) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "replay_ivf")
+    similarity.save_ivf_index(base, path)
+
+    batch = spark.createDataFrame(
+        [(100, [50.0] * 64), (101, [60.0] * 64)],
+        "vec_id long, embedding array<float>",
+    )
+    calls: list[int] = []
+    inner = semantic_dedup_ingest_sink(
+        path, lambda df, e: calls.append(df.count())
+    )
+    write = dedup_epochs(inner, str(tmp_path / "markers"))
+
+    def index_rows():
+        return spark.read.parquet(f"{path}/cells").count()
+
+    write(batch, 0)
+    n_after_first = index_rows()
+    assert n_after_first == 12 and calls == [2]
+    write(batch, 0)  # redelivery of the SAME epoch: must be a no-op
+    assert index_rows() == n_after_first
+    assert calls == [2]
+    write(batch, 1)  # a genuinely new epoch still processes
+    assert calls == [2, 2]
+    spark.catalog.clearCache()
+
+
 def test_dsir_ingest_sink_matches_batch_selection(spark, tmp_path):
     """The streaming DSIR gate: save_dsir learns the ratio table + the
     train-time rank cutoff once; a 2-batch replay of the training corpus
