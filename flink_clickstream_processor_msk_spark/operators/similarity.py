@@ -574,11 +574,18 @@ def append_to_ivf_index(new_embeddings: DataFrame, path: str) -> None:
         raise ValueError(f"no centroids sidecar at {path}/centroids")
     cents = [[float(x) for x in r["cvec"]] for r in cents_rows]
     cell_udf = _make_cell_udf(spark.sparkContext.broadcast(cents))
+    # coalesce(1) before the partitioned append (the dedup delta_files
+    # lesson, PLANS.md round 11): from the source's own partitioning a
+    # 100-vector append wrote 70 tiny files (tasks × touched cells,
+    # measured); one task writes ≤ n_touched_cells — the layout minimum —
+    # and a micro-batch is trivially single-task work for the numpy kernel
     new_embeddings.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
         cell_udf("embedding").alias("cell"),
-    ).write.partitionBy("cell").mode("append").parquet(f"{path}/cells")
+    ).coalesce(1).write.partitionBy("cell").mode("append").parquet(
+        f"{path}/cells"
+    )
 
 
 #: per-cell occupancy skew worth alarming on. The round-8 drift
@@ -940,9 +947,10 @@ def append_to_pq_index(new_embeddings: DataFrame, path: str) -> None:
     for r in rows:
         cbs[r["s"]].append([float(x) for x in r["cvec"]])
     codes_udf, _bc = _make_pq_codes_udf(spark.sparkContext, cbs)
+    # one file per append (the dedup delta_files lesson)
     new_embeddings.select(
         "vec_id", codes_udf("embedding").alias("codes")
-    ).write.mode("append").parquet(f"{path}/codes")
+    ).coalesce(1).write.mode("append").parquet(f"{path}/codes")
 
 
 # --- composed IVFADC written layout -----------------------------------------
@@ -1020,6 +1028,7 @@ def append_to_ivfpq_index(new_embeddings: DataFrame, path: str) -> None:
             cell_udf("embedding").alias("cell"),
             codes_udf("embedding").alias("codes"),
         )
+        .coalesce(1)  # ≤ n_touched_cells files per append (delta_files lesson)
         .write.partitionBy("cell")
         .mode("append")
         .parquet(f"{path}/cells")
@@ -1132,7 +1141,10 @@ def append_to_lsh_index(new_embeddings: DataFrame, path: str) -> None:
 
     _refuse_tombstoned(new_embeddings, path)
     index = build_lsh_index(new_embeddings)
-    index.write.partitionBy("bucket").mode("append").parquet(f"{path}/buckets")
+    # ≤ n_touched_buckets files per append (the delta_files lesson)
+    index.coalesce(1).write.partitionBy("bucket").mode("append").parquet(
+        f"{path}/buckets"
+    )
     index.unpersist()
 
 

@@ -535,9 +535,9 @@ def semantic_dedup_ingest_sink(
             # contract); routing already computed — write the cells
             # directly instead of re-running append_to_ivf_index's UDF
             similarity._refuse_tombstoned(batch_vecs, index_path)
-            batch_cells.write.partitionBy("cell").mode("append").parquet(
-                f"{index_path}/cells"
-            )
+            batch_cells.coalesce(1).write.partitionBy("cell").mode(
+                "append"
+            ).parquet(f"{index_path}/cells")
         finally:
             batch_cells.unpersist()
 
