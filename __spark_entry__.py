@@ -905,6 +905,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_bpe": _on_table(
             "documents", lambda df: text.pack_sequences_bpe(df, ctx_len=512)
         ),
+        # length_percentiles over REAL subword counts: the in-window
+        # length_percentiles percentile_disc frame verbatim over the
+        # in-window bpe_token_stats count kernel (composition-spanned,
+        # the pack_sequences_bpe precedent)
+        "length_percentiles_bpe": _on_table(
+            "documents", text.length_percentiles_bpe
+        ),
         # reference-parity constants (CP:129,143,152) — same operators as
         # the *_30m head rows, the reference's exact window constants
         "q1_user_sessions_1s": _q1(_GAP_1S),
@@ -979,6 +986,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": oracles_beyond.pack_sequences(ctx_len=512),
         "bpe_token_stats": oracles_beyond.bpe_token_stats(),
         "pack_sequences_bpe": oracles_beyond.pack_sequences_bpe(ctx_len=512),
+        "length_percentiles_bpe": oracles_beyond.length_percentiles_bpe(),
         "source_mix_weights": oracles_beyond.source_mix_weights(group_col="lang"),
         "ngram_topk_per_lang": oracles_beyond.ngram_topk_per_lang(),
         "resample_corpus": oracles_beyond.resample_corpus(),

@@ -1067,6 +1067,15 @@ def length_percentiles(
             F.percentile_approx("n_tokens", 0.9, accuracy).alias("p90_tokens"),
             F.percentile_approx("n_tokens", 0.99, accuracy).alias("p99_tokens"),
         )
+    return _disc_percentiles(base)
+
+
+def _disc_percentiles(base: DataFrame, suffix: str = "tokens") -> DataFrame:
+    """The exact percentile_disc frame over a (doc_id, lang, n_tokens)
+    count table — shared by :func:`length_percentiles` (whitespace
+    counts) and :func:`length_percentiles_bpe` (real subword counts)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
     ranked = base.select(
         "lang",
@@ -1084,16 +1093,40 @@ def length_percentiles(
 
     return ranked.groupBy("lang").agg(
         F.max("n").alias("n_docs"),
-        pick(0.5, "p50_tokens"),
-        pick(0.9, "p90_tokens"),
-        pick(0.99, "p99_tokens"),
+        pick(0.5, f"p50_{suffix}"),
+        pick(0.9, f"p90_{suffix}"),
+        pick(0.99, f"p99_{suffix}"),
     ).select(
         "lang",
         F.col("n_docs").cast("long").alias("n_docs"),
-        "p50_tokens",
-        "p90_tokens",
-        "p99_tokens",
+        f"p50_{suffix}",
+        f"p90_{suffix}",
+        f"p99_{suffix}",
     )
+
+
+def length_percentiles_bpe(documents: DataFrame) -> DataFrame:
+    """:func:`length_percentiles` over REAL subword counts — the batch
+    sizing a transformer pipeline actually budgets (whitespace p99 can
+    undersize a context window by the corpus's bpe_per_word factor).
+    Same percentile_disc frame (shared ``_disc_percentiles`` core); the
+    counts are :func:`bpe_token_stats`'s Arrow kernel, so this row is
+    composition-spanned (percentile frame ⨯ BPE counts) and sits in the
+    queries() tail like pack_sequences_bpe. Documents with no tokens
+    drop — there is nothing to size (the bpe_token_stats convention;
+    the whitespace variant keeps its 0-token rows, so n_docs may differ
+    between the two on corpora with empty documents)."""
+    bpe_count = _bpe_count_udf()
+    base = (
+        documents.select(
+            "doc_id", "lang", _bpe_word_arrays(documents).alias("w")
+        )
+        .filter(F.size("w") >= 1)
+        .select(
+            "doc_id", "lang", bpe_count("w").cast("int").alias("n_tokens")
+        )
+    )
+    return _disc_percentiles(base, suffix="bpe_tokens")
 
 
 def resample_corpus(documents: DataFrame, group_col: str = "lang") -> DataFrame:

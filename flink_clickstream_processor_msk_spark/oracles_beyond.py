@@ -1381,6 +1381,38 @@ FROM ranked GROUP BY lang
 """
 
 
+def length_percentiles_bpe() -> str:
+    """SQL twin of text.length_percentiles_bpe: the length_percentiles
+    percentile_disc frame verbatim over the shared BPE-encode CTE
+    block's per-doc piece sums (bpe_token_stats' counts) — a
+    composition-spanned tail row, like pack_sequences_bpe. Token-less
+    docs drop via the inner join (the bpe_token_stats convention)."""
+    pick = "MAX(CASE WHEN rn = CEIL({p} * n) THEN n_tokens END)"
+    return f"""
+WITH RECURSIVE {_bpe_ctes()},
+doc_bpe AS (
+  SELECT doc_id, SUM(c.n) AS n_tokens FROM toks JOIN counts c USING (t)
+  GROUP BY doc_id
+),
+base AS (
+  SELECT d.doc_id, d.lang, b.n_tokens
+  FROM documents d JOIN doc_bpe b USING (doc_id)
+),
+ranked AS (
+  SELECT lang, n_tokens,
+    row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn,
+    COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM base
+)
+SELECT lang,
+  CAST(MAX(n) AS BIGINT) AS n_docs,
+  CAST({pick.format(p=0.5)} AS INTEGER) AS p50_bpe_tokens,
+  CAST({pick.format(p=0.9)} AS INTEGER) AS p90_bpe_tokens,
+  CAST({pick.format(p=0.99)} AS INTEGER) AS p99_bpe_tokens
+FROM ranked GROUP BY lang
+"""
+
+
 def dup_span_stats(width: int = 8) -> str:
     """SQL twin of dedup.dup_span_stats (60-bit md5 window hashes; a
     window instance is duplicated iff its hash occurs in >= 2 distinct

@@ -1555,3 +1555,32 @@ def test_dsir_select_prefers_target_like_documents(spark):
     assert min(out[0]["dsir_score"], out[1]["dsir_score"]) > max(
         out[2]["dsir_score"], out[3]["dsir_score"]
     )
+
+
+def test_length_percentiles_bpe_real_counts(spark):
+    """The BPE percentile frame uses REAL subword counts (kernel-pinned)
+    and drops token-less documents (the bpe_token_stats convention — the
+    whitespace variant keeps its 0-token rows)."""
+    from flink_clickstream_processor_msk_spark.functions.bpe import (
+        bpe_token_count,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The filter joins the Table", "en"),
+            (2, "zq", "en"),
+            (3, "", "en"),       # token-less: dropped here, kept (0) in base op
+            (4, None, "en"),     # NULL: dropped by both
+        ],
+        "doc_id long, text string, lang string",
+    )
+    row = {r["lang"]: r for r in text.length_percentiles_bpe(docs).collect()}["en"]
+    assert row["n_docs"] == 2  # docs 1 and 2 only
+    n1 = bpe_token_count(["the", "filter", "joins", "the", "table"])
+    n2 = bpe_token_count(["zq"])
+    lo, hi = sorted([n1, n2])
+    assert row["p50_bpe_tokens"] == lo   # rank ceil(0.5*2)=1
+    assert row["p90_bpe_tokens"] == hi   # rank ceil(0.9*2)=2
+    assert row["p99_bpe_tokens"] == hi
+    base = {r["lang"]: r for r in text.length_percentiles(docs).collect()}["en"]
+    assert base["n_docs"] == 3  # the whitespace variant keeps the 0-token doc
