@@ -272,12 +272,13 @@ _QUERY_VEC_ID, _TOPK = 0, 10
 # driver tier (20 uniform sources, TESTDATA.md)
 _DSIR_TARGET_SOURCE = "src0"
 
-# Caller-managed persist scratch for the self-trained LM scorers
-# (text.lm_bigram_score's r11 persist policy: no persist unless the caller
-# passes a scratch list it later releases). The PREVIOUS call's frames are
-# unpersisted before each new call — its result was already collected — so
-# a long session holds at most one call's cached bigram/count tables
-# instead of leaking one per call (VERDICT r10 wrong #1).
+# Caller-managed persist scratch for the scratch-contract operators (the
+# self-trained LM scorers and, round 12, tfidf_top_terms: no persist
+# unless the caller passes a scratch list it later releases). The
+# PREVIOUS call's frames are unpersisted before each new call — its
+# result was already collected — so a long session holds at most one
+# call's cached tables instead of leaking one per call (VERDICT r10
+# wrong #1, swept across the remaining always-persist operators in r12).
 _LM_SCRATCH: list = []
 
 
@@ -667,7 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # GPT-3/Pile-style n-gram decontamination of train vs test split
         "decontaminate": _on_table("documents", pipeline.decontaminate),
         # characteristic terms per doc (hash-exact linear-idf variant)
-        "tfidf_top_terms": _on_table("documents", text.tfidf_top_terms),
+        "tfidf_top_terms": _lm_scored(text.tfidf_top_terms),
         # exact percentile_disc token-length stats per language
         "length_percentiles": _on_table("documents", text.length_percentiles),
         # Lee-et-al exact-substring dedup, the REMOVAL half: duplicated

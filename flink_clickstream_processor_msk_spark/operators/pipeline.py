@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from flink_clickstream_processor_msk_spark.functions.hashing import h60
 from flink_clickstream_processor_msk_spark.operators.dedup import (
-    _materialized,
+    _tracked,
     exact_duplicates,
     minhash_duplicate_families,
     shingle_hashes,
@@ -72,7 +72,8 @@ def clean_corpus(
 
 
 def decontaminate(
-    documents: DataFrame, test_pct: int = 10, k: int = SHINGLE_K
+    documents: DataFrame, test_pct: int = 10, k: int = SHINGLE_K,
+    scratch: list | None = None,
 ) -> DataFrame:
     """Test-set decontamination by word-shingle overlap: flag every TRAIN
     document that shares any word-k-gram with any TEST document (GPT-3 /
@@ -102,10 +103,11 @@ def decontaminate(
     dominant map cost — runs over the corpus once, not once per side
     (the ``_materialized`` signature-table rule from the dedup suite)."""
     is_test = (h60(F.col("doc_id").cast("string")) % 100) < test_pct
-    g = _materialized(
+    g = _tracked(
         shingle_hashes(documents, k=k).select(
             "doc_id", is_test.alias("is_test"), F.explode("shingles").alias("gram")
-        )
+        ),
+        scratch,
     )
     test_grams = g.filter(F.col("is_test")).select("gram").distinct()
     train = documents.select("doc_id").filter(~is_test)
@@ -152,7 +154,8 @@ def load_test_grams(spark, path: str, k: int = SHINGLE_K) -> DataFrame:
 
 
 def decontaminate_incremental(
-    new_train_docs: DataFrame, test_grams: DataFrame, k: int = SHINGLE_K
+    new_train_docs: DataFrame, test_grams: DataFrame, k: int = SHINGLE_K,
+    scratch: list | None = None,
 ) -> DataFrame:
     """Flag an ingest batch against a SAVED benchmark gram table — the
     production decontamination shape (:func:`decontaminate` is the
@@ -164,10 +167,11 @@ def decontaminate_incremental(
     28-bit gram hashes (the benchmark side is small and broadcasts; at
     worst it is a bounded shuffled semi-join), one LEFT join back onto
     the batch ids. Same flag-don't-drop contract as :func:`decontaminate`."""
-    g = _materialized(
+    g = _tracked(
         shingle_hashes(new_train_docs, k=k).select(
             "doc_id", F.explode("shingles").alias("gram")
-        )
+        ),
+        scratch,
     )
     return _flag_contaminated(
         new_train_docs.select("doc_id"), g, test_grams.select("gram")
@@ -477,8 +481,14 @@ def _dsir_ratio_table(
                 b,
                 int(
                     math.floor(
-                        float((ct.get(b, 0) + 1) * (n_r + n_buckets))
-                        / float((cr.get(b, 0) + 1) * (n_t + n_buckets))
+                        # each FACTOR casts to double before the multiply
+                        # (mirrored in the SQL oracle): counts are exact
+                        # below 2^53, and rounding the exact product once
+                        # equals float(int·int) — but the int form's
+                        # BIGINT twin overflows at 2^63 products, a
+                        # latent large-tier divergence (ADVICE r11)
+                        float(ct.get(b, 0) + 1) * float(n_r + n_buckets)
+                        / (float(cr.get(b, 0) + 1) * float(n_t + n_buckets))
                         * DSIR_RATIO_SCALE
                     )
                 ),

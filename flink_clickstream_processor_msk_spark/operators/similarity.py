@@ -112,7 +112,12 @@ def _refuse_tombstoned(new_embeddings: DataFrame, path: str) -> None:
 def _read_index_table(spark, path: str, sub: str) -> DataFrame:
     """Read an index data table, finishing a crash-interrupted compaction
     swap first (staged dir present, live dir missing — the
-    load_dedup_state self-heal)."""
+    load_dedup_state self-heal), then unioning the flat append delta
+    (``{sub}_delta``) when one exists — the LSM read path the banded
+    dedup state uses (round 12: appends moved off dynamic-partition
+    writes onto the flat delta; a filter on the routing column still
+    partition-prunes the base branch and row-group-skips the small delta
+    branch)."""
     fs, cur = _hadoop_fs(spark, f"{path}/{sub}")
     if not fs.exists(cur):
         staged = spark.sparkContext._jvm.org.apache.hadoop.fs.Path(
@@ -120,37 +125,81 @@ def _read_index_table(spark, path: str, sub: str) -> DataFrame:
         )
         if fs.exists(staged):
             fs.rename(staged, cur)
-    return spark.read.parquet(f"{path}/{sub}")
+    base = spark.read.parquet(f"{path}/{sub}")
+    fs, dpath = _hadoop_fs(spark, f"{path}/{sub}_delta")
+    if fs.exists(dpath):
+        delta = spark.read.parquet(f"{path}/{sub}_delta")
+        # the base read surfaces the routing column as an inferred
+        # partition column — align the delta's physical types to it
+        base = base.unionByName(
+            delta.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in base.schema.fields
+                ]
+            )
+        )
+    return base
+
+
+def _append_index_rows(rows: DataFrame, path: str, sub: str) -> None:
+    """Shared append write: ONE flat file per append into
+    ``{path}/{sub}_delta`` — the banded-dedup-state delta discipline.
+    Dynamic-partition appends into the base layout paid the committer
+    overhead per touched partition (measured 3.6–5.7 s/batch on the
+    dedup state) and still wrote n_touched_cells files per batch;
+    the flat delta writes exactly one, and :func:`compact_index` folds
+    it back into the partition-pruned base on the caller's cadence."""
+    rows.coalesce(1).write.mode("append").parquet(f"{path}/{sub}_delta")
+
+
+def _clear_index_delta(spark, path: str, sub: str) -> None:
+    """Drop a stale append delta when the base table is rebuilt from
+    scratch (save_*_index overwrite / re-train): the fresh base already
+    covers the corpus, so surviving delta rows would duplicate."""
+    fs, dpath = _hadoop_fs(spark, f"{path}/{sub}_delta")
+    if fs.exists(dpath):
+        fs.delete(dpath, True)
 
 
 def compact_index(spark, path: str, kind: str) -> None:
-    """Physically drop tombstoned vectors from a written index
-    (``kind`` in ivf | ivfpq | lsh | pq): rewrite the data table FILTERED
-    through a staging dir (write → delete → rename — the one
-    crash window self-heals in :func:`_read_index_table`), preserving
-    the routing partitioning, then clear the tombstones; the deleted ids
-    may be re-ingested afterwards. Sidecars (centroids/codebooks/
-    ood_ref) are structure, not rows — untouched; note a large delete
-    shifts occupancy/OOD shares, which the monitors read post-delete by
-    construction (they run over the filtered load)."""
+    """Fold the flat append delta back into the routing-partitioned base
+    AND physically drop tombstoned vectors (``kind`` in ivf | ivfpq |
+    lsh | pq) — the LSM compaction of the written-index lifecycle:
+    rewrite the data table (base ∪ delta, tombstone-filtered,
+    vec_id-deduplicated) through a staging dir (write → delete → rename —
+    the one crash window self-heals in :func:`_read_index_table`),
+    clustered by ``repartition(part_col)`` before ``partitionBy`` so the
+    base stays one file per partition (the dedup-state re-splinter
+    lesson), then clear the delta and tombstones; deleted ids may be
+    re-ingested afterwards. A crash between the swap and the delta
+    delete leaves delta rows duplicated in base + delta — probes stay
+    top-k-correct modulo a duplicated neighbor row, and RE-RUNNING
+    compact heals it (the dropDuplicates makes the fold idempotent).
+    Sidecars (centroids/codebooks/ood_ref) are structure, not rows —
+    untouched; a large delete shifts occupancy/OOD shares, which the
+    monitors read post-delete by construction (they run over the
+    filtered load)."""
     sub, part_col = _INDEX_TABLES[kind]
-    if load_index_tombstones(spark, path) is None:
+    fs, dpath = _hadoop_fs(spark, f"{path}/{sub}_delta")
+    if load_index_tombstones(spark, path) is None and not fs.exists(dpath):
         return
     filtered = _apply_index_tombstones(
         spark, path, _read_index_table(spark, path, sub)
-    )
-    writer = filtered.write.mode("overwrite")
+    ).dropDuplicates(["vec_id"])
     if part_col is not None:
-        writer = writer.partitionBy(part_col)
+        filtered = filtered.repartition(part_col)
+        writer = filtered.write.mode("overwrite").partitionBy(part_col)
+    else:
+        writer = filtered.write.mode("overwrite")
     writer.parquet(f"{path}/{sub}_new")
     fs, cur = _hadoop_fs(spark, f"{path}/{sub}")
-    staged = spark.sparkContext._jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}_new")
+    jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    staged = jvm_path(f"{path}/{sub}_new")
     fs.delete(cur, True)
     fs.rename(staged, cur)
-    fs.delete(
-        spark.sparkContext._jvm.org.apache.hadoop.fs.Path(f"{path}/deleted_ids"),
-        True,
-    )
+    fs.delete(jvm_path(f"{path}/{sub}_delta"), True)
+    fs.delete(jvm_path(f"{path}/deleted_ids"), True)
 
 
 def _query_vector(embeddings: DataFrame, query_vec_id: int) -> list[float]:
@@ -535,6 +584,7 @@ def save_ivf_index(
     + ``path/centroids`` sidecar."""
     cents, index = build_ivf_index(embeddings, n_centroids)
     spark = embeddings.sparkSession
+    _clear_index_delta(spark, path, "cells")
     index.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/cells")
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)], "cidx int, cvec array<double>"
@@ -564,9 +614,11 @@ def append_to_ivf_index(new_embeddings: DataFrame, path: str) -> None:
     under the ORIGINAL centroids — exactly how production IVF serves
     inserts between periodic re-trains; re-train = a fresh
     :func:`save_ivf_index` (or :func:`kmeans_refine_centroids` pass)
-    when drift accumulates. Appended files land inside the existing
-    ``cell=N`` partition directories, so probe-side partition pruning is
-    untouched."""
+    when drift accumulates. Appended rows land in the flat ``cells_delta``
+    (ONE file per append — round 12 moved appends off dynamic-partition
+    writes, which cost the per-partition committer overhead and wrote
+    n_touched_cells files per batch); every read unions the delta and
+    :func:`compact_index` folds it back into the partition-pruned base."""
     _refuse_tombstoned(new_embeddings, path)
     spark = new_embeddings.sparkSession
     cents_rows = spark.read.parquet(f"{path}/centroids").orderBy("cidx").collect()
@@ -574,17 +626,14 @@ def append_to_ivf_index(new_embeddings: DataFrame, path: str) -> None:
         raise ValueError(f"no centroids sidecar at {path}/centroids")
     cents = [[float(x) for x in r["cvec"]] for r in cents_rows]
     cell_udf = _make_cell_udf(spark.sparkContext.broadcast(cents))
-    # coalesce(1) before the partitioned append (the dedup delta_files
-    # lesson, PLANS.md round 11): from the source's own partitioning a
-    # 100-vector append wrote 70 tiny files (tasks × touched cells,
-    # measured); one task writes ≤ n_touched_cells — the layout minimum —
-    # and a micro-batch is trivially single-task work for the numpy kernel
-    new_embeddings.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
-        cell_udf("embedding").alias("cell"),
-    ).coalesce(1).write.partitionBy("cell").mode("append").parquet(
-        f"{path}/cells"
+    _append_index_rows(
+        new_embeddings.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+            cell_udf("embedding").alias("cell"),
+        ),
+        path,
+        "cells",
     )
 
 
@@ -647,6 +696,7 @@ def save_lsh_index(
     """Build and write an LSH index partitioned by ``bucket`` (hyperplanes
     are deterministic from ``n_planes`` — no sidecar needed)."""
     index = build_lsh_index(embeddings, n_planes)
+    _clear_index_delta(embeddings.sparkSession, path, "buckets")
     index.write.partitionBy("bucket").mode("overwrite").parquet(f"{path}/buckets")
     index.unpersist()
 
@@ -899,6 +949,7 @@ def save_pq_index(
     persist the Lloyd's-refined build."""
     cbs, codes = build_pq_index(embeddings, m, k_cb, codebooks)
     spark = embeddings.sparkSession
+    _clear_index_delta(spark, path, "codes")
     codes.write.mode("overwrite").parquet(f"{path}/codes")
     rows = [
         (s, j, list(map(float, c)))
@@ -947,10 +998,15 @@ def append_to_pq_index(new_embeddings: DataFrame, path: str) -> None:
     for r in rows:
         cbs[r["s"]].append([float(x) for x in r["cvec"]])
     codes_udf, _bc = _make_pq_codes_udf(spark.sparkContext, cbs)
-    # one file per append (the dedup delta_files lesson)
-    new_embeddings.select(
-        "vec_id", codes_udf("embedding").alias("codes")
-    ).coalesce(1).write.mode("append").parquet(f"{path}/codes")
+    # one file per append into the flat delta (the dedup delta_files
+    # lesson; compact_index folds it back)
+    _append_index_rows(
+        new_embeddings.select(
+            "vec_id", codes_udf("embedding").alias("codes")
+        ),
+        path,
+        "codes",
+    )
 
 
 # --- composed IVFADC written layout -----------------------------------------
@@ -976,6 +1032,7 @@ def save_ivfpq_index(
     cents, cells = build_ivf_index(embeddings, n_centroids)
     cbs, codes = build_pq_index(embeddings, m, k_cb)
     spark = embeddings.sparkSession
+    _clear_index_delta(spark, path, "cells")
     (
         cells.join(codes, "vec_id")  # one-time build-side join
         .repartition("cell")
@@ -1002,8 +1059,9 @@ def append_to_ivfpq_index(new_embeddings: DataFrame, path: str) -> None:
     """Incremental refresh of the composed IVFADC layout (the
     :func:`append_to_ivf_index` pattern applied to the single-table
     form): route AND encode only the new vectors with the index's saved
-    centroids + codebooks, append the composed rows into the existing
-    ``cell=N`` partition directories. Probes over the refreshed table
+    centroids + codebooks, append the composed rows to the flat
+    ``cells_delta`` (reads union it; compact folds). Probes over the
+    refreshed table
     see old + new identically to a same-structure full rebuild (pinned
     in tests/test_incremental.py); drift policy per PLANS.md — IVF
     routing needs no re-train, re-train the PQ half (re-seeded) past
@@ -1021,17 +1079,15 @@ def append_to_ivfpq_index(new_embeddings: DataFrame, path: str) -> None:
         cbs[r["s"]].append([float(x) for x in r["cvec"]])
     cell_udf = _make_cell_udf(spark.sparkContext.broadcast(cents))
     codes_udf, _bc = _make_pq_codes_udf(spark.sparkContext, cbs)
-    (
+    _append_index_rows(
         new_embeddings.select(
             "vec_id",
             F.col("embedding").cast("array<double>").alias("v"),
             cell_udf("embedding").alias("cell"),
             codes_udf("embedding").alias("codes"),
-        )
-        .coalesce(1)  # ≤ n_touched_cells files per append (delta_files lesson)
-        .write.partitionBy("cell")
-        .mode("append")
-        .parquet(f"{path}/cells")
+        ),
+        path,
+        "cells",
     )
 
 
@@ -1131,20 +1187,19 @@ def load_pq_ood_ref(spark, path: str):
 
 def append_to_lsh_index(new_embeddings: DataFrame, path: str) -> None:
     """Incremental LSH refresh: bucket ONLY the new vectors (hyperplanes
-    are deterministic from n_planes — no sidecar to read) and append into
-    the existing ``bucket=N`` partition directories; probe-side partition
-    pruning is untouched and results match a full rebuild exactly (LSH
-    has no trained state, so there is no drift trade at all)."""
+    are deterministic from n_planes — no sidecar to read) and append to
+    the flat ``buckets_delta`` (reads union it; :func:`compact_index`
+    folds it back into the bucket-partitioned base); results match a
+    full rebuild exactly (LSH has no trained state, so there is no drift
+    trade at all)."""
     from flink_clickstream_processor_msk_spark.operators.dedup import (
         build_lsh_index,
     )
 
     _refuse_tombstoned(new_embeddings, path)
     index = build_lsh_index(new_embeddings)
-    # ≤ n_touched_buckets files per append (the delta_files lesson)
-    index.coalesce(1).write.partitionBy("bucket").mode("append").parquet(
-        f"{path}/buckets"
-    )
+    # one flat delta file per append (the delta_files lesson)
+    _append_index_rows(index, path, "buckets")
     index.unpersist()
 
 

@@ -1118,8 +1118,10 @@ nt AS (SELECT COUNT(*) AS n_t FROM tgtb),
 ratio AS (
   SELECT cr.b,
     CAST(floor(
-      (CAST((COALESCE(ct.c_t, 0) + 1) * (nr.n_r + {n_buckets}) AS DOUBLE)
-       / CAST((cr.c_r + 1) * (nt.n_t + {n_buckets}) AS DOUBLE)) * {scale}
+      ((CAST(COALESCE(ct.c_t, 0) + 1 AS DOUBLE)
+        * CAST(nr.n_r + {n_buckets} AS DOUBLE))
+       / (CAST(cr.c_r + 1 AS DOUBLE)
+          * CAST(nt.n_t + {n_buckets} AS DOUBLE))) * {scale}
     ) AS BIGINT) AS q
   FROM cr LEFT JOIN ct USING (b) CROSS JOIN nr CROSS JOIN nt
 ),

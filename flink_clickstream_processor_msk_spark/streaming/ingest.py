@@ -179,16 +179,21 @@ def dedup_ingest_sink(
     N-th epoch's fold, :func:`~...operators.dedup.compact_dedup_state`
     rebuilds the partitioned banded base from the signature table and
     clears the flat append delta, so probe-side partition pruning keeps
-    covering the whole corpus instead of an ever-growing delta. Default
-    N: :func:`recommended_compact_every` — measured, not guessed (the
-    delta's probe cost is file-open-bound, so the optimum is
-    sqrt(2·compact_wall / per-file-cost) epochs, ~100 locally).
+    covering the whole corpus instead of an ever-growing delta.
+    ``None`` (the default) RESOLVES to :func:`recommended_compact_every`
+    at sink construction — measured, not guessed (the delta's probe cost
+    is file-open-bound, so the optimum is sqrt(2·compact_wall /
+    per-file-cost) epochs, ~100 locally) — so the delta can no longer
+    grow unboundedly by omission (ADVICE r11). Pass ``0`` to disable
+    inline compaction when an external scheduler owns the cadence.
 
     Per-epoch fixed cost: the state's modulus and base listing are
     resolved once (:class:`_StateHandles`), only the small flat delta is
     re-listed per batch, and every persisted scratch table (the batch's
     signature AND banded frames) is unpersisted before the epoch returns
     — a long-running query holds a constant number of cached tables."""
+    if compact_every is None:
+        compact_every = recommended_compact_every()
     handles = _StateHandles(state_path)
 
     def write(batch_docs: DataFrame, epoch_id: int) -> None:
@@ -217,7 +222,7 @@ def dedup_ingest_sink(
             append_dedup_state(
                 new_state, state_path, resolved_ptmod=handles.ptmod(spark)
             )
-            if compact_every is not None and (epoch_id + 1) % compact_every == 0:
+            if compact_every and (epoch_id + 1) % compact_every == 0:
                 from flink_clickstream_processor_msk_spark.operators.dedup import (
                     compact_dedup_state,
                 )
@@ -294,6 +299,8 @@ def corpus_ingest_sink(
             f"(got lm_path={lm_path!r}, min_avg_prob={min_avg_prob!r}); "
             "pass both to enable it or neither to ingest unfiltered"
         )
+    if compact_every is None:
+        compact_every = recommended_compact_every()
     handles = _StateHandles(state_path)
     lm_handle: dict = {}
     dsir_handle: dict = {}
@@ -406,7 +413,7 @@ def corpus_ingest_sink(
             append_dedup_state(
                 new_state, state_path, resolved_ptmod=handles.ptmod(spark)
             )
-            if compact_every is not None and (epoch_id + 1) % compact_every == 0:
+            if compact_every and (epoch_id + 1) % compact_every == 0:
                 from flink_clickstream_processor_msk_spark.operators.dedup import (
                     compact_dedup_state,
                 )
@@ -450,16 +457,26 @@ def semantic_dedup_ingest_sink(
     Scale shape: routing is the append path's broadcast-centroid numpy
     kernel; the probe reads ONLY the batch's touched ``cell=``
     partitions (driver-bounded ≤ n_centroids values — the dedup-state
-    partition-pruning discipline); norms are hoisted per row (the
-    semantic_dedup 2× lesson); per-epoch scratch unpersists in a
-    finally. At-least-once as elsewhere — wrap in ``sinks.dedup_epochs``
-    (a replayed epoch would otherwise self-match against its own
-    appended rows and flag everything)."""
+    partition-pruning discipline); pair scoring is the per-cell
+    ``dedup._semdedup_flags_kernel`` applyInPandas matmul (round 12 —
+    the same kernel as ``semantic_dedup(vectorized=True)``: each vector
+    crosses Arrow once per cell instead of once per candidate pair, and
+    the epsilon-band sequential re-fold keeps every decision
+    bit-identical to the batch operator's Catalyst fold, so batch parity
+    is preserved exactly); the fold-in is a ONE-file flat append to
+    ``cells_delta`` (the LSM append path every ``append_to_*_index``
+    uses — ``compact_index`` folds it back on the caller's cadence);
+    per-epoch scratch unpersists in a finally. At-least-once as
+    elsewhere — wrap in ``sinks.dedup_epochs`` (a replayed epoch would
+    otherwise self-match against its own appended rows and flag
+    everything)."""
     from pyspark.storagelevel import StorageLevel
 
     from flink_clickstream_processor_msk_spark.operators import similarity
     from flink_clickstream_processor_msk_spark.operators.dedup import (
         COSINE_THRESHOLD,
+        SEMDEDUP_FLAGS_SCHEMA,
+        _semdedup_flags_kernel,
     )
 
     if threshold is None:
@@ -477,14 +494,8 @@ def semantic_dedup_ingest_sink(
             handles["cents"] = spark.sparkContext.broadcast(
                 [[float(x) for x in r["cvec"]] for r in rows]
             )
+            handles["kernel"] = _semdedup_flags_kernel(threshold)
         cell_udf = similarity._make_cell_udf(handles["cents"])
-        norm = F.sqrt(
-            F.aggregate(
-                F.transform("v", lambda x: x * x),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
         batch_cells = batch_vecs.select(
             "vec_id",
             F.col("embedding").cast("array<double>").alias("v"),
@@ -500,44 +511,28 @@ def semantic_dedup_ingest_sink(
                 index_path,
                 similarity._read_index_table(spark, index_path, "cells"),
             ).filter(F.col("cell").isin(touched))
-            others = saved.select("vec_id", "v", "cell").unionByName(
-                batch_cells.select("vec_id", "v", "cell")
-            )
-            a = others.withColumn("norm", norm).alias("a")
-            b = batch_cells.withColumn("norm", norm).alias("b")
-            dot = F.aggregate(
-                F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            dropped = (
-                a.join(
-                    b,
-                    (F.col("a.cell") == F.col("b.cell"))
-                    & (F.col("a.vec_id") < F.col("b.vec_id")),
+            members = saved.select("vec_id", "v", "cell").withColumn(
+                "is_batch", F.lit(False)
+            ).unionByName(
+                batch_cells.select("vec_id", "v", "cell").withColumn(
+                    "is_batch", F.lit(True)
                 )
-                .filter(
-                    (dot / (F.col("a.norm") * F.col("b.norm"))) >= threshold
-                )
-                .select(F.col("b.vec_id").alias("vec_id"))
-                .distinct()
-                .withColumn("dropped", F.lit(True))
             )
             on_flags(
-                batch_cells.join(dropped, "vec_id", "left").select(
-                    "vec_id",
-                    F.col("cell").cast("int").alias("cell"),
-                    F.col("dropped").isNull().alias("is_kept"),
+                members.groupBy("cell").applyInPandas(
+                    handles["kernel"], SEMDEDUP_FLAGS_SCHEMA
                 ),
                 epoch_id,
             )
             # fold AFTER flag delivery (the dedup_ingest_sink crash
-            # contract); routing already computed — write the cells
+            # contract); routing already computed — append the cells
             # directly instead of re-running append_to_ivf_index's UDF
             similarity._refuse_tombstoned(batch_vecs, index_path)
-            batch_cells.coalesce(1).write.partitionBy("cell").mode(
-                "append"
-            ).parquet(f"{index_path}/cells")
+            similarity._append_index_rows(
+                batch_cells.select("vec_id", "v", "cell"),
+                index_path,
+                "cells",
+            )
         finally:
             batch_cells.unpersist()
 
@@ -705,6 +700,19 @@ def index_ingest_sink(
         "lsh": similarity.append_to_lsh_index,
         "ivfpq": similarity.append_to_ivfpq_index,
     }[kind]
+    if growth_retrain_fraction is not None and (
+        kind != "pq" or retrain_hook is None
+    ):
+        # half-configured periodic re-train: the monitor only runs for
+        # kind='pq' with a hook, so the growth trigger would silently
+        # never fire — the corpus_ingest_sink lm_path/min_avg_prob rule
+        # (ADVICE r11): refuse loudly at sink construction
+        raise ValueError(
+            "growth_retrain_fraction requires kind='pq' AND retrain_hook "
+            f"(got kind={kind!r}, retrain_hook={retrain_hook!r}); the "
+            "growth trigger is a PQ re-train policy and cannot run "
+            "without the monitor"
+        )
     if ood_retrain_fraction is None:
         ood_retrain_fraction = similarity.PQ_OOD_RETRAIN_FRACTION
     # per-sink monitor state: the saved reference + codebooks are read
@@ -717,6 +725,16 @@ def index_ingest_sink(
             if monitor["ref"] is not None:
                 monitor["cbs"] = similarity.load_pq_index(spark, index_path)[0]
         if monitor["ref"] is None:
+            if growth_retrain_fraction is not None:
+                # the growth trigger arithmetic needs base_n from the
+                # ood_ref sidecar; a pre-sidecar index would silently
+                # disable the periodic policy the caller asked for
+                raise ValueError(
+                    f"growth_retrain_fraction is set but {index_path} has "
+                    "no ood_ref sidecar (index saved before the monitor "
+                    "existed?) — re-save with save_pq_index to write the "
+                    "base_n reference"
+                )
             return
         threshold, base_n, _q = monitor["ref"]
         qerr = similarity.pq_quantization_error(batch_vecs, monitor["cbs"])

@@ -268,3 +268,40 @@ def test_graph_stats_distinguishes_clique_from_chain(spark):
     }
     assert got == {d: (deg[d], 0, 3) for d in (0, 1, 2)}
     spark.catalog.clearCache()
+
+
+def test_connected_components_long_chain_logarithmic_rounds(spark):
+    """The round-12 large-star/small-star rewrite's reason to exist: a
+    transitive dup CHAIN of length L (what near-dup families produce) is
+    the adversarial case for the replaced min-label propagation, which
+    needed L rounds (diameter-bound — a 120-chain would have EXCEEDED the
+    default max_iterations=50 and raised). The star alternation must (a)
+    label the whole chain with its minimum, identically to the driver
+    union-find path, and (b) converge in logarithmically few rounds."""
+    from pyspark.sql import functions as F
+
+    from flink_clickstream_processor_msk_spark.operators.dedup import (
+        connected_components,
+    )
+
+    length = 120
+    chain = spark.range(length).select(
+        (F.col("id") + 1).alias("doc_a"), F.col("id").alias("doc_b")
+    )
+    stats: dict = {}
+    dist = {
+        r["id"]: r["lbl"]
+        for r in connected_components(
+            chain, "doc_a", "doc_b",
+            small_graph_edge_rows=0, stats=stats,
+        ).collect()
+    }
+    assert stats["path"] == "star"
+    assert stats["rounds"] <= 10, stats  # log²-ish, nowhere near 121
+    assert dist == {i: 0 for i in range(length + 1)}
+    driver = {
+        r["id"]: r["lbl"]
+        for r in connected_components(chain, "doc_a", "doc_b").collect()
+    }
+    assert driver == dist
+    spark.catalog.clearCache()

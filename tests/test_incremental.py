@@ -1595,7 +1595,8 @@ def test_semantic_dedup_ingest_sink_replay_guard(spark, tmp_path):
     write = dedup_epochs(inner, str(tmp_path / "markers"))
 
     def index_rows():
-        return spark.read.parquet(f"{path}/cells").count()
+        # through the LSM read path: base + the flat append delta
+        return similarity._read_index_table(spark, path, "cells").count()
 
     write(batch, 0)
     n_after_first = index_rows()
@@ -1950,3 +1951,162 @@ def test_corpus_ingest_half_configured_gate_refused(spark, tmp_path):
                 on_flags=lambda df, e: None,
                 **kwargs,
             )
+
+
+@pytest.mark.parametrize("kind", ["ivf", "pq", "lsh", "ivfpq"])
+def test_index_append_writes_one_flat_delta_file(spark, tmp_path, kind):
+    """Round 12: appends land as ONE flat parquet file per batch in
+    ``{sub}_delta`` (the banded-dedup-state delta_files=1 discipline —
+    dynamic-partition appends paid per-partition committer overhead and
+    wrote n_touched_cells files each), loads union the delta, and
+    :func:`compact_index` folds it back into the partitioned base and
+    removes the delta dir."""
+    import os
+
+    base, _ = _base_and_drifted(spark)
+    path = str(tmp_path / f"delta_{kind}")
+    sub = similarity._INDEX_TABLES[kind][0]
+    save = {
+        "ivf": similarity.save_ivf_index,
+        "pq": similarity.save_pq_index,
+        "lsh": similarity.save_lsh_index,
+        "ivfpq": similarity.save_ivfpq_index,
+    }[kind]
+    load = {
+        "ivf": similarity.load_ivf_index,
+        "pq": similarity.load_pq_index,
+        "lsh": similarity.load_lsh_index,
+        "ivfpq": similarity.load_ivfpq_index,
+    }[kind]
+    append = {
+        "ivf": similarity.append_to_ivf_index,
+        "pq": similarity.append_to_pq_index,
+        "lsh": similarity.append_to_lsh_index,
+        "ivfpq": similarity.append_to_ivfpq_index,
+    }[kind]
+
+    def loaded_ids():
+        out = load(spark, path)
+        table = out if isinstance(out, DataFrame) else out[-1]
+        return {r["vec_id"] for r in table.select("vec_id").collect()}
+
+    def delta_files():
+        d = f"{path}/{sub}_delta"
+        if not os.path.isdir(d):
+            return []
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    save(base.filter(F.col("vec_id") < 80), path)
+    append(base.filter((F.col("vec_id") >= 80) & (F.col("vec_id") < 90)), path)
+    assert len(delta_files()) == 1
+    append(base.filter(F.col("vec_id") >= 90), path)
+    assert len(delta_files()) == 2
+    assert loaded_ids() == set(range(100))
+    similarity.compact_index(spark, path, kind)
+    assert not os.path.isdir(f"{path}/{sub}_delta")
+    assert loaded_ids() == set(range(100))
+    assert _index_rows(spark, path, kind) == 100
+
+
+def test_index_compact_rerun_heals_duplicated_delta(spark, tmp_path):
+    """The documented crash window (swap done, delta delete lost): delta
+    rows appear twice at read; RE-RUNNING compact de-duplicates by
+    vec_id and removes the delta — the fold is idempotent."""
+    import shutil as _sh
+
+    base, _ = _base_and_drifted(spark)
+    path = str(tmp_path / "dupheal_ivf")
+    similarity.save_ivf_index(base.filter(F.col("vec_id") < 90), path)
+    new = base.filter(F.col("vec_id") >= 90)
+    similarity.append_to_ivf_index(new, path)
+    _sh.copytree(f"{path}/cells_delta", f"{path}/cells_delta_bak")
+    similarity.compact_index(spark, path, "ivf")
+    # crash simulation: the folded delta resurfaces
+    _sh.move(f"{path}/cells_delta_bak", f"{path}/cells_delta")
+    _, cells = similarity.load_ivf_index(spark, path)
+    assert cells.count() == 110  # 10 appended rows visible twice
+    similarity.compact_index(spark, path, "ivf")
+    _, cells = similarity.load_ivf_index(spark, path)
+    assert cells.count() == 100
+    assert _index_rows(spark, path, "ivf") == 100
+
+
+def test_save_index_clears_stale_delta(spark, tmp_path):
+    """A re-train (save over an appended index) rebuilds the base from
+    the full corpus; a surviving delta would double the appended rows —
+    save_*_index must drop it."""
+    base, _ = _base_and_drifted(spark)
+    path = str(tmp_path / "resave_pq")
+    similarity.save_pq_index(base.filter(F.col("vec_id") < 90), path)
+    similarity.append_to_pq_index(base.filter(F.col("vec_id") >= 90), path)
+    similarity.save_pq_index(base, path)  # the re-train shape
+    _, codes = similarity.load_pq_index(spark, path)
+    assert codes.count() == 100
+
+
+def test_dedup_sink_compact_every_defaults_to_recommended(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11 (medium): compact_every=None must RESOLVE to
+    recommended_compact_every() at sink construction — the measured
+    cadence is the default, not a docstring claim — and 0 disables
+    inline compaction explicitly."""
+    import os
+
+    from flink_clickstream_processor_msk_spark.streaming import ingest
+    from flink_clickstream_processor_msk_spark.streaming.ingest import (
+        dedup_ingest_sink,
+        init_dedup_state,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc text number {i} alpha beta") for i in range(6)],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(ingest, "recommended_compact_every", lambda: 1)
+
+    path = str(tmp_path / "default_on")
+    init_dedup_state(spark, path)
+    write = dedup_ingest_sink(path, lambda df, e: df.count())
+    write(docs.filter(F.col("doc_id") < 3), 0)
+    # compacted after the epoch: the delta was folded into the base
+    assert not os.path.isdir(f"{path}/banded_delta")
+
+    path0 = str(tmp_path / "explicit_off")
+    init_dedup_state(spark, path0)
+    write0 = dedup_ingest_sink(
+        path0, lambda df, e: df.count(), compact_every=0
+    )
+    write0(docs.filter(F.col("doc_id") >= 3), 0)
+    assert os.path.isdir(f"{path0}/banded_delta")
+
+
+def test_index_ingest_growth_trigger_misconfig_refused(spark, tmp_path):
+    """ADVICE r11: growth_retrain_fraction without kind='pq'+retrain_hook
+    is a silently-disabled periodic re-train — refuse at construction;
+    and a pq index missing the ood_ref sidecar (saved before the monitor
+    existed) raises on the first epoch instead of silently never firing."""
+    import shutil as _sh
+
+    from flink_clickstream_processor_msk_spark.streaming.ingest import (
+        index_ingest_sink,
+    )
+
+    with pytest.raises(ValueError, match="growth_retrain_fraction"):
+        index_ingest_sink(str(tmp_path / "i1"), kind="ivf",
+                          growth_retrain_fraction=0.5)
+    with pytest.raises(ValueError, match="growth_retrain_fraction"):
+        index_ingest_sink(str(tmp_path / "i2"), kind="pq",
+                          growth_retrain_fraction=0.5)
+
+    base, _ = _base_and_drifted(spark)
+    path = str(tmp_path / "no_sidecar_pq")
+    similarity.save_pq_index(base, path)
+    _sh.rmtree(f"{path}/ood_ref")
+    write = index_ingest_sink(
+        path, kind="pq",
+        retrain_hook=lambda s, e: None,
+        growth_retrain_fraction=0.5,
+    )
+    with pytest.raises(ValueError, match="ood_ref"):
+        write(base.filter(F.col("vec_id") < 5), 0)
