@@ -26,7 +26,9 @@ line: {"metric": "pq_retrain_ingest_vecs_per_sec", ...,
 BENCH_INGEST_MODE=dsir_quality runs the streaming DSIR gate leg
 (score+select every micro-batch against a written importance model);
 BENCH_INGEST_MODE=semdedup the incremental-SemDeDup-against-written-IVF
-leg.
+leg; BENCH_INGEST_MODE=corpus_semantic the COMPOSED multimodal leg
+(LM gate -> SemDeDup against the written IVF index -> minhash state,
+one pass over documents ⋈ embeddings).
 
 BENCH_INGEST_MODE=pq_policy runs the PERIODIC re-train policy leg
 (OOD + growth triggers composed): same drifted stream through three
@@ -659,6 +661,109 @@ def semdedup_mode() -> None:
     spark.stop()
 
 
+def corpus_semantic_mode() -> None:
+    """The composed MULTIMODAL ingest leg (round 12): one
+    corpus_ingest_sink pass over (documents ⋈ embeddings) with the LM
+    quality gate FIRST, then the admitted batch SemDeDup-checked against
+    the written IVF index AND near-dup-checked/folded into the minhash
+    state — two stateful legs, one text pass, one embedding pass per
+    batch. Reports whole-run docs/sec plus each leg's outputs so the
+    composition cost is comparable against the standalone legs
+    (semdedup_mode, lm_quality_mode, the default dedup leg)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_batches = int(os.environ.get("BENCH_INGEST_BATCHES", "10"))
+
+    from flink_clickstream_processor_msk_spark import get_spark
+    from flink_clickstream_processor_msk_spark.operators import (
+        pipeline,
+        similarity,
+        text,
+    )
+    from flink_clickstream_processor_msk_spark.streaming.ingest import (
+        corpus_ingest_sink,
+        init_dedup_state,
+    )
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="bench-ingest-corpus-semantic")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    joined = docs.join(emb, "doc_id")
+    lo, hi = 1000, 2000  # contiguous-id stream slice (the pq lesson)
+    stream = joined.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+    n_stream = stream.count()
+
+    root = tempfile.mkdtemp(prefix="bench-corpus-semantic-")
+    index_path = f"{root}/ivf"
+    similarity.save_ivf_index(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+            F.col("vec_id") < lo
+        ),
+        index_path,
+    )
+    lm_path = f"{root}/lm"
+    text.save_lm(docs.filter(F.col("doc_id") < 500), lm_path)
+    # admit ~90%: the gate is live but does not starve the other legs
+    cut = text.lm_bigram_score(
+        stream, lm=text.load_lm(spark, lm_path)
+    ).approxQuantile("avg_prob", [0.1], 0.0)[0]
+    grams_path = f"{root}/grams"
+    pipeline.save_test_grams(docs.filter(F.col("doc_id") < 20), grams_path)
+    state_path = f"{root}/state"
+    init_dedup_state(spark, state_path)
+
+    pairs, flags, rejected, sem_dropped = [0], [0], [0], [0]
+    inner = corpus_ingest_sink(
+        state_path,
+        grams_path,
+        on_pairs=lambda df, e: pairs.__setitem__(0, pairs[0] + df.count()),
+        on_flags=lambda df, e: flags.__setitem__(0, flags[0] + df.count()),
+        lm_path=lm_path,
+        min_avg_prob=cut,
+        on_rejected=lambda df, e: rejected.__setitem__(
+            0, rejected[0] + df.count()
+        ),
+        semantic_index_path=index_path,
+        on_semantic_flags=lambda df, e: sem_dropped.__setitem__(
+            0, sem_dropped[0] + df.filter("NOT is_kept").count()
+        ),
+    )
+    per = -(-(hi - lo) // n_batches)
+    epoch_walls: list[float] = []
+    start = time.perf_counter()
+    for i in range(n_batches):
+        batch = stream.filter(
+            (F.col("doc_id") >= lo + i * per)
+            & (F.col("doc_id") < lo + (i + 1) * per)
+        )
+        t0 = time.perf_counter()
+        inner(batch, i)
+        epoch_walls.append(round(time.perf_counter() - t0, 3))
+    wall = time.perf_counter() - start
+    shutil.rmtree(root, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "metric": "corpus_semantic_ingest_docs_per_sec",
+                "value": round(n_stream / wall, 1),
+                "unit": "docs/sec",
+                "docs": n_stream,
+                "rejected": rejected[0],
+                "sem_dropped": sem_dropped[0],
+                "pairs": pairs[0],
+                "flags": flags[0],
+                "batches": n_batches,
+                "wall_sec": round(wall, 3),
+                "epoch_walls": epoch_walls,
+                "sf": sf_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
 def lm_quality_mode() -> None:
     """Streaming quality-scoring throughput (lm_quality_ingest_sink):
     train the reference LM on the sf-tier documents once (untimed), then
@@ -742,5 +847,7 @@ if __name__ == "__main__":
         semdedup_mode()
     elif mode == "lm_quality":
         lm_quality_mode()
+    elif mode == "corpus_semantic":
+        corpus_semantic_mode()
     else:
         main()

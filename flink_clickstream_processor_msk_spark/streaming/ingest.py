@@ -249,6 +249,10 @@ def corpus_ingest_sink(
     min_avg_prob: float | None = None,
     on_rejected: Callable[[DataFrame, int], None] | None = None,
     dsir_path: str | None = None,
+    semantic_index_path: str | None = None,
+    on_semantic_flags: Callable[[DataFrame, int], None] | None = None,
+    embedding_col: str = "embedding",
+    semantic_threshold: float | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The full training-data ingest leg as ONE foreachBatch writer:
     each micro-batch of documents is near-dup-checked against the
@@ -283,7 +287,18 @@ def corpus_ingest_sink(
     model's train-time cutoff (and bigram-less documents it cannot
     judge) never reach the LM or the state. Its rejects also route to
     ``on_rejected`` as (doc_id, NULL avg_prob) — they were never
-    LM-scored."""
+    LM-scored.
+
+    ``semantic_index_path`` + ``on_semantic_flags`` compose the
+    EMBEDDING leg (round 12): a multimodal ingest carries
+    ``embedding_col`` alongside the text, and each ADMITTED batch (after
+    the cheap text gates — gates before expensive state, the pipeline
+    order rule) is also SemDeDup-checked against the written IVF index
+    at that path, exactly as :func:`semantic_dedup_ingest_sink` does
+    standalone (``(vec_id=doc_id, cell, is_kept)`` flags delivered, all
+    rows folded into the index) — ONE pass over (documents, embeddings),
+    two states maintained. Both-or-neither validation as for the quality
+    gate; gated-out documents never reach the index."""
     from flink_clickstream_processor_msk_spark.operators.pipeline import (
         _flag_contaminated,
         decontaminate_incremental,
@@ -299,6 +314,21 @@ def corpus_ingest_sink(
             f"(got lm_path={lm_path!r}, min_avg_prob={min_avg_prob!r}); "
             "pass both to enable it or neither to ingest unfiltered"
         )
+    if (semantic_index_path is None) != (on_semantic_flags is None):
+        raise ValueError(
+            "the embedding leg needs BOTH semantic_index_path and "
+            f"on_semantic_flags (got semantic_index_path="
+            f"{semantic_index_path!r}, on_semantic_flags="
+            f"{on_semantic_flags!r}); pass both to enable it or neither"
+        )
+    sem_inner = (
+        semantic_dedup_ingest_sink(
+            semantic_index_path, on_semantic_flags,
+            threshold=semantic_threshold,
+        )
+        if semantic_index_path is not None
+        else None
+    )
     if compact_every is None:
         compact_every = recommended_compact_every()
     handles = _StateHandles(state_path)
@@ -381,6 +411,14 @@ def corpus_ingest_sink(
             batch_docs = _selection_gate(batch_docs, epoch_id)
         if lm_path is not None and min_avg_prob is not None:
             batch_docs = _quality_gate(batch_docs, epoch_id)
+        if sem_inner is not None:
+            sem_inner(
+                batch_docs.select(
+                    F.col("doc_id").alias("vec_id"),
+                    F.col(embedding_col).alias("embedding"),
+                ),
+                epoch_id,
+            )
         new_state = batch_dedup_state(batch_docs)
         scratch: list[DataFrame] = [new_state]
         try:

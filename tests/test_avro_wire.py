@@ -513,3 +513,53 @@ def test_wire_bytes_through_kafka_decode_expression(spark):
     assert sorted(got, key=lambda r: r["globalseq"]) == sorted(
         FIXTURE_ROWS, key=lambda r: r["globalseq"]
     )
+
+
+def _kafka_source_usable(spark) -> bool:
+    try:
+        (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", "localhost:9092")
+            .option("subscribe", "probe")
+            .load()
+        )
+        return True
+    except Exception:
+        return False
+
+
+def test_kafka_clickevents_plan_constructs_when_package_present(spark):
+    """The S1 source's Kafka leg (reference CP:114-119 —
+    FlinkKafkaConsumer011 over the SR-enveloped topic, earliest offsets):
+    when spark-sql-kafka IS on the classpath, kafka_clickevents must
+    build a streaming plan — source options, consumer-config
+    passthrough, SR envelope strip, from_avro decode, event-time column
+    — WITHOUT a broker (Spark binds the consumer at stream start, not at
+    plan time). Skip-gated exactly like the spark-avro leg: the sandbox
+    bundles neither package, a deployment has both (README "Deploying
+    the Kafka (S1) source"). The wire bytes themselves are pinned
+    broker-independently by test_wire_bytes_through_kafka_decode_expression
+    and the pure-Python codec suite above."""
+    if not _kafka_source_usable(spark):
+        pytest.skip("spark-sql-kafka package not on the classpath in this sandbox")
+    if not _spark_avro_usable(spark):
+        pytest.skip("spark-avro module not on the classpath in this sandbox")
+    from flink_clickstream_processor_msk_spark.sources.clickevents import (
+        kafka_clickevents,
+    )
+
+    df = kafka_clickevents(
+        spark,
+        "localhost:9092",
+        topic="ExampleTopic",
+        kafka_options={
+            "group.id": "flink-clickstream-processor",  # CP:104 parity
+            "maxOffsetsPerTrigger": "10000",
+        },
+    )
+    assert df.isStreaming
+    names = [f.name for f in df.schema.fields]
+    # the ClickEvent contract plus the event-time column the watermark
+    # assigner adds (S2)
+    for col in ("userid", "eventtimestamp", "event_time"):
+        assert col in names, names

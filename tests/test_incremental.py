@@ -2110,3 +2110,127 @@ def test_index_ingest_growth_trigger_misconfig_refused(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="ood_ref"):
         write(base.filter(F.col("vec_id") < 5), 0)
+
+
+def test_corpus_ingest_embedding_leg_composes_gates_and_semdedup(
+    spark, tmp_path
+):
+    """Round-12 composition: one corpus_ingest_sink pass over
+    (documents, embeddings) — the LM quality gate runs FIRST (cheap gates
+    before expensive state), then the ADMITTED batch is SemDeDup-checked
+    against the written IVF index exactly as the standalone sink would,
+    and also folds into the minhash state. Pins: (a) gated-out documents
+    never reach the index or the semantic flags, (b) the admitted flags
+    equal dedup.semantic_dedup over bootstrap ∪ admitted under the saved
+    centroids (batch parity through the composition), (c) the
+    both-or-neither construction rule."""
+    from flink_clickstream_processor_msk_spark.operators import pipeline, text
+    from flink_clickstream_processor_msk_spark.streaming.ingest import (
+        corpus_ingest_sink,
+        init_dedup_state,
+    )
+
+    schema = DOCS_SCHEMA + ", embedding array<float>"
+
+    def mdoc(i, txt, emb):
+        return (*_doc(i, txt), [float(x) for x in emb])
+
+    up = [1.0] * 32 + [0.0] * 32
+    down = [0.0] * 32 + [1.0] * 32
+
+    ref = spark.createDataFrame(
+        [_doc(800 + i, "the quick brown fox jumps over the lazy dog today")
+         for i in range(6)],
+        DOCS_SCHEMA,
+    )
+    lm_path = str(tmp_path / "memb-lm")
+    text.save_lm(ref, lm_path)
+
+    good_a = mdoc(10, "the quick brown fox jumps over the lazy dog", up)
+    good_b = mdoc(11, "the lazy dog jumps over the quick brown fox",
+                  [x + 1e-4 for x in up])          # near-dup of good_a
+    good_c = mdoc(
+        12,
+        "the quick brown fox naps under the green tree",
+        [1.0 if i % 2 == 0 else -1.0 for i in range(64)],  # ⊥ everything
+    )
+    junk = mdoc(13, "zq xv qqq zk wvv xoxo qq zzz",
+                [x + 2e-4 for x in up])            # would match, but gated
+    batch0 = spark.createDataFrame([good_a, junk], schema)
+    batch1 = spark.createDataFrame([good_b, good_c], schema)
+    all_docs = spark.createDataFrame([good_a, good_b, good_c, junk], schema)
+
+    scores = {
+        r["doc_id"]: r["avg_prob"]
+        for r in text.lm_bigram_score(
+            all_docs, lm=text.load_lm(spark, lm_path)
+        ).collect()
+    }
+    cut = (max(scores[13], 0.0)
+           + min(scores[10], scores[11], scores[12])) / 2
+
+    # bootstrap index on two seed vectors (ids below the batch ids)
+    boot = spark.createDataFrame(
+        [(0, [float(x) for x in down]), (1, [1.0] * 64)],
+        "vec_id long, embedding array<float>",
+    )
+    index_path = str(tmp_path / "memb-ivf")
+    similarity.save_ivf_index(boot, index_path, n_centroids=2)
+
+    grams_path = str(tmp_path / "memb-grams")
+    pipeline.save_test_grams(
+        spark.createDataFrame([_doc(900, "held out benchmark sentence")],
+                              DOCS_SCHEMA),
+        grams_path,
+    )
+    state_path = str(tmp_path / "memb-state")
+    init_dedup_state(spark, state_path)
+
+    with pytest.raises(ValueError, match="embedding leg"):
+        corpus_ingest_sink(
+            state_path, grams_path,
+            on_pairs=lambda df, e: None, on_flags=lambda df, e: None,
+            semantic_index_path=index_path,
+        )
+
+    sem_flags: dict = {}
+    write = corpus_ingest_sink(
+        state_path, grams_path,
+        on_pairs=lambda df, e: df.count(),
+        on_flags=lambda df, e: df.count(),
+        lm_path=lm_path, min_avg_prob=cut,
+        on_rejected=lambda df, e: df.count(),
+        semantic_index_path=index_path,
+        on_semantic_flags=lambda df, e: sem_flags.update(
+            (r["vec_id"], (r["cell"], r["is_kept"])) for r in df.collect()
+        ),
+        semantic_threshold=0.9,
+    )
+    write(batch0, 0)
+    write(batch1, 1)
+
+    # (a) the junk doc was gated before the embedding leg
+    assert set(sem_flags) == {10, 11, 12}
+    cents, cells = similarity.load_ivf_index(spark, index_path)
+    assert {r["vec_id"] for r in cells.select("vec_id").collect()} == {
+        0, 1, 10, 11, 12
+    }
+    # (b) batch parity through the composition: flags == the batch
+    # operator over bootstrap ∪ admitted under the SAME saved centroids
+    admitted = boot.unionByName(
+        all_docs.filter(F.col("doc_id") != 13).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
+    )
+    _, full_idx = similarity.build_ivf_index(admitted, centroids=cents)
+    want = {
+        r["vec_id"]: (r["cell"], r["is_kept"])
+        for r in dedup.semantic_dedup(
+            admitted, threshold=0.9, index=full_idx
+        ).collect()
+    }
+    assert sem_flags == {i: want[i] for i in (10, 11, 12)}
+    assert sem_flags[11][1] is False  # near-dup of admitted 10: dropped
+    assert sem_flags[10][1] and sem_flags[12][1]
+    full_idx.unpersist()
+    spark.catalog.clearCache()
