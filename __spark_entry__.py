@@ -639,7 +639,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in r9 per VERDICT r8 missing#3, displacing train_test_split,
         # whose h60-bucket formula family_safe_split spans)
         "redact_pii": _on_table("documents", text.redact_pii),
-        "token_histogram": _on_table("documents", text.token_histogram),
+        # round-12: first iteration of the distributed BPE merge trainer
+        # (adjacent char-pair counts over the word-frequency table,
+        # argmax tie-break order) — pins train_bpe_merges' per-round core
+        # under the driver oracle; displaces token_histogram to the tail
+        # (its tokenize+count term is verbatim inside tfidf_top_terms'
+        # oracle, its count-DESC/token-ASC top-k cut inside
+        # ngram_topk_per_lang's rank machinery — both in-window)
+        "bpe_merge_candidates": _on_table(
+            "documents", text.bpe_merge_candidates
+        ),
         # exact per-stratum hash-ordered sample (WindowGroupLimit rank cut)
         "stratified_sample": _on_table("documents", text.stratified_sample),
         # NTILE curriculum quartiles over the shared quality composite
@@ -883,6 +892,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family_safe_split / clean_corpus oracles; rotated out in r10
         # (displaced by lm_bigram_score); driver-green through r9
         "dedup_minhash_jaccard": _minhash_pairs,
+        # corpus token top-k: tokenize+count verbatim inside the
+        # in-window tfidf_top_terms oracle (tf/df over the same exploded
+        # lower-text tokens), the (count DESC, token ASC) deterministic
+        # cut inside ngram_topk_per_lang's rank machinery; rotated out in
+        # r12 (displaced by bpe_merge_candidates); driver-green
+        # through r11
+        "token_histogram": _on_table("documents", text.token_histogram),
         # round-9 IVF drift monitor over the same cached index: its
         # assignment term is spanned in-window by sim_ann_ivfpq_topk
         # (identical routing CTE) and its count/share machinery by
@@ -980,6 +996,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": oracles_beyond.quality_filter(),
         "charset_stats": oracles_beyond.charset_stats(),
         "token_histogram": oracles_beyond.token_histogram(),
+        "bpe_merge_candidates": oracles_beyond.bpe_merge_candidates(),
         "train_test_split": oracles_beyond.train_test_split(),
         "stratified_sample": oracles_beyond.stratified_sample(),
         "difficulty_buckets": oracles_beyond.difficulty_buckets(),

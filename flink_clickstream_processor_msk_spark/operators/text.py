@@ -586,6 +586,54 @@ def train_bpe_merges(
     return merges
 
 
+def bpe_merge_candidates(documents: DataFrame, k: int = 20) -> DataFrame:
+    """The top-``k`` BPE merge candidates of a corpus — the FIRST
+    iteration of :func:`train_bpe_merges` exposed as an oracle-checkable
+    query: adjacent character-pair counts over the word-frequency table,
+    ranked by the trainer's exact argmax order (count DESC, pair ASC —
+    the Sennrich tie-break), so ``merge_rank = 1`` IS the first merge the
+    trainer would emit. Useful standalone as tokenizer-corpus
+    diagnostics (which merges a corpus wants vs the fixed public table).
+
+    Scale shape = the trainer's: one corpus pass into a
+    map-side-combined word count (vocabulary-bound from there, Heaps'
+    law), pair explode via ``slice + arrays_zip`` (no interpreted lambda
+    HOF), one aggregation, one WindowGroupLimit rank cut. Character
+    splitting is per UTF-16 code unit on the JVM vs per code point in
+    DuckDB — identical for every BMP string; the fixture corpus is ASCII
+    (astral inputs would need the Arrow kernel variant)."""
+    from pyspark.sql import Window
+
+    vocab = (
+        documents.select(F.explode(_bpe_word_arrays(documents)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = vocab.select(
+        F.expr("split(w, '(?!^)(?!$)')").alias("syms"), "freq"
+    ).select(
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(syms, 1, size(syms)-1)").alias("a"),
+                F.expr("slice(syms, 2, size(syms)-1)").alias("b"),
+            )
+        ).alias("p"),
+        "freq",
+    )
+    counts = pairs.groupBy(
+        F.col("p.a").alias("sym_a"), F.col("p.b").alias("sym_b")
+    ).agg(F.sum("freq").alias("pair_count"))
+    w = Window.orderBy(
+        F.desc("pair_count"), F.asc("sym_a"), F.asc("sym_b")
+    )
+    return counts.select(
+        "sym_a",
+        "sym_b",
+        F.col("pair_count").cast("bigint").alias("pair_count"),
+        F.row_number().over(w).cast("int").alias("merge_rank"),
+    ).filter(F.col("merge_rank") <= k)
+
+
 def pack_sequences_bpe(
     documents: DataFrame, ctx_len: int = 2048, n_shards: int = 32
 ) -> DataFrame:

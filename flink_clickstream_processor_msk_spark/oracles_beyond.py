@@ -326,6 +326,46 @@ counts AS (
 )"""
 
 
+def bpe_merge_candidates(k: int = 20) -> str:
+    """SQL twin of text.bpe_merge_candidates: adjacent character-pair
+    counts over the word-frequency table (the first train_bpe_merges
+    iteration), ranked by the trainer's argmax tie-break (count DESC,
+    pair ASC). Char split is regexp_split_to_array(t, '') — per code
+    point, identical to the JVM's per-code-unit split on the ASCII/BMP
+    fixture corpus (the operator docstring carries the astral caveat)."""
+    toks = _TOKENS.format(
+        x="lower(replace(replace(text, chr(31), ''), chr(30), ''))"
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest({toks}) AS t FROM documents
+),
+vocab AS (SELECT t, COUNT(*) AS freq FROM toks GROUP BY t),
+chars AS (SELECT regexp_split_to_array(t, '') AS cs, freq FROM vocab),
+pairs AS (
+  SELECT cs[i] AS sym_a, cs[i + 1] AS sym_b, freq
+  FROM (
+    SELECT cs, freq,
+      unnest(generate_series(1, len(cs) - 1)) AS i
+    FROM chars
+  )
+),
+counts AS (
+  SELECT sym_a, sym_b, CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM pairs GROUP BY sym_a, sym_b
+),
+ranked AS (
+  SELECT sym_a, sym_b, pair_count,
+    CAST(row_number() OVER (
+      ORDER BY pair_count DESC, sym_a ASC, sym_b ASC
+    ) AS INTEGER) AS merge_rank
+  FROM counts
+)
+SELECT sym_a, sym_b, pair_count, merge_rank
+FROM ranked WHERE merge_rank <= {k}
+"""
+
+
 def bpe_token_stats() -> str:
     """SQL twin of text.bpe_token_stats: real subword counts under the
     fixed public BPE — per doc, whitespace pre-token count, total BPE

@@ -1720,6 +1720,11 @@ def test_train_bpe_merges_matches_reference_tool_both_paths(spark):
     assert (
         text.train_bpe_merges(docs, 12, max_driver_words=0) == MERGES[:12]
     )
+    # the driver-query view of the trainer: rank-1 candidate IS the
+    # first merge the trainer emits (same counts, same tie-break)
+    top = text.bpe_merge_candidates(docs, 1).first()
+    assert (top["sym_a"], top["sym_b"]) == MERGES[0]
+    assert top["merge_rank"] == 1
 
 
 def test_dsir_select_prefers_target_like_documents(spark):
