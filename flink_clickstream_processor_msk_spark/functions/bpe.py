@@ -49,12 +49,17 @@ BPE_SEP = "\x1f"
 BPE_CLOSE = "\x1e"
 
 
-def bpe_pieces(token: str) -> list[str]:
-    """Subword pieces of one (lowercased, marker-free) pre-token."""
+def bpe_pieces(
+    token: str, merges: list[tuple[str, str]] | None = None
+) -> list[str]:
+    """Subword pieces of one (lowercased, marker-free) pre-token.
+    ``merges``: an ordered merges table from
+    :func:`~...operators.text.train_bpe_merges` (round 12 — a corpus
+    tokenizer's whole point); default = the committed public fixture."""
     if not token:
         return []
     s = "".join(BPE_SEP + ch + BPE_CLOSE for ch in token)
-    for a, b in MERGES:
+    for a, b in MERGES if merges is None else merges:
         s = s.replace(
             BPE_SEP + a + BPE_CLOSE + BPE_SEP + b + BPE_CLOSE,
             BPE_SEP + a + b + BPE_CLOSE,
@@ -62,20 +67,29 @@ def bpe_pieces(token: str) -> list[str]:
     return s[1:-1].split(BPE_CLOSE + BPE_SEP)
 
 
-def bpe_piece_count(token: str, _memo: dict[str, int] | None = None) -> int:
+def bpe_piece_count(
+    token: str,
+    _memo: dict[str, int] | None = None,
+    merges: list[tuple[str, str]] | None = None,
+) -> int:
     """Number of BPE pieces of one pre-token (memoize across a batch —
-    corpus tokens are Zipf-distributed, so the cache hit rate is high)."""
+    corpus tokens are Zipf-distributed, so the cache hit rate is high;
+    the caller owns one memo per merges table)."""
     if _memo is None:
-        return len(bpe_pieces(token))
+        return len(bpe_pieces(token, merges))
     n = _memo.get(token)
     if n is None:
-        n = _memo[token] = len(bpe_pieces(token))
+        n = _memo[token] = len(bpe_pieces(token, merges))
     return n
 
 
-def bpe_token_count(tokens: list[str], _memo: dict[str, int] | None = None) -> int:
+def bpe_token_count(
+    tokens: list[str],
+    _memo: dict[str, int] | None = None,
+    merges: list[tuple[str, str]] | None = None,
+) -> int:
     """Total BPE piece count of a pre-token sequence."""
-    return sum(bpe_piece_count(t, _memo) for t in tokens)
+    return sum(bpe_piece_count(t, _memo, merges) for t in tokens)
 
 
 # --- AUTOGEN BELOW: merges table (tools/train_bpe_merges.py) ----------------------

@@ -378,12 +378,14 @@ def _bpe_word_arrays(documents: DataFrame):
     return tokens(F.lower(clean))
 
 
-def _bpe_count_udf():
-    """Arrow-batched subword counter over a token-array column: the fixed
-    public merges table (functions/bpe.py, Sennrich et al. 2016 training
-    on a committed seed) applied via the string-replace formulation —
-    literally the same algorithm the DuckDB twin runs as a recursive
-    merge CTE. Per-batch memoization exploits the Zipf token
+def _bpe_count_udf(merges: list[tuple[str, str]] | None = None):
+    """Arrow-batched subword counter over a token-array column: a merges
+    table applied via the string-replace formulation — by default the
+    fixed public one (functions/bpe.py, Sennrich et al. 2016 training on
+    a committed seed; literally the same algorithm the DuckDB twin runs
+    as a recursive merge CTE), or a caller-trained table from
+    :func:`train_bpe_merges`/:func:`load_bpe_merges` (round 12 — the
+    train → encode loop). Per-batch memoization exploits the Zipf token
     distribution: the corpus VOCABULARY is what gets encoded, not every
     occurrence (the oracle's DISTINCT-token encode mirrors this)."""
     from flink_clickstream_processor_msk_spark.functions.bpe import (
@@ -394,13 +396,17 @@ def _bpe_count_udf():
     def bpe_count(arrs: pd.Series) -> pd.Series:
         memo: dict[str, int] = {}
         return arrs.map(
-            lambda a: None if a is None else bpe_token_count(list(a), memo)
+            lambda a: None
+            if a is None
+            else bpe_token_count(list(a), memo, merges)
         )
 
     return bpe_count
 
 
-def bpe_token_stats(documents: DataFrame) -> DataFrame:
+def bpe_token_stats(
+    documents: DataFrame, merges: list[tuple[str, str]] | None = None
+) -> DataFrame:
     """Per-document REAL subword token counts under the fixed public BPE
     (functions/bpe.py) — the production sizing unit for packing/chunking
     (whitespace counts undersize transformer batches; VERDICT r10
@@ -414,8 +420,14 @@ def bpe_token_stats(documents: DataFrame) -> DataFrame:
     batch; no explode, no groupBy (the per-doc counts come straight off
     the token array). The DuckDB twin encodes the DISTINCT vocabulary via
     a recursive merge CTE and joins counts back — same
-    vocabulary-not-occurrences cost shape."""
-    bpe_count = _bpe_count_udf()
+    vocabulary-not-occurrences cost shape.
+
+    ``merges``: encode under a caller-trained table
+    (:func:`train_bpe_merges` → :func:`save_bpe_merges` →
+    :func:`load_bpe_merges`) instead of the fixed public fixture — the
+    oracle-checked driver query uses the default, so the fixture stays
+    the correctness contract."""
+    bpe_count = _bpe_count_udf(merges)
     base = documents.select("doc_id", _bpe_word_arrays(documents).alias("w"))
     return (
         base.filter(F.size("w") >= 1)
@@ -586,6 +598,27 @@ def train_bpe_merges(
     return merges
 
 
+def save_bpe_merges(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Write an ordered merges table (``rank, a, b`` — one file; the
+    tokenizer artifact a :func:`train_bpe_merges` run produces, sized in
+    KB) so every later job encodes under the SAME tokenizer —
+    the save/load lifecycle the LM, DSIR, and ANN artifacts already
+    have."""
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, a string, b string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_bpe_merges(spark, path: str) -> list[tuple[str, str]]:
+    """Read a saved merges table back into the ordered list
+    :func:`bpe_token_stats`/:func:`pack_sequences_bpe` accept."""
+    return [
+        (r["a"], r["b"])
+        for r in spark.read.parquet(path).orderBy("rank").collect()
+    ]
+
+
 def bpe_merge_candidates(documents: DataFrame, k: int = 20) -> DataFrame:
     """The top-``k`` BPE merge candidates of a corpus — the FIRST
     iteration of :func:`train_bpe_merges` exposed as an oracle-checkable
@@ -635,7 +668,10 @@ def bpe_merge_candidates(documents: DataFrame, k: int = 20) -> DataFrame:
 
 
 def pack_sequences_bpe(
-    documents: DataFrame, ctx_len: int = 2048, n_shards: int = 32
+    documents: DataFrame,
+    ctx_len: int = 2048,
+    n_shards: int = 32,
+    merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """:func:`pack_sequences` with REAL subword counts: the packing unit
     is the fixed public BPE's piece count (what a training batch actually
@@ -645,7 +681,7 @@ def pack_sequences_bpe(
     0 — so a pipeline can swap counters without changing downstream
     consumers."""
     shard = (h60(F.col("doc_id").cast("string")) % n_shards).cast("int")
-    bpe_count = _bpe_count_udf()
+    bpe_count = _bpe_count_udf(merges)
     base = documents.select(
         "doc_id",
         shard.alias("shard"),

@@ -1727,6 +1727,42 @@ def test_train_bpe_merges_matches_reference_tool_both_paths(spark):
     assert top["merge_rank"] == 1
 
 
+def test_bpe_train_save_encode_roundtrip(spark, tmp_path):
+    """The round-12 train → save → load → ENCODE loop: merges learned
+    from a corpus by train_bpe_merges, written with save_bpe_merges, and
+    read back must drive bpe_token_stats/pack_sequences_bpe identically
+    to the in-memory list — and passing the committed fixture explicitly
+    must equal the default (the oracle-checked query is untouched)."""
+    from flink_clickstream_processor_msk_spark.functions.bpe import MERGES
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    trained = text.train_bpe_merges(docs, 24)
+    assert len(trained) == 24 and trained != MERGES[:24]  # corpus-specific
+    path = str(tmp_path / "merges")
+    text.save_bpe_merges(spark, trained, path)
+    loaded = text.load_bpe_merges(spark, path)
+    assert loaded == trained
+
+    direct = sorted(
+        tuple(r) for r in text.bpe_token_stats(docs, merges=trained).collect()
+    )
+    via_artifact = sorted(
+        tuple(r) for r in text.bpe_token_stats(docs, merges=loaded).collect()
+    )
+    assert via_artifact == direct
+    default = sorted(tuple(r) for r in text.bpe_token_stats(docs).collect())
+    explicit_fixture = sorted(
+        tuple(r) for r in text.bpe_token_stats(docs, merges=MERGES).collect()
+    )
+    assert explicit_fixture == default
+    assert direct != default  # the trained table genuinely differs
+    packed = sorted(
+        tuple(r)
+        for r in text.pack_sequences_bpe(docs, merges=loaded).collect()
+    )
+    assert packed  # custom-merges packing runs end-to-end
+
+
 def test_dsir_select_prefers_target_like_documents(spark):
     """DSIR semantics pinned on a two-domain corpus: documents sharing
     the target slice's bigrams outrank the disjoint-vocabulary domain
