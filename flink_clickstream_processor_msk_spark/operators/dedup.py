@@ -1150,6 +1150,10 @@ def connected_components(
                 return labels
         E = new_e
         fp = new_fp
+    # non-convergence exit: release the persisted vertex table so a
+    # caller that catches and retries doesn't accumulate cached frames
+    # (the r12 review catch)
+    vertices.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds"
     )

@@ -446,6 +446,22 @@ def bpe_token_stats(
     )
 
 
+def _char_split_udf():
+    """Arrow-batched code-point splitter for the BPE training paths:
+    ``list(w)`` per word — the SAME unit Python's ``bpe_pieces`` walks
+    and DuckDB's ``regexp_split_to_array(t, '')`` emits. Catalyst's
+    ``split(w, '(?!^)(?!$)')`` operates on UTF-16 code UNITS and breaks
+    astral characters into surrogate halves (empirically divergent on
+    emoji input — the r12 review catch), so the JVM split is NOT used
+    anywhere merges are learned or counted."""
+
+    @F.pandas_udf("array<string>")
+    def chars(ws: pd.Series) -> pd.Series:
+        return ws.map(lambda w: None if w is None else list(w))
+
+    return chars
+
+
 #: driver-side fast-path bound for :func:`train_bpe_merges` — the
 #: connected-components 200k-edge pattern priced for word tables: below
 #: this many DISTINCT words the greedy merge loop streams the frequency
@@ -519,8 +535,10 @@ def train_bpe_merges(
          run the reference loop (the connected-components bounded
          fast-path pattern — n_merges Spark rounds over a small table
          are pure scheduler overhead).
-       - distributed: words live as ``(syms array<string>, freq)``; each
-         round explodes adjacent pairs via ``slice + arrays_zip`` (no
+       - distributed: words live as ``(syms array<string>, freq)``
+         (code-point symbols from the Arrow ``_char_split_udf`` — the
+         same unit the driver path and the encoder walk); each round
+         explodes adjacent pairs via ``slice + arrays_zip`` (no
          interpreted lambda HOF), sums freq per pair map-side, collects
          the ONE argmax row (count DESC, pair ASC — the reference
          tie-break; at most vocab-bound rows ever shuffle), applies the
@@ -544,11 +562,11 @@ def train_bpe_merges(
             n_merges,
         )
 
-    # character symbolization: split at every inter-character position
-    # (the (?!^)(?!$) lookaheads keep Spark's keep-trailing-empties split
-    # from fabricating a '' symbol at the end)
+    # character symbolization per CODE POINT (the Arrow kernel — a JVM
+    # regex split works in UTF-16 code units and would train different
+    # merges than the driver fast path on astral input)
     words = vocab.select(
-        F.expr("split(w, '(?!^)(?!$)')").alias("syms"), "freq"
+        _char_split_udf()("w").alias("syms"), "freq"
     ).localCheckpoint()
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -632,9 +650,9 @@ def bpe_merge_candidates(documents: DataFrame, k: int = 20) -> DataFrame:
     map-side-combined word count (vocabulary-bound from there, Heaps'
     law), pair explode via ``slice + arrays_zip`` (no interpreted lambda
     HOF), one aggregation, one WindowGroupLimit rank cut. Character
-    splitting is per UTF-16 code unit on the JVM vs per code point in
-    DuckDB — identical for every BMP string; the fixture corpus is ASCII
-    (astral inputs would need the Arrow kernel variant)."""
+    splitting is the Arrow code-point kernel (``_char_split_udf``) —
+    exactly DuckDB's ``regexp_split_to_array(t, '')`` unit, astral input
+    included."""
     from pyspark.sql import Window
 
     vocab = (
@@ -643,7 +661,7 @@ def bpe_merge_candidates(documents: DataFrame, k: int = 20) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     pairs = vocab.select(
-        F.expr("split(w, '(?!^)(?!$)')").alias("syms"), "freq"
+        _char_split_udf()("w").alias("syms"), "freq"
     ).select(
         F.explode(
             F.arrays_zip(

@@ -331,8 +331,8 @@ def bpe_merge_candidates(k: int = 20) -> str:
     counts over the word-frequency table (the first train_bpe_merges
     iteration), ranked by the trainer's argmax tie-break (count DESC,
     pair ASC). Char split is regexp_split_to_array(t, '') — per code
-    point, identical to the JVM's per-code-unit split on the ASCII/BMP
-    fixture corpus (the operator docstring carries the astral caveat)."""
+    point, the same unit the Spark side's Arrow kernel emits (astral
+    input included)."""
     toks = _TOKENS.format(
         x="lower(replace(replace(text, chr(31), ''), chr(30), ''))"
     )

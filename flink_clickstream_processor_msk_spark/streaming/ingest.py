@@ -314,17 +314,28 @@ def corpus_ingest_sink(
             f"(got lm_path={lm_path!r}, min_avg_prob={min_avg_prob!r}); "
             "pass both to enable it or neither to ingest unfiltered"
         )
-    if (semantic_index_path is None) != (on_semantic_flags is None):
+    if (semantic_index_path is None) != (on_semantic_flags is None) or (
+        semantic_index_path is None
+        and (semantic_threshold is not None or embedding_col != "embedding")
+    ):
+        # half-configured embedding leg — including a threshold or a
+        # column override with no index/callback pair, which would
+        # otherwise run NO semantic check at all (the r12 review catch,
+        # same class as the lm_path/min_avg_prob rule)
         raise ValueError(
             "the embedding leg needs BOTH semantic_index_path and "
             f"on_semantic_flags (got semantic_index_path="
             f"{semantic_index_path!r}, on_semantic_flags="
-            f"{on_semantic_flags!r}); pass both to enable it or neither"
+            f"{on_semantic_flags!r}, semantic_threshold="
+            f"{semantic_threshold!r}, embedding_col={embedding_col!r}); "
+            "pass both to enable it or neither"
         )
     sem_inner = (
         semantic_dedup_ingest_sink(
             semantic_index_path, on_semantic_flags,
             threshold=semantic_threshold,
+            # one maintenance cadence for both states the sink owns
+            compact_every=compact_every,
         )
         if semantic_index_path is not None
         else None
@@ -469,6 +480,7 @@ def semantic_dedup_ingest_sink(
     index_path: str,
     on_flags: Callable[[DataFrame, int], None],
     threshold: float | None = None,
+    compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch writer running SemDeDup incrementally against a
     WRITTEN IVF index (``similarity.save_ivf_index``): each micro-batch
@@ -519,6 +531,8 @@ def semantic_dedup_ingest_sink(
 
     if threshold is None:
         threshold = COSINE_THRESHOLD
+    if compact_every is None:
+        compact_every = recommended_compact_every()
     handles: dict = {}
 
     def write(batch_vecs: DataFrame, epoch_id: int) -> None:
@@ -571,6 +585,8 @@ def semantic_dedup_ingest_sink(
                 index_path,
                 "cells",
             )
+            if compact_every and (epoch_id + 1) % compact_every == 0:
+                similarity.compact_index(spark, index_path, "ivf")
         finally:
             batch_cells.unpersist()
 
@@ -677,6 +693,7 @@ def index_ingest_sink(
     retrain_hook: Callable[[SparkSession, int], None] | None = None,
     ood_retrain_fraction: float | None = None,
     growth_retrain_fraction: float | None = None,
+    compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch writer for a streaming DataFrame of embeddings
     (vec_id, embedding, ...): each micro-batch is routed/encoded by the
@@ -689,7 +706,12 @@ def index_ingest_sink(
     rebuild (the batch-path equality pinned in tests/test_incremental.py
     — the streaming test pins the replayed composition). At-least-once
     semantics as elsewhere: wrap in ``sinks.dedup_epochs`` so a replayed
-    epoch cannot append its vectors twice.
+    epoch cannot append its vectors twice. Appends land in the flat
+    ``{sub}_delta`` (round 12); ``compact_every`` schedules the fold
+    back into the routing-partitioned base inline — ``None`` resolves to
+    :func:`recommended_compact_every` (dedup-state-measured, same
+    one-file-per-epoch delta shape; 0 disables), so a long-running sink
+    cannot silently accumulate file-open-bound deltas.
 
     The measured PLANS.md drift policy is now MECHANISM, not advice:
 
@@ -753,6 +775,8 @@ def index_ingest_sink(
         )
     if ood_retrain_fraction is None:
         ood_retrain_fraction = similarity.PQ_OOD_RETRAIN_FRACTION
+    if compact_every is None:
+        compact_every = recommended_compact_every()
     # per-sink monitor state: the saved reference + codebooks are read
     # once (the _StateHandles discipline) and re-resolved after a re-train
     monitor: dict = {"ref": "unresolved", "cbs": None, "ood": 0, "appended": 0}
@@ -799,6 +823,8 @@ def index_ingest_sink(
     def write(batch_vecs: DataFrame, epoch_id: int) -> None:
         spark = batch_vecs.sparkSession
         append(batch_vecs, index_path)
+        if compact_every and (epoch_id + 1) % compact_every == 0:
+            similarity.compact_index(spark, index_path, kind)
         if kind == "ivf" and on_occupancy is not None:
             cents, cells = similarity.load_ivf_index(spark, index_path)
             on_occupancy(

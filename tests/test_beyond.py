@@ -1828,3 +1828,28 @@ def test_length_percentiles_bpe_real_counts(spark):
     assert row["p99_bpe_tokens"] == hi
     base = {r["lang"]: r for r in text.length_percentiles(docs).collect()}["en"]
     assert base["n_docs"] == 3  # the whitespace variant keeps the 0-token doc
+
+
+def test_train_bpe_merges_astral_paths_agree(spark):
+    """Code-point parity on astral input (r12 review catch): the JVM
+    regex split works in UTF-16 code units and broke emoji into
+    surrogate halves, so the distributed path trained DIFFERENT merges
+    than the driver fast path on the same corpus. Both paths now split
+    with the Arrow code-point kernel and must emit identical merges on
+    an emoji-bearing corpus."""
+    docs = spark.createDataFrame(
+        [
+            (1, "na\U0001F600na na\U0001F600na"),
+            (2, "na\U0001F600 ba\U0001F600ba"),
+            (3, "na\U0001F600na ba\U0001F600"),
+        ],
+        "doc_id long, text string",
+    )
+    fast = text.train_bpe_merges(docs, 6)
+    dist = text.train_bpe_merges(docs, 6, max_driver_words=0)
+    assert fast == dist
+    # the emoji participates as ONE symbol (a surrogate-half split would
+    # surface lone \ud83d/\ude00 halves in some merge)
+    assert all(
+        "\ud83d" not in a + b or "\U0001F600" in a + b for a, b in dist
+    )

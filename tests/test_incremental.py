@@ -2234,3 +2234,82 @@ def test_corpus_ingest_embedding_leg_composes_gates_and_semdedup(
     assert sem_flags[10][1] and sem_flags[12][1]
     full_idx.unpersist()
     spark.catalog.clearCache()
+
+
+def test_semantic_sink_inline_compaction_folds_delta(spark, tmp_path):
+    """compact_every on the SemDeDup sink (r12 review catch: the index
+    sinks shipped the flat delta with NO inline fold, the exact silent
+    no-compaction default ADVICE r11 flagged on the dedup sinks): with
+    compact_every=1 each epoch ends with cells_delta folded into the
+    partitioned base, and the NEXT epoch still judges against old+new —
+    flags identical to an uncompacted run."""
+    import os
+
+    from flink_clickstream_processor_msk_spark.streaming.ingest import (
+        semantic_dedup_ingest_sink,
+    )
+
+    base, _ = _base_and_drifted(spark)
+    got_a: dict = {}
+    got_b: dict = {}
+    for label, sink_kwargs, got in (
+        ("compact", {"compact_every": 1}, got_a),
+        ("nocompact", {"compact_every": 0}, got_b),
+    ):
+        path = str(tmp_path / f"sem_{label}")
+        similarity.save_ivf_index(base.filter(F.col("vec_id") < 60), path)
+        write = semantic_dedup_ingest_sink(
+            path,
+            lambda df, e, g=got: g.update(
+                (r["vec_id"], r["is_kept"]) for r in df.collect()
+            ),
+            **sink_kwargs,
+        )
+        write(base.filter((F.col("vec_id") >= 60) & (F.col("vec_id") < 80)), 0)
+        write(base.filter(F.col("vec_id") >= 80), 1)
+        has_delta = os.path.isdir(f"{path}/cells_delta")
+        assert has_delta == (label == "nocompact"), label
+        n = similarity._read_index_table(spark, path, "cells").count()
+        assert n == 100, (label, n)
+    assert got_a == got_b and set(got_a) == set(range(60, 100))
+
+
+def test_index_ingest_sink_inline_compaction(spark, tmp_path):
+    """index_ingest_sink compact_every: the appended delta folds back
+    into the base on cadence; probes over the compacted index equal the
+    uncompacted read."""
+    import os
+
+    from flink_clickstream_processor_msk_spark.streaming.ingest import (
+        index_ingest_sink,
+    )
+
+    base, _ = _base_and_drifted(spark)
+    path = str(tmp_path / "cmp_ivf")
+    similarity.save_ivf_index(base.filter(F.col("vec_id") < 80), path)
+    write = index_ingest_sink(path, kind="ivf", compact_every=1)
+    write(base.filter(F.col("vec_id") >= 80), 0)
+    assert not os.path.isdir(f"{path}/cells_delta")
+    _, cells = similarity.load_ivf_index(spark, path)
+    assert cells.count() == 100
+
+
+def test_corpus_ingest_semantic_threshold_alone_refused(spark, tmp_path):
+    """A semantic_threshold (or embedding_col override) without the
+    index/callback pair is a silently-disabled embedding leg — refuse at
+    construction (r12 review catch, the lm_path/min_avg_prob class)."""
+    from flink_clickstream_processor_msk_spark.streaming.ingest import (
+        corpus_ingest_sink,
+    )
+
+    for kwargs in (
+        {"semantic_threshold": 0.9},
+        {"embedding_col": "emb2"},
+    ):
+        with pytest.raises(ValueError, match="embedding leg"):
+            corpus_ingest_sink(
+                str(tmp_path / "state"), str(tmp_path / "grams"),
+                on_pairs=lambda df, e: None,
+                on_flags=lambda df, e: None,
+                **kwargs,
+            )
