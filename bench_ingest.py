@@ -764,6 +764,62 @@ def corpus_semantic_mode() -> None:
     spark.stop()
 
 
+def tokenizer_mode() -> None:
+    """Streaming subword accounting against a written merges table
+    (tokenizer_ingest_sink, drift monitor off): per micro-batch, one
+    Arrow encode pass under the saved tokenizer — the packing/sizing
+    unit every shard needs before batch assembly."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_batches = int(os.environ.get("BENCH_INGEST_BATCHES", "10"))
+
+    from flink_clickstream_processor_msk_spark import get_spark
+    from flink_clickstream_processor_msk_spark.operators import text
+    from flink_clickstream_processor_msk_spark.streaming.ingest import (
+        tokenizer_ingest_sink,
+    )
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="bench-ingest-tokenizer")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    path = tempfile.mkdtemp(prefix="bench-tokenizer-") + "/tok"
+    text.save_bpe_merges(
+        spark,
+        text.train_bpe_merges(docs.filter(F.col("doc_id") % 10 == 0), 96),
+        path,
+    )
+    rows = [0]
+    inner = tokenizer_ingest_sink(
+        path, lambda df, e: rows.__setitem__(0, rows[0] + df.count())
+    )
+    per = -(-n_docs // n_batches)
+    epoch_walls: list[float] = []
+    start = time.perf_counter()
+    for i in range(n_batches):
+        batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(n_batches)) == i)
+        t0 = time.perf_counter()
+        inner(batch, i)
+        epoch_walls.append(round(time.perf_counter() - t0, 3))
+    wall = time.perf_counter() - start
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "metric": "tokenizer_ingest_docs_per_sec",
+                "value": round(n_docs / wall, 1),
+                "unit": "docs/sec",
+                "docs": n_docs,
+                "scored_rows": rows[0],
+                "batches": n_batches,
+                "wall_sec": round(wall, 3),
+                "epoch_walls": epoch_walls,
+                "sf": sf_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
 def lm_quality_mode() -> None:
     """Streaming quality-scoring throughput (lm_quality_ingest_sink):
     train the reference LM on the sf-tier documents once (untimed), then
@@ -849,5 +905,7 @@ if __name__ == "__main__":
         lm_quality_mode()
     elif mode == "corpus_semantic":
         corpus_semantic_mode()
+    elif mode == "tokenizer":
+        tokenizer_mode()
     else:
         main()

@@ -616,16 +616,45 @@ def train_bpe_merges(
     return merges
 
 
-def save_bpe_merges(spark, merges: list[tuple[str, str]], path: str) -> None:
-    """Write an ordered merges table (``rank, a, b`` — one file; the
-    tokenizer artifact a :func:`train_bpe_merges` run produces, sized in
-    KB) so every later job encodes under the SAME tokenizer —
-    the save/load lifecycle the LM, DSIR, and ANN artifacts already
-    have."""
+def save_bpe_merges(
+    spark,
+    merges: list[tuple[str, str]],
+    path: str,
+    ref_docs: DataFrame | None = None,
+) -> None:
+    """Write an ordered merges table (``{path}/merges``: rank, a, b —
+    one file; the tokenizer artifact a :func:`train_bpe_merges` run
+    produces, sized in KB) so every later job encodes under the SAME
+    tokenizer — the save/load lifecycle the LM, DSIR, and ANN artifacts
+    already have.
+
+    ``ref_docs``: when given (normally the training corpus itself), a
+    ``{path}/fertility_ref`` sidecar records the corpus-weighted
+    FERTILITY under these merges — total BPE pieces / total pre-tokens —
+    plus the corpus size. Fertility is the tokenizer-drift signal: a
+    domain shift the merges never saw inflates pieces-per-word (unknown
+    words fall back toward characters), exactly as PQ quantization error
+    inflates on embedding drift — the sidecar is the base reference
+    :func:`~...streaming.ingest.tokenizer_ingest_sink` monitors batches
+    against (the ``save_pq_index``/``ood_ref`` pattern)."""
     spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, a string, b string",
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/merges")
+    if ref_docs is not None:
+        row = corpus_fertility(ref_docs, merges).first()
+        spark.createDataFrame(
+            [
+                (
+                    float(row["fertility"]),
+                    int(row["n_words"]),
+                    int(row["n_docs"]),
+                )
+            ],
+            "fertility double, n_words long, n_docs long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/fertility_ref"
+        )
 
 
 def load_bpe_merges(spark, path: str) -> list[tuple[str, str]]:
@@ -633,8 +662,42 @@ def load_bpe_merges(spark, path: str) -> list[tuple[str, str]]:
     :func:`bpe_token_stats`/:func:`pack_sequences_bpe` accept."""
     return [
         (r["a"], r["b"])
-        for r in spark.read.parquet(path).orderBy("rank").collect()
+        for r in spark.read.parquet(f"{path}/merges").orderBy("rank").collect()
     ]
+
+
+def load_bpe_fertility_ref(spark, path: str):
+    """The saved fertility reference ``(fertility, n_words, n_docs)``, or
+    ``None`` for artifacts saved without ``ref_docs`` (monitoring then
+    stays off rather than inventing a baseline — the load_pq_ood_ref
+    contract)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        row = spark.read.parquet(f"{path}/fertility_ref").first()
+    except AnalysisException:
+        return None
+    if row is None:
+        return None
+    return float(row["fertility"]), int(row["n_words"]), int(row["n_docs"])
+
+
+def corpus_fertility(
+    documents: DataFrame, merges: list[tuple[str, str]] | None = None
+) -> DataFrame:
+    """One-row corpus-weighted tokenizer fertility under a merges table:
+    ``(fertility = Σ pieces / Σ words, n_words, n_docs)`` — integer sums
+    feeding one division, so the value is order-free and replayable.
+    Token-less documents contribute nothing (no words to size)."""
+    stats = bpe_token_stats(documents, merges=merges)
+    return stats.agg(
+        (
+            F.sum("n_bpe_tokens").cast("double")
+            / F.sum("n_word_tokens").cast("double")
+        ).alias("fertility"),
+        F.sum("n_word_tokens").cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
 
 
 def bpe_merge_candidates(documents: DataFrame, k: int = 20) -> DataFrame:

@@ -686,6 +686,100 @@ def lm_quality_ingest_sink(
     return write
 
 
+def tokenizer_ingest_sink(
+    merges_path: str,
+    on_stats: Callable[[DataFrame, int], None],
+    retrain_hook: Callable[[SparkSession, int], None] | None = None,
+    fertility_retrain_factor: float | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch writer sizing each micro-batch of documents under a
+    WRITTEN BPE merges table (``text.save_bpe_merges``) — the streaming
+    shape of subword accounting: every shard's ``bpe_token_stats`` frame
+    (real piece counts, the packing/batch-sizing unit) goes to
+    ``on_stats``; the merges resolve ONCE per sink (the ``_StateHandles``
+    discipline — a merges table is a KB-sized driver artifact).
+
+    ``retrain_hook`` + ``fertility_retrain_factor`` turn on TOKENIZER
+    DRIFT monitoring — the PQ-OOD pattern applied to the tokenizer: a
+    domain shift the merges never saw inflates FERTILITY (pieces per
+    word — unknown words decompose toward characters), exactly as
+    embedding drift inflates quantization error, and an inflated
+    tokenizer silently shrinks every downstream context window that
+    packs by its counts. The monitor accumulates piece/word sums since
+    the last train and fires the hook ONCE when the cumulative fertility
+    of appended text exceeds ``fertility_retrain_factor ×`` the saved
+    base fertility (``{merges_path}/fertility_ref``, written by
+    ``save_bpe_merges(ref_docs=…)``); the hook should re-train on the
+    grown corpus (``text.train_bpe_merges``) and re-save WITH a new
+    ``ref_docs`` reference, after which the sink re-resolves and the
+    counters restart — the periodic policy shape of the PQ growth
+    trigger. Misconfiguration refuses loudly at construction
+    (half a pair) or first epoch (no fertility_ref sidecar), the
+    lm_path/min_avg_prob rule. At-least-once as elsewhere: a replayed
+    epoch would double-count the monitor's piece/word sums (an early
+    fire, never a missed one) — wrap in ``sinks.dedup_epochs`` for exact
+    accounting."""
+    from flink_clickstream_processor_msk_spark.operators import text
+
+    if (retrain_hook is None) != (fertility_retrain_factor is None):
+        raise ValueError(
+            "tokenizer drift monitoring needs BOTH retrain_hook and "
+            f"fertility_retrain_factor (got retrain_hook={retrain_hook!r}, "
+            f"fertility_retrain_factor={fertility_retrain_factor!r}); "
+            "pass both to enable it or neither to only deliver stats"
+        )
+    handles: dict = {"pieces": 0, "words": 0}
+
+    def write(batch_docs: DataFrame, epoch_id: int) -> None:
+        spark = batch_docs.sparkSession
+        if "merges" not in handles:
+            handles["merges"] = text.load_bpe_merges(spark, merges_path)
+            handles["ref"] = text.load_bpe_fertility_ref(spark, merges_path)
+            if retrain_hook is not None and handles["ref"] is None:
+                raise ValueError(
+                    f"fertility_retrain_factor is set but {merges_path} "
+                    "has no fertility_ref sidecar — re-save with "
+                    "save_bpe_merges(ref_docs=...) to write the base "
+                    "fertility reference"
+                )
+        stats = text.bpe_token_stats(batch_docs, merges=handles["merges"])
+        if retrain_hook is None:
+            on_stats(stats, epoch_id)
+            return
+        from pyspark.storagelevel import StorageLevel
+
+        # two consumers (delivery + the monitor aggregation) — persist
+        # for the epoch, release in the finally (the scratch discipline)
+        stats = stats.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            # deliver BEFORE the hook can mutate the artifact (the
+            # fold-after-delivery crash contract: a crash mid-epoch
+            # redelivers a batch scored under the SAME tokenizer)
+            on_stats(stats, epoch_id)
+            # integer sums, order-free — the monitor arithmetic is exact
+            agg = stats.agg(
+                F.sum("n_bpe_tokens").alias("p"),
+                F.sum("n_word_tokens").alias("w"),
+            ).first()
+            handles["pieces"] += agg["p"] or 0
+            handles["words"] += agg["w"] or 0
+            base_fertility = handles["ref"][0]
+            if (
+                handles["words"] > 0
+                and handles["pieces"] / handles["words"]
+                > fertility_retrain_factor * base_fertility
+            ):
+                retrain_hook(spark, epoch_id)
+                # re-resolve against the re-trained artifact; counters
+                # restart so the trigger can RE-fire on the next shift
+                handles.pop("merges", None)
+                handles.update(pieces=0, words=0)
+        finally:
+            stats.unpersist()
+
+    return write
+
+
 def index_ingest_sink(
     index_path: str,
     kind: str = "ivf",

@@ -2313,3 +2313,83 @@ def test_corpus_ingest_semantic_threshold_alone_refused(spark, tmp_path):
                 on_flags=lambda df, e: None,
                 **kwargs,
             )
+
+
+def test_tokenizer_ingest_sink_fertility_drift_fires_and_retrains(
+    spark, tmp_path
+):
+    """Tokenizer drift monitoring (round 12 — the PQ-OOD pattern applied
+    to the BPE artifact): in-domain batches score at the saved base
+    fertility and never fire; a domain-shifted batch (words the merges
+    never saw decompose toward characters) inflates cumulative fertility
+    past factor × base and fires the retrain hook ONCE; after the hook
+    re-trains on the grown corpus and re-saves with a fresh reference,
+    the same shifted text no longer fires (counters + handles reset —
+    the periodic-policy shape). Misconfiguration refuses loudly."""
+    from flink_clickstream_processor_msk_spark.operators import text
+    from flink_clickstream_processor_msk_spark.streaming.ingest import (
+        tokenizer_ingest_sink,
+    )
+
+    base = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon alpha beta") for i in range(6)],
+        "doc_id long, text string",
+    )
+    shifted = spark.createDataFrame(
+        [(100 + i, "zq xw vq zq xw vq zq") for i in range(4)],
+        "doc_id long, text string",
+    )
+    shifted2 = spark.createDataFrame(
+        [(200 + i, "zq xw vq zq xw vq zq") for i in range(4)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "tok")
+    text.save_bpe_merges(spark, text.train_bpe_merges(base, 24), path,
+                         ref_docs=base)
+
+    with pytest.raises(ValueError, match="tokenizer drift"):
+        tokenizer_ingest_sink(path, lambda df, e: None,
+                              fertility_retrain_factor=1.3)
+    with pytest.raises(ValueError, match="tokenizer drift"):
+        tokenizer_ingest_sink(path, lambda df, e: None,
+                              retrain_hook=lambda s, e: None)
+
+    fires: list[int] = []
+    fertilities: list[float] = []
+
+    def hook(s, epoch):
+        fires.append(epoch)
+        grown = base.unionByName(shifted)
+        text.save_bpe_merges(
+            s, text.train_bpe_merges(grown, 48), path, ref_docs=grown
+        )
+
+    def on_stats(df, epoch):
+        agg = df.agg(
+            (F.sum("n_bpe_tokens") / F.sum("n_word_tokens")).alias("f")
+        ).first()
+        fertilities.append(float(agg["f"]))
+
+    write = tokenizer_ingest_sink(
+        path, on_stats, retrain_hook=hook, fertility_retrain_factor=1.3
+    )
+    write(base.limit(3), 0)      # in-domain: no fire
+    assert fires == []
+    write(shifted, 1)            # shift: fertility inflates -> fire
+    assert fires == [1]
+    write(shifted2, 2)           # re-trained tokenizer covers the shift
+    assert fires == [1]
+    # the drift was real and the re-train absorbed it: shifted text read
+    # far above base fertility under the stale merges, near-base after
+    assert fertilities[1] > 1.3 * fertilities[0]
+    assert fertilities[2] < fertilities[1]
+
+    # missing sidecar: saved without ref_docs + monitoring on -> loud
+    bare = str(tmp_path / "tok_bare")
+    text.save_bpe_merges(spark, text.train_bpe_merges(base, 8), bare)
+    w2 = tokenizer_ingest_sink(
+        bare, lambda df, e: None,
+        retrain_hook=lambda s, e: None, fertility_retrain_factor=1.3,
+    )
+    with pytest.raises(ValueError, match="fertility_ref"):
+        w2(base.limit(2), 0)
