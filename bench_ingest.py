@@ -691,15 +691,36 @@ def corpus_semantic_mode() -> None:
         F.col("vec_id").alias("doc_id"), "embedding"
     )
     joined = docs.join(emb, "doc_id")
+    # BENCH_INGEST_ID_MOD: on a replicated tier (tools/scale10x.py shifts
+    # ids by a fixed stride per replica) split bootstrap/stream WITHIN
+    # each replica — pmod keeps every replica's lower half in the index
+    # and streams its upper half, so the near-dup structure per batch
+    # matches the 1x run instead of streaming whole replicas of exact
+    # dups. 0 (default) = plain ids, the r12 configuration.
+    id_mod = int(os.environ.get("BENCH_INGEST_ID_MOD", "0"))
+    key = (
+        F.pmod(F.col("doc_id"), F.lit(id_mod)) if id_mod else F.col("doc_id")
+    )
     lo, hi = 1000, 2000  # contiguous-id stream slice (the pq lesson)
-    stream = joined.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+    stream = joined.filter((key >= lo) & (key < hi))
     n_stream = stream.count()
+    # contiguous-by-id batch boundaries (the pq slicing lesson), computed
+    # once from the sorted stream ids (driver-bounded: the stream is the
+    # bench's own working set)
+    ids = [
+        r["doc_id"]
+        for r in stream.select("doc_id").orderBy("doc_id").collect()
+    ]
+    per = -(-len(ids) // n_batches)
 
     root = tempfile.mkdtemp(prefix="bench-corpus-semantic-")
     index_path = f"{root}/ivf"
+    boot_key = (
+        F.pmod(F.col("vec_id"), F.lit(id_mod)) if id_mod else F.col("vec_id")
+    )
     similarity.save_ivf_index(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
-            F.col("vec_id") < lo
+            boot_key < lo
         ),
         index_path,
     )
@@ -730,13 +751,14 @@ def corpus_semantic_mode() -> None:
             0, sem_dropped[0] + df.filter("NOT is_kept").count()
         ),
     )
-    per = -(-(hi - lo) // n_batches)
     epoch_walls: list[float] = []
     start = time.perf_counter()
     for i in range(n_batches):
+        chunk = ids[i * per : (i + 1) * per]
+        if not chunk:
+            break
         batch = stream.filter(
-            (F.col("doc_id") >= lo + i * per)
-            & (F.col("doc_id") < lo + (i + 1) * per)
+            (F.col("doc_id") >= chunk[0]) & (F.col("doc_id") <= chunk[-1])
         )
         t0 = time.perf_counter()
         inner(batch, i)

@@ -175,7 +175,10 @@ def compact_index(spark, path: str, kind: str) -> None:
     re-ingested afterwards. A crash between the swap and the delta
     delete leaves delta rows duplicated in base + delta — probes stay
     top-k-correct modulo a duplicated neighbor row, and RE-RUNNING
-    compact heals it (the dropDuplicates makes the fold idempotent).
+    compact heals it (the dropDuplicates makes the fold idempotent —
+    byte-identical replay rows ONLY; a live vec_id re-appended with a
+    DIFFERENT payload is refused loudly rather than collapsed to an
+    arbitrary winner).
     Sidecars (centroids/codebooks/ood_ref) are structure, not rows —
     untouched; a large delete shifts occupancy/OOD shares, which the
     monitors read post-delete by construction (they run over the
@@ -184,9 +187,34 @@ def compact_index(spark, path: str, kind: str) -> None:
     fs, dpath = _hadoop_fs(spark, f"{path}/{sub}_delta")
     if load_index_tombstones(spark, path) is None and not fs.exists(dpath):
         return
-    filtered = _apply_index_tombstones(
+    live = _apply_index_tombstones(
         spark, path, _read_index_table(spark, path, sub)
-    ).dropDuplicates(["vec_id"])
+    )
+    # the dropDuplicates below heals the crash-window replay (the SAME
+    # row present in base and delta) — but the same LIVE vec_id appended
+    # twice with DIFFERENT payloads would be collapsed to an arbitrary
+    # winner, making the compacted index nondeterministic run-to-run.
+    # Refuse loudly instead (ADVICE r12; the append_dedup_state
+    # re-add-refusal pattern): delete + compact first, then re-append.
+    conflicts = (
+        live.groupBy("vec_id")
+        .agg(
+            F.countDistinct(
+                F.to_json(F.struct(*live.columns))
+            ).alias("n_payloads")
+        )
+        .filter(F.col("n_payloads") > 1)
+        .limit(5)
+        .collect()
+    )
+    if conflicts:
+        raise ValueError(
+            f"vec_ids {sorted(r['vec_id'] for r in conflicts)} at {path} "
+            "have CONFLICTING duplicate rows (same id, different "
+            "vector/codes — a live id was re-appended); delete the id "
+            "and compact before re-adding, or dedupe the producer"
+        )
+    filtered = live.dropDuplicates(["vec_id"])
     if part_col is not None:
         filtered = filtered.repartition(part_col)
         writer = filtered.write.mode("overwrite").partitionBy(part_col)

@@ -510,10 +510,80 @@ def _merges_from_word_freqs(items, n_merges: int) -> list[tuple[str, str]]:
     return merges
 
 
+def _bpe_commuting_prefix(rows, max_batch: int) -> list[tuple[str, str]]:
+    """The prefix of rank-ordered pair-count rows that provably COMMUTES
+    with the sequential greedy (so one Spark round can emit many merges —
+    the VERDICT r12 #1 fix: a real 32k-100k-merge tokenizer must not be
+    bounded by one job per merge).
+
+    ``rows``: up to ``max_batch + 1`` Rows ``(a, b, cnt)`` in the greedy
+    rank order (cnt DESC, a ASC, b ASC); the +1 row, when present, upper-
+    bounds the count of every pair ranked below the collected window.
+
+    Soundness (why the kept prefix reproduces the sequential order
+    EXACTLY, proved per element):
+
+    * Merging ``(a, b)`` only destroys/creates pair occurrences that
+      involve ``a``, ``b``, or the merged string ``a+b`` — counts of
+      pairs symbol-disjoint from ``{a, b, a+b}`` are invariant. So a
+      mutually disjoint batch leaves each member's count untouched by
+      the others, and one combined left-to-right pass equals applying
+      them one-by-one (a match of one pair can never consume half of
+      another's occurrence).
+    * Every occurrence of a pair CREATED by merging ``(a, b)`` (a ≠ b)
+      injects into a pre-merge occurrence of a DIFFERENT pair that
+      shares a symbol with it: ``(x, ab) ← (x, a)``, ``(ab, y) ←
+      (b, y)``, ``(ab, ab) ← (b, a)``. Those source pairs interact with
+      the batch, so they rank at or below the STOP row (the first
+      scanned row whose ``{a, b, a+b}`` touches a kept pair's), hence
+      created counts ≤ ``stop_cnt``. Requiring every kept pair after the
+      first to have ``cnt > stop_cnt`` (strict — at a count tie the
+      created pair's lexical rank can jump ahead, e.g. ``(b,y) → (ab,y)``
+      re-sorts under a different first symbol) means no created pair can
+      outrank a kept one, so the sequential greedy would pick exactly
+      this prefix in this order.
+    * SELF-pairs ``(a, a)`` break that injection: in a run ``aaa`` the
+      created ``(aa, a)`` consumes occurrences of ``(a, a)`` ITSELF, so
+      its count is bounded only by the kept pair's own count, not by
+      ``stop_cnt``. A self-pair therefore ends the batch: kept alone if
+      it ranks first, otherwise it is the stop row.
+    """
+    kept: list = []  # (a, b, cnt)
+    used: set = set()
+    stop_cnt = None
+    for r in rows[:max_batch]:
+        a, b, cnt = r["a"], r["b"], r["cnt"]
+        toks = {a, b, a + b}
+        if not kept:
+            kept.append((a, b, cnt))
+            if a == b:
+                return [(a, b)]
+            used |= toks
+            continue
+        if a == b or (toks & used):
+            stop_cnt = cnt
+            break
+        kept.append((a, b, cnt))
+        used |= toks
+    if stop_cnt is None and len(rows) > len(kept):
+        stop_cnt = rows[len(kept)]["cnt"]
+    # stop_cnt still None ⇒ the WHOLE pair table was collected with no
+    # interacting row: merges cannot create any pair (creation needs a
+    # pre-existing interacting occurrence), keep everything.
+    if stop_cnt is not None:
+        k = 1
+        while k < len(kept) and kept[k][2] > stop_cnt:
+            k += 1
+        kept = kept[:k]
+    return [(a, b) for a, b, _ in kept]
+
+
 def train_bpe_merges(
     documents: DataFrame,
     n_merges: int = 192,
     max_driver_words: int | None = MAX_DRIVER_WORDS_DEFAULT,
+    merge_batch: int = 64,
+    stats: dict | None = None,
 ) -> list[tuple[str, str]]:
     """Corpus-scale BPE merge TRAINING (Sennrich et al. 2016 Algorithm 1)
     — the operator VERDICT r11 missing #3 named: users adopting
@@ -540,11 +610,16 @@ def train_bpe_merges(
          same unit the driver path and the encoder walk); each round
          explodes adjacent pairs via ``slice + arrays_zip`` (no
          interpreted lambda HOF), sums freq per pair map-side, collects
-         the ONE argmax row (count DESC, pair ASC — the reference
-         tie-break; at most vocab-bound rows ever shuffle), applies the
-         merge with an Arrow-batched kernel, and ``localCheckpoint``s to
-         truncate the n_merges-deep lineage (cluster deployments point
-         ``spark.checkpoint.dir`` at reliable storage instead).
+         the top ``merge_batch + 1`` rows (count DESC, pair ASC — the
+         reference tie-break; a bounded TakeOrdered, at most vocab-bound
+         rows ever shuffle), keeps the :func:`_bpe_commuting_prefix`
+         whose merges provably reproduce the sequential greedy order,
+         applies the WHOLE batch in one Arrow-batched kernel pass, and
+         ``localCheckpoint``s to truncate the lineage (cluster
+         deployments point ``spark.checkpoint.dir`` at reliable storage
+         instead). Rounds scale as n_merges / realized-batch instead of
+         n_merges — the job-count bound a 32k-merge production tokenizer
+         needs (``merge_batch=1`` recovers the per-merge r12 loop).
 
     Both paths produce IDENTICAL merges (pinned in tests/test_beyond.py,
     along with parity against tools/train_bpe_merges.py on the committed
@@ -569,7 +644,11 @@ def train_bpe_merges(
         _char_split_udf()("w").alias("syms"), "freq"
     ).localCheckpoint()
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
+    merge_batch = max(1, int(merge_batch))
+    if stats is not None:
+        stats["rounds"] = 0
+        stats["batch_sizes"] = []
+    while len(merges) < n_merges:
         pairs = words.select(
             F.explode(
                 F.arrays_zip(
@@ -579,29 +658,45 @@ def train_bpe_merges(
             ).alias("p"),
             "freq",
         )
-        best = (
+        # one TakeOrdered round yields up to merge_batch merges: the
+        # commuting prefix of the top rows (see _bpe_commuting_prefix for
+        # the order-preservation proof); the +1 row bounds the counts of
+        # everything below the window when no in-window stop row exists
+        rows = (
             pairs.groupBy(
                 F.col("p.a").alias("a"), F.col("p.b").alias("b")
             )
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
-            .first()
+            .limit(merge_batch + 1)
+            .collect()
         )
-        if best is None:
+        if not rows:
             break
-        a, b = best["a"], best["b"]
-        merges.append((a, b))
-        merged = a + b
+        batch = _bpe_commuting_prefix(rows, merge_batch)
+        batch = batch[: n_merges - len(merges)]
+        merges.extend(batch)
+        if stats is not None:
+            stats["rounds"] += 1
+            stats["batch_sizes"].append(len(batch))
+        # mutually disjoint ⇒ at most one pair can match at a position,
+        # keyed by its first symbol; one combined pass == sequential
+        first_map = {a: (b, a + b) for a, b in batch}
 
         @F.pandas_udf("array<string>")
-        def apply_merge(syms_s: pd.Series) -> pd.Series:
+        def apply_batch(syms_s: pd.Series) -> pd.Series:
             def m(syms):
                 out = []
                 i = 0
                 n = len(syms)
                 while i < n:
-                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
-                        out.append(merged)
+                    nxt = first_map.get(syms[i])
+                    if (
+                        nxt is not None
+                        and i + 1 < n
+                        and syms[i + 1] == nxt[0]
+                    ):
+                        out.append(nxt[1])
                         i += 2
                     else:
                         out.append(syms[i])
@@ -611,7 +706,7 @@ def train_bpe_merges(
             return syms_s.map(m)
 
         words = words.select(
-            apply_merge("syms").alias("syms"), "freq"
+            apply_batch("syms").alias("syms"), "freq"
         ).localCheckpoint()
     return merges
 

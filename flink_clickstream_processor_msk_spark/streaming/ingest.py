@@ -417,22 +417,39 @@ def corpus_ingest_sink(
         return admitted
 
     def write(batch_docs: DataFrame, epoch_id: int) -> None:
+        from pyspark.storagelevel import StorageLevel
+
         spark = batch_docs.sparkSession
         if dsir_path is not None:
             batch_docs = _selection_gate(batch_docs, epoch_id)
         if lm_path is not None and min_avg_prob is not None:
             batch_docs = _quality_gate(batch_docs, epoch_id)
-        if sem_inner is not None:
-            sem_inner(
-                batch_docs.select(
+        scratch: list[DataFrame] = []
+        try:
+            if (
+                sem_inner is not None
+                or dsir_path is not None
+                or lm_path is not None
+            ):
+                # the admitted frame fans out to the semantic select, the
+                # minhash state build, and the decontamination flags —
+                # without a persist each consumer re-executes the gate
+                # joins (ADVICE r12: 2-3 recomputations per epoch)
+                batch_docs = batch_docs.persist(StorageLevel.MEMORY_AND_DISK)
+                scratch.append(batch_docs)
+            sem_fold = None
+            if sem_inner is not None:
+                sem_vecs = batch_docs.select(
                     F.col("doc_id").alias("vec_id"),
                     F.col(embedding_col).alias("embedding"),
-                ),
-                epoch_id,
-            )
-        new_state = batch_dedup_state(batch_docs)
-        scratch: list[DataFrame] = [new_state]
-        try:
+                )
+                # flags deliver NOW; the index fold is deferred to after
+                # append_dedup_state succeeds (ADVICE r12 medium: a
+                # minhash-leg refusal must not strand a retrying epoch
+                # with the IVF index already mutated)
+                sem_fold = sem_inner.begin(sem_vecs, epoch_id, scratch)
+            new_state = batch_dedup_state(batch_docs)
+            scratch.append(new_state)
             on_pairs(
                 incremental_minhash_pairs(
                     new_state,
@@ -459,9 +476,19 @@ def corpus_ingest_sink(
             else:
                 flags = decontaminate_incremental(batch_docs, test_grams, k=k)
             on_flags(flags, epoch_id)
+            if sem_fold is not None:
+                # pre-validate the index's tombstones too, so BOTH
+                # deterministic refusals fire before EITHER state mutates
+                from flink_clickstream_processor_msk_spark.operators import (
+                    similarity,
+                )
+
+                similarity._refuse_tombstoned(sem_vecs, semantic_index_path)
             append_dedup_state(
                 new_state, state_path, resolved_ptmod=handles.ptmod(spark)
             )
+            if sem_fold is not None:
+                sem_fold()
             if compact_every and (epoch_id + 1) % compact_every == 0:
                 from flink_clickstream_processor_msk_spark.operators.dedup import (
                     compact_dedup_state,
@@ -535,7 +562,20 @@ def semantic_dedup_ingest_sink(
         compact_every = recommended_compact_every()
     handles: dict = {}
 
-    def write(batch_vecs: DataFrame, epoch_id: int) -> None:
+    def begin(
+        batch_vecs: DataFrame,
+        epoch_id: int,
+        scratch: list,
+    ) -> Callable[[], None]:
+        """Route + score + DELIVER the batch's flags (NO state
+        mutation), returning a ``fold()`` closure that appends the batch
+        to the index and runs the compaction cadence. A composing sink
+        calls ``fold`` only after every OTHER state the epoch owns has
+        mutated successfully (ADVICE r12 medium: the corpus sink folds
+        the IVF index LAST, so a minhash-leg tombstone refusal can't
+        strand a permanently-failing epoch with the index already
+        mutated and every retry re-appending the same cells). ``scratch``
+        collects the per-epoch persists for the caller's finally."""
         spark = batch_vecs.sparkSession
         if "cents" not in handles:
             rows = (
@@ -553,29 +593,31 @@ def semantic_dedup_ingest_sink(
             F.col("embedding").cast("array<double>").alias("v"),
             cell_udf("embedding").alias("cell"),
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            touched = [
-                r["cell"]
-                for r in batch_cells.select("cell").distinct().collect()
-            ]
-            saved = similarity._apply_index_tombstones(
-                spark,
-                index_path,
-                similarity._read_index_table(spark, index_path, "cells"),
-            ).filter(F.col("cell").isin(touched))
-            members = saved.select("vec_id", "v", "cell").withColumn(
-                "is_batch", F.lit(False)
-            ).unionByName(
-                batch_cells.select("vec_id", "v", "cell").withColumn(
-                    "is_batch", F.lit(True)
-                )
+        scratch.append(batch_cells)
+        touched = [
+            r["cell"]
+            for r in batch_cells.select("cell").distinct().collect()
+        ]
+        saved = similarity._apply_index_tombstones(
+            spark,
+            index_path,
+            similarity._read_index_table(spark, index_path, "cells"),
+        ).filter(F.col("cell").isin(touched))
+        members = saved.select("vec_id", "v", "cell").withColumn(
+            "is_batch", F.lit(False)
+        ).unionByName(
+            batch_cells.select("vec_id", "v", "cell").withColumn(
+                "is_batch", F.lit(True)
             )
-            on_flags(
-                members.groupBy("cell").applyInPandas(
-                    handles["kernel"], SEMDEDUP_FLAGS_SCHEMA
-                ),
-                epoch_id,
-            )
+        )
+        on_flags(
+            members.groupBy("cell").applyInPandas(
+                handles["kernel"], SEMDEDUP_FLAGS_SCHEMA
+            ),
+            epoch_id,
+        )
+
+        def fold() -> None:
             # fold AFTER flag delivery (the dedup_ingest_sink crash
             # contract); routing already computed — append the cells
             # directly instead of re-running append_to_ivf_index's UDF
@@ -587,9 +629,18 @@ def semantic_dedup_ingest_sink(
             )
             if compact_every and (epoch_id + 1) % compact_every == 0:
                 similarity.compact_index(spark, index_path, "ivf")
-        finally:
-            batch_cells.unpersist()
 
+        return fold
+
+    def write(batch_vecs: DataFrame, epoch_id: int) -> None:
+        scratch: list = []
+        try:
+            begin(batch_vecs, epoch_id, scratch)()
+        finally:
+            for df in scratch:
+                df.unpersist()
+
+    write.begin = begin
     return write
 
 
@@ -691,6 +742,8 @@ def tokenizer_ingest_sink(
     on_stats: Callable[[DataFrame, int], None],
     retrain_hook: Callable[[SparkSession, int], None] | None = None,
     fertility_retrain_factor: float | None = None,
+    fertility_window: int = 1,
+    fertility_debounce: int = 1,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch writer sizing each micro-batch of documents under a
     WRITTEN BPE merges table (``text.save_bpe_merges``) — the streaming
@@ -705,20 +758,27 @@ def tokenizer_ingest_sink(
     word — unknown words decompose toward characters), exactly as
     embedding drift inflates quantization error, and an inflated
     tokenizer silently shrinks every downstream context window that
-    packs by its counts. The monitor accumulates piece/word sums since
-    the last train and fires the hook ONCE when the cumulative fertility
-    of appended text exceeds ``fertility_retrain_factor ×`` the saved
-    base fertility (``{merges_path}/fertility_ref``, written by
-    ``save_bpe_merges(ref_docs=…)``); the hook should re-train on the
+    packs by its counts. The monitor evaluates the fertility of the
+    CURRENT stream — the piece/word sums of the last
+    ``fertility_window`` batches (default 1: per-batch, the per-epoch
+    shape of the PQ-OOD monitor this mirrors) — and fires the hook once
+    that windowed fertility has exceeded ``fertility_retrain_factor ×``
+    the saved base fertility (``{merges_path}/fertility_ref``, written
+    by ``save_bpe_merges(ref_docs=…)``) for ``fertility_debounce``
+    consecutive evaluations (default 1; raise it to ride out one-off
+    noisy shards). Lifetime-cumulative accounting is deliberately NOT
+    used (ADVICE r12): a long in-domain prefix would dilute the
+    denominator so a later genuine domain shift fires many batches late
+    or never. Wordless batches carry no fertility evidence and leave
+    the debounce streak untouched. The hook should re-train on the
     grown corpus (``text.train_bpe_merges``) and re-save WITH a new
     ``ref_docs`` reference, after which the sink re-resolves and the
-    counters restart — the periodic policy shape of the PQ growth
+    window restarts — the periodic policy shape of the PQ growth
     trigger. Misconfiguration refuses loudly at construction
     (half a pair) or first epoch (no fertility_ref sidecar), the
     lm_path/min_avg_prob rule. At-least-once as elsewhere: a replayed
-    epoch would double-count the monitor's piece/word sums (an early
-    fire, never a missed one) — wrap in ``sinks.dedup_epochs`` for exact
-    accounting."""
+    epoch re-enters the monitor window (an early fire, never a missed
+    one) — wrap in ``sinks.dedup_epochs`` for exact accounting."""
     from flink_clickstream_processor_msk_spark.operators import text
 
     if (retrain_hook is None) != (fertility_retrain_factor is None):
@@ -728,7 +788,14 @@ def tokenizer_ingest_sink(
             f"fertility_retrain_factor={fertility_retrain_factor!r}); "
             "pass both to enable it or neither to only deliver stats"
         )
-    handles: dict = {"pieces": 0, "words": 0}
+    if fertility_window < 1 or fertility_debounce < 1:
+        raise ValueError(
+            "fertility_window and fertility_debounce must be >= 1 "
+            f"(got {fertility_window}, {fertility_debounce})"
+        )
+    from collections import deque
+
+    handles: dict = {"window": deque(), "streak": 0}
 
     def write(batch_docs: DataFrame, epoch_id: int) -> None:
         spark = batch_docs.sparkSession
@@ -761,19 +828,30 @@ def tokenizer_ingest_sink(
                 F.sum("n_bpe_tokens").alias("p"),
                 F.sum("n_word_tokens").alias("w"),
             ).first()
-            handles["pieces"] += agg["p"] or 0
-            handles["words"] += agg["w"] or 0
+            win = handles["window"]
+            win.append((agg["p"] or 0, agg["w"] or 0))
+            while len(win) > fertility_window:
+                win.popleft()
+            w_pieces = sum(p for p, _ in win)
+            w_words = sum(w for _, w in win)
             base_fertility = handles["ref"][0]
-            if (
-                handles["words"] > 0
-                and handles["pieces"] / handles["words"]
-                > fertility_retrain_factor * base_fertility
-            ):
+            if w_words > 0:
+                # sliding-window fertility tracks the CURRENT stream —
+                # no lifetime denominator to dilute a late shift
+                if (
+                    w_pieces / w_words
+                    > fertility_retrain_factor * base_fertility
+                ):
+                    handles["streak"] += 1
+                else:
+                    handles["streak"] = 0
+            if handles["streak"] >= fertility_debounce:
                 retrain_hook(spark, epoch_id)
-                # re-resolve against the re-trained artifact; counters
-                # restart so the trigger can RE-fire on the next shift
+                # re-resolve against the re-trained artifact; the window
+                # restarts so the trigger can RE-fire on the next shift
                 handles.pop("merges", None)
-                handles.update(pieces=0, words=0)
+                win.clear()
+                handles["streak"] = 0
         finally:
             stats.unpersist()
 

@@ -1717,8 +1717,15 @@ def test_train_bpe_merges_matches_reference_tool_both_paths(spark):
         "doc_id long, text string",
     )
     assert text.train_bpe_merges(docs, 192) == MERGES
+    # distributed path, batched rounds (the r13 job-count fix): greedy
+    # merges are prefix-stable, so the first 24 must equal the fixture's
     assert (
-        text.train_bpe_merges(docs, 12, max_driver_words=0) == MERGES[:12]
+        text.train_bpe_merges(docs, 24, max_driver_words=0) == MERGES[:24]
+    )
+    # merge_batch=1 recovers the per-merge r12 loop exactly
+    assert (
+        text.train_bpe_merges(docs, 6, max_driver_words=0, merge_batch=1)
+        == MERGES[:6]
     )
     # the driver-query view of the trainer: rank-1 candidate IS the
     # first merge the trainer emits (same counts, same tie-break)
@@ -1828,6 +1835,117 @@ def test_length_percentiles_bpe_real_counts(spark):
     assert row["p99_bpe_tokens"] == hi
     base = {r["lang"]: r for r in text.length_percentiles(docs).collect()}["en"]
     assert base["n_docs"] == 3  # the whitespace variant keeps the 0-token doc
+
+
+def _batched_merges_python(word_freqs, n_merges, merge_batch):
+    """Pure-Python mirror of train_bpe_merges' batched distributed loop
+    (pair counting → _bpe_commuting_prefix → the combined one-pass
+    kernel) so the commuting-prefix rule can be fuzzed against the
+    sequential reference without paying Spark rounds per trial."""
+    vocab = {}
+    for w, f in word_freqs:
+        vocab[tuple(w)] = vocab.get(tuple(w), 0) + f
+    merges = []
+    while len(merges) < n_merges:
+        pairs = {}
+        for word, freq in vocab.items():
+            for i in range(len(word) - 1):
+                p = (word[i], word[i + 1])
+                pairs[p] = pairs.get(p, 0) + freq
+        if not pairs:
+            break
+        ranked = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        rows = [
+            {"a": p[0], "b": p[1], "cnt": c}
+            for p, c in ranked[: merge_batch + 1]
+        ]
+        batch = text._bpe_commuting_prefix(rows, merge_batch)
+        batch = batch[: n_merges - len(merges)]
+        merges.extend(batch)
+        first_map = {a: (b, a + b) for a, b in batch}
+        new_vocab = {}
+        for word, freq in vocab.items():
+            out = []
+            i = 0
+            n = len(word)
+            while i < n:
+                nxt = first_map.get(word[i])
+                if nxt is not None and i + 1 < n and word[i + 1] == nxt[0]:
+                    out.append(nxt[1])
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + freq
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_commuting_prefix_fuzz_matches_sequential():
+    """The batched merge rounds must emit merges IDENTICAL (values AND
+    order) to the sequential greedy. Tiny alphabets make the adversarial
+    regime — constant symbol interactions, count ties, self-pairs like
+    (a,a) whose merges recreate high-count pairs from their own
+    occurrences — exactly the cases _bpe_commuting_prefix's stop rules
+    guard. 300 random corpora x 4 batch sizes, seeded."""
+    import random
+
+    rng = random.Random(20260815)
+    for trial in range(300):
+        alphabet = ["ab", "abc", "abcd", "abcdefgh"][trial % 4]
+        wf = [
+            (
+                "".join(
+                    rng.choice(alphabet)
+                    for _ in range(rng.randint(1, 10))
+                ),
+                rng.randint(1, 9),
+            )
+            for _ in range(rng.randint(1, 14))
+        ]
+        n_merges = rng.randint(1, 24)
+        seq = text._merges_from_word_freqs(iter(wf), n_merges)
+        for mb in (1, 2, 3, 64):
+            assert _batched_merges_python(wf, n_merges, mb) == seq, (
+                trial,
+                mb,
+                wf,
+            )
+
+
+def test_bpe_commuting_prefix_edge_cases():
+    """The documented stop rules, pinned one by one."""
+    row = lambda a, b, c: {"a": a, "b": b, "cnt": c}
+    # self-pair first: kept alone (its merge can outrank anything)
+    assert text._bpe_commuting_prefix(
+        [row("a", "a", 200), row("x", "y", 50)], 64
+    ) == [("a", "a")]
+    # self-pair later: stop row (not kept)
+    assert text._bpe_commuting_prefix(
+        [row("x", "y", 100), row("a", "a", 90), row("p", "q", 80)], 64
+    ) == [("x", "y")]
+    # symbol interaction stops; count tie with the stop row excludes
+    # the tied later pair (created pairs can win lexically at a tie)
+    assert text._bpe_commuting_prefix(
+        [row("a", "b", 100), row("p", "q", 50), row("b", "c", 50)], 64
+    ) == [("a", "b")]
+    # strictly above the stop count: kept
+    assert text._bpe_commuting_prefix(
+        [row("a", "b", 100), row("p", "q", 60), row("b", "c", 50)], 64
+    ) == [("a", "b"), ("p", "q")]
+    # merged-string interaction: (x, "ab") touches a+b of ("a", "b")
+    assert text._bpe_commuting_prefix(
+        [row("a", "b", 100), row("x", "ab", 90), row("p", "q", 80)], 64
+    ) == [("a", "b")]
+    # whole table collected, no interaction: keep everything
+    assert text._bpe_commuting_prefix(
+        [row("a", "b", 100), row("p", "q", 10)], 64
+    ) == [("a", "b"), ("p", "q")]
+    # window truncated without interaction: +1 row bounds what's below
+    assert text._bpe_commuting_prefix(
+        [row("a", "b", 100), row("p", "q", 50), row("r", "s", 50)], 2
+    ) == [("a", "b")]
 
 
 def test_train_bpe_merges_astral_paths_agree(spark):

@@ -1757,6 +1757,42 @@ def test_index_delete_excludes_from_probes(spark, tmp_path):
         assert top1 not in after and len(after) == 5, kind
 
 
+def test_index_compact_refuses_conflicting_duplicate_rows(spark, tmp_path):
+    """ADVICE r12: compact_index's vec_id dedup exists to heal the
+    crash-window REPLAY (byte-identical rows in base + delta) — but the
+    same live vec_id appended twice with DIFFERENT vectors must refuse
+    loudly, not collapse to an arbitrary nondeterministic winner."""
+    base, _ = _base_and_drifted(spark)
+    path = str(tmp_path / "idx_conflict")
+    similarity.save_ivf_index(base, path)
+    # a live id re-appended with a different payload
+    clash = base.filter(F.col("vec_id") == 7).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x + F.lit(1.0)).alias(
+            "embedding"
+        ),
+    )
+    similarity.append_to_ivf_index(clash, path)
+    # force a compaction trigger (no tombstones, but a delta exists)
+    with pytest.raises(ValueError, match="CONFLICTING"):
+        similarity.compact_index(spark, path, "ivf")
+
+    # byte-identical replay still heals: duplicate the delta file itself
+    import glob
+    import shutil
+
+    path2 = str(tmp_path / "idx_replay")
+    similarity.save_ivf_index(base.filter(F.col("vec_id") < 90), path2)
+    similarity.append_to_ivf_index(
+        base.filter(F.col("vec_id") >= 90), path2
+    )
+    for f in glob.glob(f"{path2}/cells_delta/part-*.parquet"):
+        shutil.copy(f, f.replace("part-", "replay-part-"))
+    similarity.compact_index(spark, path2, "ivf")
+    _, cells = similarity.load_ivf_index(spark, path2)
+    assert cells.count() == 100  # deduped, not doubled
+
+
 def test_index_compact_crash_window_self_heals(spark, tmp_path):
     """Crash between compact's delete and rename (live dir gone, staged
     dir present): the next load finishes the swap and reads the
@@ -2236,6 +2272,80 @@ def test_corpus_ingest_embedding_leg_composes_gates_and_semdedup(
     spark.catalog.clearCache()
 
 
+def test_corpus_ingest_minhash_refusal_leaves_index_unmutated(
+    spark, tmp_path
+):
+    """ADVICE r12 medium: in the composed sink the embedding leg's index
+    FOLD must come after append_dedup_state succeeds (flags still
+    deliver early). A minhash-leg tombstone refusal therefore leaves the
+    IVF index byte-for-byte alone — before the r13 reorder, every retry
+    of the permanently-failing epoch re-appended the same rows to
+    cells_delta and the two states diverged until a compact."""
+    from flink_clickstream_processor_msk_spark.operators import (
+        dedup as dd,
+        pipeline,
+    )
+    from flink_clickstream_processor_msk_spark.streaming.ingest import (
+        corpus_ingest_sink,
+        init_dedup_state,
+    )
+
+    schema = DOCS_SCHEMA + ", embedding array<float>"
+    up = [1.0] * 32 + [0.0] * 32
+    doc = (*_doc(10, "the quick brown fox jumps over the lazy dog"),
+           [float(x) for x in up])
+    batch = spark.createDataFrame([doc], schema)
+
+    state_path = str(tmp_path / "ref-state")
+    init_dedup_state(spark, state_path)
+    # fold doc 10 in, then tombstone it: the NEXT append of doc 10 must
+    # refuse (the hard-rule re-add refusal) until a compact runs
+    dd.append_dedup_state(
+        dd.batch_dedup_state(batch.drop("embedding")), state_path
+    )
+    dd.delete_from_dedup_state(spark, state_path, [10])
+
+    boot = spark.createDataFrame(
+        [(0, [0.0] * 32 + [1.0] * 32), (1, [1.0] * 64)],
+        "vec_id long, embedding array<float>",
+    )
+    index_path = str(tmp_path / "ref-ivf")
+    similarity.save_ivf_index(boot, index_path, n_centroids=2)
+    grams_path = str(tmp_path / "ref-grams")
+    pipeline.save_test_grams(
+        spark.createDataFrame(
+            [_doc(900, "held out benchmark sentence")], DOCS_SCHEMA
+        ),
+        grams_path,
+    )
+
+    sem_epochs: list = []
+    write = corpus_ingest_sink(
+        state_path, grams_path,
+        on_pairs=lambda df, e: df.count(),
+        on_flags=lambda df, e: df.count(),
+        semantic_index_path=index_path,
+        on_semantic_flags=lambda df, e: sem_epochs.append(df.count()),
+    )
+    before = sorted(
+        r["vec_id"]
+        for r in similarity.load_ivf_index(spark, index_path)[1]
+        .select("vec_id")
+        .collect()
+    )
+    for _ in range(2):  # a foreachBatch retry re-runs the SAME epoch
+        with pytest.raises(ValueError, match="tombstoned"):
+            write(batch, 0)
+    after = sorted(
+        r["vec_id"]
+        for r in similarity.load_ivf_index(spark, index_path)[1]
+        .select("vec_id")
+        .collect()
+    )
+    assert after == before == [0, 1]  # index never mutated, no dup rows
+    assert sem_epochs  # flags still delivered early (the split contract)
+
+
 def test_semantic_sink_inline_compaction_folds_delta(spark, tmp_path):
     """compact_every on the SemDeDup sink (r12 review catch: the index
     sinks shipped the flat delta with NO inline fold, the exact silent
@@ -2393,3 +2503,71 @@ def test_tokenizer_ingest_sink_fertility_drift_fires_and_retrains(
     )
     with pytest.raises(ValueError, match="fertility_ref"):
         w2(base.limit(2), 0)
+
+
+def test_tokenizer_drift_tracks_current_stream_not_lifetime(
+    spark, tmp_path
+):
+    """ADVICE r12: the r12 trigger compared LIFETIME pieces/words, so a
+    long in-domain prefix diluted the denominator and a later genuine
+    shift fired late or never. The windowed monitor (default: per-batch,
+    the PQ-OOD per-epoch shape) fires on the FIRST shifted batch no
+    matter how much in-domain volume preceded it; fertility_debounce
+    rides out a one-off noisy shard; wordless batches leave the streak
+    untouched; bad knobs refuse at construction."""
+    from flink_clickstream_processor_msk_spark.operators import text
+    from flink_clickstream_processor_msk_spark.streaming.ingest import (
+        tokenizer_ingest_sink,
+    )
+
+    base = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon alpha beta")
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    shifted = spark.createDataFrame(
+        [(100 + i, "zq xw vq zq xw vq zq") for i in range(4)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "tok_win")
+    text.save_bpe_merges(spark, text.train_bpe_merges(base, 24), path,
+                         ref_docs=base)
+
+    with pytest.raises(ValueError, match="fertility_window"):
+        tokenizer_ingest_sink(
+            path, lambda df, e: None, retrain_hook=lambda s, e: None,
+            fertility_retrain_factor=1.3, fertility_window=0,
+        )
+
+    fires: list[int] = []
+    write = tokenizer_ingest_sink(
+        path, lambda df, e: None,
+        retrain_hook=lambda s, e: fires.append(e),
+        fertility_retrain_factor=1.3,
+    )
+    # 10 in-domain epochs: under lifetime accounting this prefix would
+    # hold the cumulative ratio near base long past the shift
+    for e in range(10):
+        write(base, e)
+    assert fires == []
+    write(shifted, 10)  # first shifted batch fires immediately
+    assert fires == [10]
+
+    # debounce=2: one shifted shard doesn't fire, two consecutive do;
+    # an in-domain shard in between resets the streak
+    fires2: list[int] = []
+    write2 = tokenizer_ingest_sink(
+        path, lambda df, e: None,
+        retrain_hook=lambda s, e: fires2.append(e),
+        fertility_retrain_factor=1.3, fertility_debounce=2,
+    )
+    write2(shifted, 0)
+    assert fires2 == []
+    write2(base, 1)     # streak resets
+    write2(shifted, 2)
+    assert fires2 == []
+    # wordless batch: no fertility evidence, streak unchanged
+    write2(spark.createDataFrame([(500, "   ")],
+                                 "doc_id long, text string"), 3)
+    write2(shifted, 4)
+    assert fires2 == [4]
