@@ -1166,6 +1166,8 @@ def minhash_duplicate_families(
     n_bands: int = N_BANDS,
     max_bucket_size: int | None = MAX_BUCKET_SIZE_DEFAULT,
     pairs: DataFrame | None = None,
+    small_graph_edge_rows: int = SMALL_GRAPH_EDGE_ROWS,
+    cc_stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs (MinHash-LSH + exact Jaccard) resolved into duplicate
     families: one row per document that has at least one near-duplicate,
@@ -1184,6 +1186,13 @@ def minhash_duplicate_families(
     pairs + families + clean_corpus builds the LSH pipeline once — the
     cluster-scale analog is resolving families from a written pairs table
     rather than re-shingling the corpus.
+
+    ``small_graph_edge_rows``/``cc_stats`` forward to
+    :func:`connected_components` (pass 0 to force the distributed
+    star path; ``cc_stats`` receives its ``{"path", "rounds"}``
+    observability dict, with ``path="driver", rounds=0`` when this
+    function's own union-find fast path answers first) — the hooks
+    tools/measure_family_star_path.py drives.
     """
     from collections import Counter
 
@@ -1198,7 +1207,9 @@ def minhash_duplicate_families(
         )
     pairs = ensure_persisted(pairs)
     n_pairs = pairs.count()
-    if 2 * n_pairs <= SMALL_GRAPH_EDGE_ROWS:
+    if 2 * n_pairs <= small_graph_edge_rows:
+        if cc_stats is not None:
+            cc_stats.update({"path": "driver", "rounds": 0})
         labels = _union_find_min_labels(
             (r[0], r[1]) for r in pairs.select("doc_a", "doc_b").collect()
         )
@@ -1214,7 +1225,13 @@ def minhash_duplicate_families(
         rows = sorted((doc, rep, sizes[rep]) for doc, rep in labels.items())
         return documents.sparkSession.createDataFrame(rows, schema)
 
-    cc = connected_components(pairs, "doc_a", "doc_b")
+    cc = connected_components(
+        pairs,
+        "doc_a",
+        "doc_b",
+        small_graph_edge_rows=small_graph_edge_rows,
+        stats=cc_stats,
+    )
     w = Window.partitionBy("family_rep")
     return (
         cc.select(F.col("id").alias("doc_id"), F.col("lbl").alias("family_rep"))

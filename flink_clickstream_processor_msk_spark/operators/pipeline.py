@@ -45,6 +45,8 @@ def clean_corpus(
     min_tokens: int = 10,
     max_bucket_size: int | None = None,
     pairs: DataFrame | None = None,
+    small_graph_edge_rows: int | None = None,
+    cc_stats: dict | None = None,
 ) -> DataFrame:
     """doc_ids that survive the full cleaning pipeline: pass the quality
     thresholds AND are their exact-content group's representative (min
@@ -53,14 +55,19 @@ def clean_corpus(
     ``max_bucket_size=None`` keeps the near-dup stage exact (the
     oracle-checked configuration); pass the production cap at scale.
     ``pairs`` forwards a prebuilt near-dup pair table to the family stage
-    (see ``minhash_duplicate_families``) so the LSH pipeline isn't rebuilt.
+    (see ``minhash_duplicate_families``) so the LSH pipeline isn't rebuilt;
+    ``small_graph_edge_rows``/``cc_stats`` forward to the same function
+    (0 forces the distributed star component path end-to-end).
     """
     quality = quality_filter(documents, min_quality, min_tokens).select("doc_id")
     exact_keepers = exact_duplicates(documents).select("doc_id")
+    fam_kwargs: dict = {"max_bucket_size": max_bucket_size, "pairs": pairs}
+    if small_graph_edge_rows is not None:
+        fam_kwargs["small_graph_edge_rows"] = small_graph_edge_rows
+    if cc_stats is not None:
+        fam_kwargs["cc_stats"] = cc_stats
     dropped = (
-        minhash_duplicate_families(
-            documents, max_bucket_size=max_bucket_size, pairs=pairs
-        )
+        minhash_duplicate_families(documents, **fam_kwargs)
         .filter(F.col("doc_id") != F.col("family_rep"))
         .select("doc_id")
     )
