@@ -107,6 +107,8 @@ def main() -> None:
                 stats=stats,
             )
             wall = time.time() - t0
+            sizes = stats.get("batch_sizes", [])
+            q = max(1, len(sizes) // 4)
             out = {
                 "leg": leg,
                 "merge_batch": mb,
@@ -116,6 +118,10 @@ def main() -> None:
                 "avg_batch": round(
                     len(merges) / max(1, stats["rounds"]), 2
                 ),
+                # does the realized batch grow as symbols lengthen and
+                # diversify? first vs last quartile of per-round sizes
+                "avg_batch_first_q": round(sum(sizes[:q]) / q, 2),
+                "avg_batch_last_q": round(sum(sizes[-q:]) / q, 2),
             }
             results.append((merges, out))
             print(json.dumps(out), flush=True)
