@@ -662,8 +662,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "documents", lambda df: text.source_mix_weights(df, group_col="lang")
         ),
         "ngram_topk_per_lang": _on_table("documents", text.ngram_topk_per_lang),
-        # materialized temperature resampling (salted deterministic draw)
-        "resample_corpus": _on_table("documents", text.resample_corpus),
+        # Gopher rule filter (Rae et al. 2021 A1.1; round 13): all-integer
+        # evidence + cross-multiplied ratio rules. In-window slot freed by
+        # rotating resample_corpus to the tail: its oracle is the
+        # in-window source_mix_weights CTE VERBATIM plus one salted
+        # h60-modulus threshold, and the h60 machinery is value-pinned
+        # in-window by stratified_sample (h60 sample keys) and
+        # family_safe_split (h60-bucket compare)
+        "gopher_rules": _on_table("documents", text.gopher_rules),
         # RAG/embedding prep: fixed-size overlapping token chunks
         "chunk_documents": _on_table("documents", text.chunk_documents),
         # ingest triage: per-column null/cardinality profile (pinned to the
@@ -945,6 +951,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e1_departments_es_bulk": _e1(_GAP_30M, _WIN_6H),
         "e2_session_stats_es_bulk": _e2(_GAP_30M, _WIN_6H),
         "e3_buy_sessions_es_bulk": _e3(_GAP_30M),
+        # materialized temperature resampling — rotated to the tail in
+        # r13 for gopher_rules (oracle = the in-window source_mix_weights
+        # CTE verbatim + one salted h60-modulus threshold; h60 machinery
+        # value-pinned in-window by stratified_sample/family_safe_split)
+        "resample_corpus": _on_table("documents", text.resample_corpus),
     }
 
 
@@ -1008,6 +1019,7 @@ def oracle_sql() -> dict[str, str]:
         "source_mix_weights": oracles_beyond.source_mix_weights(group_col="lang"),
         "ngram_topk_per_lang": oracles_beyond.ngram_topk_per_lang(),
         "resample_corpus": oracles_beyond.resample_corpus(),
+        "gopher_rules": oracles_beyond.gopher_rules(),
         "chunk_documents": oracles_beyond.chunk_documents(),
         "profile_documents": oracles_beyond.profile_documents(),
         "decontaminate": oracles_beyond.decontaminate(),

@@ -214,6 +214,89 @@ def quality_filter(
     ).select("doc_id", "ws_tokens", "quality_score")
 
 
+#: Gopher rule-filter constants (Rae et al. 2021, "Scaling Language
+#: Models: Methods, Analysis & Insights from Training Gopher", App. A1.1)
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+
+
+def gopher_rules(
+    documents: DataFrame, stop_words: tuple[str, ...] | None = None
+) -> DataFrame:
+    """The Gopher quality-rule filter (Rae et al. 2021 Appendix A1.1) —
+    the standard heuristic gate between raw web text and the LM-scored
+    stages: per document, the integer EVIDENCE counts plus the composite
+    ``passes_gopher`` verdict. Deliberately ALL-INTEGER evidence with the
+    ratio rules applied by CROSS-MULTIPLICATION (``10*n_bullet_lines <
+    9*n_lines`` instead of ``n_bullet/n_lines < 0.9``), so the DuckDB
+    twin (oracles_beyond.gopher_rules) hash-matches with no float
+    ceremony — the charset_stats discipline.
+
+    Rules (paper thresholds): word count in [50, 100 000]; mean word
+    length in [3, 10] (as ``3*n_words <= n_word_chars <= 10*n_words``,
+    where n_word_chars = non-whitespace characters — token-joined
+    length); symbol-to-word ratio < 0.1 over '#' and '...'; < 90 % of
+    lines bullet-started; < 30 % of lines ellipsis-ended; >= 80 % of
+    words containing an alphabetic character; >= 2 distinct stop words
+    present. ``stop_words`` defaults to the engine's English profile
+    (LANG_PROFILES["en"]) rather than the paper's 8-word list so the
+    rule is exercised on corpora generated from that profile; pass the
+    paper's list to reproduce it exactly.
+
+    Scale shape: zero-shuffle map over the scan (string built-ins +
+    regexp_count; the three per-token HOF filters are the text_stats
+    precedent — bounded by tokens-per-doc, not corpus size). The
+    reference has no quality operators (SURVEY §2.2 absent category)."""
+    stops = tuple(stop_words) if stop_words is not None else LANG_PROFILES["en"]
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks)
+    n_word_chars = F.length(F.regexp_replace("text", r"\s", ""))
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ellipsis = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."))))
+        / F.lit(3)
+    ).cast("int")
+    n_lines = F.size(F.split(F.col("text"), "\n"))
+    n_bullet_lines = F.regexp_count(
+        F.col("text"), F.lit(r"(?m)^[ \t]*[-*•]")
+    )
+    n_ellipsis_lines = F.regexp_count(F.col("text"), F.lit(r"(?m)\.\.\.$"))
+    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    n_stop_distinct = F.size(
+        F.array_distinct(
+            F.filter(
+                F.transform(toks, lambda t: F.lower(t)),
+                lambda t: t.isin(*stops),
+            )
+        )
+    )
+    out = documents.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        n_word_chars.cast("int").alias("n_word_chars"),
+        n_hash.cast("int").alias("n_hash"),
+        n_ellipsis.alias("n_ellipsis"),
+        n_lines.cast("int").alias("n_lines"),
+        n_bullet_lines.cast("int").alias("n_bullet_lines"),
+        n_ellipsis_lines.cast("int").alias("n_ellipsis_lines"),
+        n_alpha_words.cast("int").alias("n_alpha_words"),
+        n_stop_distinct.cast("int").alias("n_stop_distinct"),
+    )
+    c = F.col
+    return out.withColumn(
+        "passes_gopher",
+        (c("n_words") >= GOPHER_MIN_WORDS)
+        & (c("n_words") <= GOPHER_MAX_WORDS)
+        & (3 * c("n_words") <= c("n_word_chars"))
+        & (c("n_word_chars") <= 10 * c("n_words"))
+        & (10 * (c("n_hash") + c("n_ellipsis")) < c("n_words"))
+        & (10 * c("n_bullet_lines") < 9 * c("n_lines"))
+        & (10 * c("n_ellipsis_lines") < 3 * c("n_lines"))
+        & (5 * c("n_alpha_words") >= 4 * c("n_words"))
+        & (c("n_stop_distinct") >= 2),
+    )
+
+
 def token_histogram(documents: DataFrame, k: int = 100) -> DataFrame:
     """Corpus-level token frequency: top-k lowercased whitespace tokens
     (count desc, token asc — a total order, so the cut is deterministic).

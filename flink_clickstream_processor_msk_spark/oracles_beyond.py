@@ -1555,6 +1555,57 @@ FROM toks d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def gopher_rules() -> str:
+    """SQL twin of text.gopher_rules: identical whitespace tokenization
+    (_TOKENS), identical string/regex formulas (RE2-safe subset — no
+    lookarounds; '(?m)' inline flags work in both engines), all-integer
+    evidence and cross-multiplied ratio rules so no float ever crosses
+    the hash."""
+    from flink_clickstream_processor_msk_spark.operators.text import (
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_WORDS,
+        LANG_PROFILES,
+    )
+
+    stop_list = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
+    return rf"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+t AS (
+  SELECT doc_id, text, {_TOKENS.format(x="text")} AS w FROM d
+),
+ev AS (
+  SELECT doc_id,
+    CAST(len(w) AS INTEGER) AS n_words,
+    CAST(length(regexp_replace(text, '\s', '', 'g')) AS INTEGER)
+      AS n_word_chars,
+    CAST(length(text) - length(replace(text, '#', '')) AS INTEGER)
+      AS n_hash,
+    CAST((length(text) - length(replace(text, '...', ''))) // 3
+      AS INTEGER) AS n_ellipsis,
+    CAST(len(regexp_split_to_array(text, '\n')) AS INTEGER) AS n_lines,
+    CAST(len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS INTEGER)
+      AS n_bullet_lines,
+    CAST(len(regexp_extract_all(text, '(?m)\.\.\.$')) AS INTEGER)
+      AS n_ellipsis_lines,
+    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+      AS INTEGER) AS n_alpha_words,
+    CAST(len(list_distinct(list_filter(
+      list_transform(w, x -> lower(x)), x -> x IN ({stop_list}))))
+      AS INTEGER) AS n_stop_distinct
+  FROM t
+)
+SELECT *,
+  (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+   AND 3*n_words <= n_word_chars AND n_word_chars <= 10*n_words
+   AND 10*(n_hash + n_ellipsis) < n_words
+   AND 10*n_bullet_lines < 9*n_lines
+   AND 10*n_ellipsis_lines < 3*n_lines
+   AND 5*n_alpha_words >= 4*n_words
+   AND n_stop_distinct >= 2) AS passes_gopher
+FROM ev
+"""
+
+
 def resample_corpus(group_col: str = "lang") -> str:
     """SQL twin of text.resample_corpus (salted md5 draw vs weight*2^20 —
     exact int->double promotion, correctly rounded multiply)."""

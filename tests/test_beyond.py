@@ -1971,3 +1971,39 @@ def test_train_bpe_merges_astral_paths_agree(spark):
     assert all(
         "\ud83d" not in a + b or "\U0001F600" in a + b for a, b in dist
     )
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    """One crafted doc per Gopher rule (Rae et al. 2021 A1.1): the
+    evidence integers and the composite verdict must match hand counts —
+    the same formulas the DuckDB twin (driver-verified) evaluates."""
+    from flink_clickstream_processor_msk_spark.operators.text import gopher_rules
+
+    # 60 words, stopword-bearing, alphabetic — passes everything
+    good = "the engine is of and " + " ".join(f"word{i}" for i in range(55))
+    docs = [
+        (0, good),
+        (1, "the of short doc"),                       # < 50 words
+        (2, "the of " + " ".join(["x"] * 58)),         # mean word len < 3
+        (3, good + " ###### ##### #####"),             # symbol ratio >= 0.1
+        (4, "the of aa bb\n" + "\n".join("- item" for _ in range(20))),  # bullets
+        (5, "the of aa bb\nmore...\nlines...\nhere...\nnow...\nend..."),  # ellipsis lines
+        (6, "the of " + " ".join(["123"] * 58)),        # alpha words < 80%
+        (7, good.replace("the ", "t1 ").replace("of ", "o1 ").replace("is ", "i1 ").replace("and ", "a1 ")),  # no 2 stopwords
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+
+    assert rows[0]["passes_gopher"]
+    assert rows[0]["n_words"] == 60 and rows[0]["n_stop_distinct"] == 4
+    for i in range(1, 8):
+        assert not rows[i]["passes_gopher"], i
+    assert rows[1]["n_words"] == 4
+    # doc 2: 58 one-char words + 'the'(3) + 'of'(2) -> 63 chars / 60 words
+    assert rows[2]["n_word_chars"] == 63 and 3 * rows[2]["n_words"] > 63
+    assert rows[3]["n_hash"] == 16
+    assert rows[4]["n_lines"] == 21 and rows[4]["n_bullet_lines"] == 20
+    assert rows[5]["n_ellipsis_lines"] == 5 and rows[5]["n_ellipsis"] == 5
+    assert rows[6]["n_alpha_words"] == 2
+    assert rows[7]["n_stop_distinct"] == 0
+    spark.catalog.clearCache()
