@@ -776,7 +776,9 @@ def corpus_semantic_mode() -> None:
                 "sem_dropped": sem_dropped[0],
                 "pairs": pairs[0],
                 "flags": flags[0],
-                "batches": n_batches,
+                # epochs actually RUN (the empty-chunk break can exit
+                # early when the stream has fewer ids than n_batches)
+                "batches": len(epoch_walls),
                 "wall_sec": round(wall, 3),
                 "epoch_walls": epoch_walls,
                 "sf": sf_dir,

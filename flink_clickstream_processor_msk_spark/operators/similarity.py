@@ -196,17 +196,31 @@ def compact_index(spark, path: str, kind: str) -> None:
     # winner, making the compacted index nondeterministic run-to-run.
     # Refuse loudly instead (ADVICE r12; the append_dedup_state
     # re-add-refusal pattern): delete + compact first, then re-append.
-    conflicts = (
+    # two-phase so the common no-duplicates case never pays a payload
+    # encode: count-only duplicate detection first (cheap map-side
+    # combine, no vector serialization), then the to_json
+    # distinct-payload comparison over the (crash-window-sized)
+    # duplicated ids only
+    dup_ids = (
         live.groupBy("vec_id")
-        .agg(
-            F.countDistinct(
-                F.to_json(F.struct(*live.columns))
-            ).alias("n_payloads")
-        )
-        .filter(F.col("n_payloads") > 1)
-        .limit(5)
-        .collect()
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("vec_id")
     )
+    conflicts = []
+    if dup_ids.limit(1).count():  # rare: crash-window replay or a producer bug
+        conflicts = (
+            live.join(dup_ids, "vec_id", "left_semi")
+            .groupBy("vec_id")
+            .agg(
+                F.countDistinct(
+                    F.to_json(F.struct("vec_id", *[c for c in live.columns if c != "vec_id"]))
+                ).alias("n_payloads")
+            )
+            .filter(F.col("n_payloads") > 1)
+            .limit(5)
+            .collect()
+        )
     if conflicts:
         raise ValueError(
             f"vec_ids {sorted(r['vec_id'] for r in conflicts)} at {path} "

@@ -250,7 +250,13 @@ def gopher_rules(
     stops = tuple(stop_words) if stop_words is not None else LANG_PROFILES["en"]
     toks = tokens(F.col("text"))
     n_words = F.size(toks)
-    n_word_chars = F.length(F.regexp_replace("text", r"\s", ""))
+    # line anchors are spelled (?:\A|\n) / (?:\n|\z) — NOT (?m)^/$ — and
+    # whitespace as an explicit class: Java's multiline anchors also match
+    # around \r and Unicode line separators and its \s includes \x0B,
+    # while the oracle's RE2 anchors match \n only — the spelled-out
+    # forms mean the same thing in both engines, so a future data
+    # regeneration with CRLF text can't silently split the hash contract
+    n_word_chars = F.length(F.regexp_replace("text", r"[ \t\n\r\f]", ""))
     n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
     n_ellipsis = (
         (F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."))))
@@ -258,9 +264,11 @@ def gopher_rules(
     ).cast("int")
     n_lines = F.size(F.split(F.col("text"), "\n"))
     n_bullet_lines = F.regexp_count(
-        F.col("text"), F.lit(r"(?m)^[ \t]*[-*•]")
+        F.col("text"), F.lit(r"(?:\A|\n)[ \t]*[-*•]")
     )
-    n_ellipsis_lines = F.regexp_count(F.col("text"), F.lit(r"(?m)\.\.\.$"))
+    n_ellipsis_lines = F.regexp_count(
+        F.col("text"), F.lit(r"\.\.\.(?:\n|\z)")
+    )
     n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
     n_stop_distinct = F.size(
         F.array_distinct(
@@ -714,6 +722,10 @@ def train_bpe_merges(
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     n_words = vocab.count()
+    if stats is not None:
+        # populated on BOTH paths, so stats["rounds"] consumers don't
+        # KeyError when the driver fast path answers
+        stats.update({"path": "driver", "rounds": 0, "batch_sizes": []})
     if max_driver_words and n_words <= max_driver_words:
         return _merges_from_word_freqs(
             ((r["w"], r["freq"]) for r in vocab.toLocalIterator()),
@@ -729,8 +741,7 @@ def train_bpe_merges(
     merges: list[tuple[str, str]] = []
     merge_batch = max(1, int(merge_batch))
     if stats is not None:
-        stats["rounds"] = 0
-        stats["batch_sizes"] = []
+        stats["path"] = "distributed"
     while len(merges) < n_merges:
         pairs = words.select(
             F.explode(

@@ -1558,9 +1558,12 @@ FROM toks d LEFT JOIN agg a USING (doc_id)
 def gopher_rules() -> str:
     """SQL twin of text.gopher_rules: identical whitespace tokenization
     (_TOKENS), identical string/regex formulas (RE2-safe subset — no
-    lookarounds; '(?m)' inline flags work in both engines), all-integer
+    lookarounds, line anchors spelled (?:\\A|\\n)/(?:\\n|\\z) and
+    whitespace as an explicit class because Java's (?m)^/$/\\s and RE2's
+    disagree around \\r, \\x0B, and Unicode line separators), all-integer
     evidence and cross-multiplied ratio rules so no float ever crosses
-    the hash."""
+    the hash. CRLF parity pinned in tests/test_beyond.py against a
+    crafted in-memory documents table on BOTH engines."""
     from flink_clickstream_processor_msk_spark.operators.text import (
         GOPHER_MAX_WORDS,
         GOPHER_MIN_WORDS,
@@ -1576,16 +1579,16 @@ t AS (
 ev AS (
   SELECT doc_id,
     CAST(len(w) AS INTEGER) AS n_words,
-    CAST(length(regexp_replace(text, '\s', '', 'g')) AS INTEGER)
+    CAST(length(regexp_replace(text, '[ \t\n\r\f]', '', 'g')) AS INTEGER)
       AS n_word_chars,
     CAST(length(text) - length(replace(text, '#', '')) AS INTEGER)
       AS n_hash,
     CAST((length(text) - length(replace(text, '...', ''))) // 3
       AS INTEGER) AS n_ellipsis,
     CAST(len(regexp_split_to_array(text, '\n')) AS INTEGER) AS n_lines,
-    CAST(len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS INTEGER)
+    CAST(len(regexp_extract_all(text, '(?:\A|\n)[ \t]*[-*•]')) AS INTEGER)
       AS n_bullet_lines,
-    CAST(len(regexp_extract_all(text, '(?m)\.\.\.$')) AS INTEGER)
+    CAST(len(regexp_extract_all(text, '\.\.\.(?:\n|\z)')) AS INTEGER)
       AS n_ellipsis_lines,
     CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
       AS INTEGER) AS n_alpha_words,

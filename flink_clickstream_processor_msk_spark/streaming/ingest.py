@@ -46,6 +46,29 @@ from flink_clickstream_processor_msk_spark.operators.dedup import (
 from flink_clickstream_processor_msk_spark.operators.text import SHINGLE_K
 
 
+def _compact_index_or_warn(spark, index_path: str, kind: str, epoch_id: int) -> None:
+    """Inline-compaction wrapper for the streaming sinks: compaction is an
+    amortization step, not a correctness step, so a `compact_index`
+    CONFLICT refusal (same live vec_id appended with differing payloads —
+    raised BEFORE any write, the index is untouched) must not turn the
+    cadence epoch into a permanently failing retry loop whose re-runs
+    re-append the epoch's already-folded rows. Warn loudly and defer; the
+    refusal re-fires on every later cadence epoch until the operator
+    deletes the conflicting ids and compacts manually."""
+    from flink_clickstream_processor_msk_spark.operators import similarity
+
+    try:
+        similarity.compact_index(spark, index_path, kind)
+    except ValueError as exc:
+        import warnings
+
+        warnings.warn(
+            f"epoch {epoch_id}: deferring {kind} index compaction at "
+            f"{index_path} — {exc}",
+            stacklevel=2,
+        )
+
+
 def init_dedup_state(
     spark: SparkSession, path: str, corpus: DataFrame | None = None,
     n_buckets: int = NUM_STATE_BUCKETS,
@@ -628,7 +651,7 @@ def semantic_dedup_ingest_sink(
                 "cells",
             )
             if compact_every and (epoch_id + 1) % compact_every == 0:
-                similarity.compact_index(spark, index_path, "ivf")
+                _compact_index_or_warn(spark, index_path, "ivf", epoch_id)
 
         return fold
 
@@ -828,14 +851,20 @@ def tokenizer_ingest_sink(
                 F.sum("n_bpe_tokens").alias("p"),
                 F.sum("n_word_tokens").alias("w"),
             ).first()
-            win = handles["window"]
-            win.append((agg["p"] or 0, agg["w"] or 0))
-            while len(win) > fertility_window:
-                win.popleft()
-            w_pieces = sum(p for p, _ in win)
-            w_words = sum(w for _, w in win)
-            base_fertility = handles["ref"][0]
-            if w_words > 0:
+            if (agg["w"] or 0) > 0:
+                # wordless batches carry no fertility evidence: they
+                # neither enter the window (appending (0, 0) would evict
+                # a real batch) nor trigger an evaluation (re-evaluating
+                # the unchanged old window would advance the debounce
+                # streak again on the SAME evidence — one noisy shard
+                # followed by an empty shard must not defeat debounce=2)
+                win = handles["window"]
+                win.append((agg["p"] or 0, agg["w"] or 0))
+                while len(win) > fertility_window:
+                    win.popleft()
+                w_pieces = sum(p for p, _ in win)
+                w_words = sum(w for _, w in win)
+                base_fertility = handles["ref"][0]
                 # sliding-window fertility tracks the CURRENT stream —
                 # no lifetime denominator to dilute a late shift
                 if (
@@ -996,7 +1025,7 @@ def index_ingest_sink(
         spark = batch_vecs.sparkSession
         append(batch_vecs, index_path)
         if compact_every and (epoch_id + 1) % compact_every == 0:
-            similarity.compact_index(spark, index_path, kind)
+            _compact_index_or_warn(spark, index_path, kind, epoch_id)
         if kind == "ivf" and on_occupancy is not None:
             cents, cells = similarity.load_ivf_index(spark, index_path)
             on_occupancy(

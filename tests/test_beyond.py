@@ -2007,3 +2007,51 @@ def test_gopher_rules_each_rule_fires(spark):
     assert rows[6]["n_alpha_words"] == 2
     assert rows[7]["n_stop_distinct"] == 0
     spark.catalog.clearCache()
+
+
+def test_gopher_rules_engine_parity_on_crlf_and_edge_text(spark):
+    """The r13 review finding: (?m)^/$ and \\s disagree between Java and
+    RE2 around \\r, \\x0B, and Unicode line separators — the operator now
+    spells its anchors as (?:\\A|\\n)/(?:\\n|\\z) and whitespace as an
+    explicit class so BOTH engines count identically. Pinned here on
+    crafted CRLF/edge fixtures because the driver corpus is \\n-free."""
+    import duckdb
+    import pandas as pd
+
+    from flink_clickstream_processor_msk_spark import oracles_beyond
+    from flink_clickstream_processor_msk_spark.operators.text import gopher_rules
+    from oracle_utils import compare
+
+    rows = [
+        (0, "intro...\r\n- item one\r\n- item two\r\nend"),     # CRLF text
+        (1, "dots at very end..."),                              # \z anchor
+        (2, "- bullet first line\n* second\nplain...\n"),        # trailing \n
+        (3, "the of and is a " + " ".join(f"w{i}" for i in range(50))),
+        (4, "mixed unicode line sep... the of"),            # U+2028
+        (5, "tab\tand  spaces the of"),
+        (6, None),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in rows], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in gopher_rules(docs).collect()}
+    # CRLF: '- item' lines still bullet-counted via the \n anchor; the
+    # '...' before \r\n is NOT line-end (RE2 semantics on both sides now)
+    assert got[0]["n_lines"] == 4 and got[0]["n_bullet_lines"] == 2
+    assert got[0]["n_ellipsis_lines"] == 0 and got[0]["n_ellipsis"] == 1
+    assert got[1]["n_ellipsis_lines"] == 1          # \z end-of-input
+    assert got[2]["n_bullet_lines"] == 2 and got[2]["n_ellipsis_lines"] == 1
+    # U+2028 is NOT a line break or whitespace for any of these counts
+    assert got[4]["n_lines"] == 1
+    assert 6 not in got
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame([(i, t) for i, t in rows], columns=["doc_id", "text"]),
+    )
+    result = compare(
+        gopher_rules(docs), con.execute(oracles_beyond.gopher_rules()).df()
+    )
+    assert result["ok"], result
+    spark.catalog.clearCache()

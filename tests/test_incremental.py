@@ -2571,3 +2571,22 @@ def test_tokenizer_drift_tracks_current_stream_not_lifetime(
                                  "doc_id long, text string"), 3)
     write2(shifted, 4)
     assert fires2 == [4]
+
+    # window=3, debounce=2 (the r13 review scenario): ONE noisy shard
+    # followed by a WORDLESS shard must not fire — re-evaluating the
+    # unchanged window would double-count the same evidence; only a
+    # second worded exceedance may complete the streak
+    fires3: list[int] = []
+    write3 = tokenizer_ingest_sink(
+        path, lambda df, e: None,
+        retrain_hook=lambda s, e: fires3.append(e),
+        fertility_retrain_factor=1.3,
+        fertility_window=3, fertility_debounce=2,
+    )
+    write3(shifted, 0)
+    assert fires3 == []
+    write3(spark.createDataFrame([(600, "   ")],
+                                 "doc_id long, text string"), 1)
+    assert fires3 == []           # wordless: no second streak increment
+    write3(shifted, 2)            # real second exceedance completes it
+    assert fires3 == [2]

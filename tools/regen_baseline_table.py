@@ -34,7 +34,12 @@ def main() -> None:
 
     import __spark_entry__ as e
 
-    names = [n for n in e.queries() if n in a]
+    names = list(e.queries())
+    not_measured = [n for n in names if n not in a]
+    assert not not_measured, (
+        "queries() entries missing from the suite spreads (re-run bench.py "
+        f"after adding them — the CLAUDE.md BASELINE-row rule): {not_measured}"
+    )
     missing = set(a) - set(names)
     assert not missing, f"spread has rows not in queries(): {missing}"
 
