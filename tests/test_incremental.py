@@ -2590,3 +2590,50 @@ def test_tokenizer_drift_tracks_current_stream_not_lifetime(
     assert fires3 == []           # wordless: no second streak increment
     write3(shifted, 2)            # real second exceedance completes it
     assert fires3 == [2]
+
+
+def test_sink_inline_compaction_defers_on_conflict(spark, tmp_path):
+    """r13 review: the conflict refusal raising from INSIDE a sink's
+    inline compaction cadence would strand the epoch in a permanently
+    failing retry loop after both states already mutated. The sinks now
+    warn and defer — the epoch completes, flags deliver, the batch is
+    folded, and the conflicting delta survives for manual repair."""
+    import warnings
+
+    from flink_clickstream_processor_msk_spark.streaming.ingest import (
+        semantic_dedup_ingest_sink,
+    )
+
+    base, _ = _base_and_drifted(spark)
+    path = str(tmp_path / "sink_conflict")
+    similarity.save_ivf_index(base.filter(F.col("vec_id") < 80), path)
+    # plant the conflict: a live id re-appended with a different vector
+    clash = base.filter(F.col("vec_id") == 7).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x + F.lit(1.0)).alias(
+            "embedding"
+        ),
+    )
+    similarity.append_to_ivf_index(clash, path)
+
+    flags: list[int] = []
+    write = semantic_dedup_ingest_sink(
+        path,
+        lambda df, _e: flags.append(df.count()),
+        compact_every=1,  # cadence fires on epoch 0
+    )
+    batch = base.filter(
+        (F.col("vec_id") >= 80) & (F.col("vec_id") < 90)
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        write(batch, 0)  # must NOT raise
+    assert any("deferring ivf index compaction" in str(w.message)
+               for w in caught), [str(w.message) for w in caught]
+    assert flags and flags[0] == 10  # flags delivered for the batch
+    # the epoch's own fold landed despite the deferred compaction
+    _, cells = similarity.load_ivf_index(spark, path)
+    assert cells.filter(F.col("vec_id") >= 80).count() == 10
+    # the conflict is still present (deferred, not silently collapsed)
+    with pytest.raises(ValueError, match="CONFLICTING"):
+        similarity.compact_index(spark, path, "ivf")
