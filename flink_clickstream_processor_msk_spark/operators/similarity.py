@@ -153,13 +153,22 @@ def _append_index_rows(rows: DataFrame, path: str, sub: str) -> None:
     rows.coalesce(1).write.mode("append").parquet(f"{path}/{sub}_delta")
 
 
-def _clear_index_delta(spark, path: str, sub: str) -> None:
-    """Drop a stale append delta when the base table is rebuilt from
-    scratch (save_*_index overwrite / re-train): the fresh base already
-    covers the corpus, so surviving delta rows would duplicate."""
+def _reset_index_generation(spark, path: str, sub: str) -> None:
+    """Drop a stale append delta AND stale tombstones when the base
+    table is rebuilt from scratch (save_*_index overwrite / re-train):
+    the fresh base already covers the corpus, so surviving delta rows
+    would duplicate — and a surviving ``deleted_ids`` table would
+    SILENTLY suppress freshly rebuilt rows at every load until a compact
+    made the loss physical (r13 review: the exact live-tombstone hazard
+    the module header says must never be silent). A re-save states "this
+    is the corpus now"; deletes issued against the OLD generation do not
+    outlive it — re-issue post-save deletes if they still apply."""
     fs, dpath = _hadoop_fs(spark, f"{path}/{sub}_delta")
     if fs.exists(dpath):
         fs.delete(dpath, True)
+    fs, tpath = _hadoop_fs(spark, f"{path}/deleted_ids")
+    if fs.exists(tpath):
+        fs.delete(tpath, True)
 
 
 def compact_index(spark, path: str, kind: str) -> None:
@@ -229,9 +238,22 @@ def compact_index(spark, path: str, kind: str) -> None:
             "and compact before re-adding, or dedupe the producer"
         )
     filtered = live.dropDuplicates(["vec_id"])
-    if part_col is not None:
-        filtered = filtered.repartition(part_col)
-        writer = filtered.write.mode("overwrite").partitionBy(part_col)
+    if part_col is not None and filtered.isEmpty():
+        # EMPTY result (tombstones covered every row): a partitionBy
+        # write of an empty frame emits only _SUCCESS — no
+        # schema-bearing file — and installing that as the base makes
+        # every later load crash with UNABLE_TO_INFER_SCHEMA after the
+        # old data is already deleted (r13 review, runtime-verified).
+        # A plain non-partitioned write keeps the schema (part col as a
+        # regular column); partition pruning has nothing to prune on an
+        # empty table, and the next non-empty compaction re-partitions.
+        writer = filtered.coalesce(1).write.mode("overwrite")
+    elif part_col is not None:
+        writer = (
+            filtered.repartition(part_col)
+            .write.mode("overwrite")
+            .partitionBy(part_col)
+        )
     else:
         writer = filtered.write.mode("overwrite")
     writer.parquet(f"{path}/{sub}_new")
@@ -626,8 +648,12 @@ def save_ivf_index(
     + ``path/centroids`` sidecar."""
     cents, index = build_ivf_index(embeddings, n_centroids)
     spark = embeddings.sparkSession
-    _clear_index_delta(spark, path, "cells")
-    index.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/cells")
+    _reset_index_generation(spark, path, "cells")
+    # clustered before partitionBy (the dedup-state re-splinter lesson —
+    # without it every input task writes its own file per cell dir)
+    index.repartition("cell").write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(f"{path}/cells")
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)], "cidx int, cvec array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
@@ -735,12 +761,36 @@ def index_occupancy_stats(
 def save_lsh_index(
     embeddings: DataFrame, path: str, n_planes: int = N_PLANES
 ) -> None:
-    """Build and write an LSH index partitioned by ``bucket`` (hyperplanes
-    are deterministic from ``n_planes`` — no sidecar needed)."""
+    """Build and write an LSH index partitioned by ``bucket``. The
+    hyperplanes are deterministic FROM ``n_planes``, but ``n_planes``
+    itself is not recoverable from the rows (r13 review: an append or
+    probe that assumed the default against a 12-plane index silently
+    missed every appended vector), so it is recorded in an ``lsh_meta``
+    sidecar that :func:`append_to_lsh_index` and
+    :func:`saved_lsh_n_planes` resolve — the centroids/codebooks-sidecar
+    pattern. Clustered ``repartition("bucket")`` before ``partitionBy``
+    (the dedup-state re-splinter lesson: without it every input task
+    writes its own file per bucket dir)."""
+    spark = embeddings.sparkSession
     index = build_lsh_index(embeddings, n_planes)
-    _clear_index_delta(embeddings.sparkSession, path, "buckets")
-    index.write.partitionBy("bucket").mode("overwrite").parquet(f"{path}/buckets")
+    _reset_index_generation(spark, path, "buckets")
+    index.repartition("bucket").write.partitionBy("bucket").mode(
+        "overwrite"
+    ).parquet(f"{path}/buckets")
     index.unpersist()
+    spark.createDataFrame([(int(n_planes),)], "n_planes int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/lsh_meta")
+
+
+def saved_lsh_n_planes(spark, path: str) -> int:
+    """The n_planes a written LSH index was SAVED with (``lsh_meta``
+    sidecar; pre-sidecar legacy indexes resolve to the N_PLANES
+    default — exactly what their save used)."""
+    fs, meta = _hadoop_fs(spark, f"{path}/lsh_meta")
+    if not fs.exists(meta):
+        return N_PLANES
+    return int(spark.read.parquet(f"{path}/lsh_meta").first()["n_planes"])
 
 
 def load_lsh_index(spark, path: str) -> DataFrame:
@@ -834,6 +884,16 @@ def pq_codebooks(
     if d0 == 0:
         raise ValueError(
             f"embedding dim {len(vecs[0])} smaller than m={m} subspaces"
+        )
+    if len(vecs[0]) % m:
+        # loud refusal (r13 review): every PQ consumer slices m*d0 dims,
+        # so a non-divisible dim would SILENTLY drop the trailing
+        # dimensions from codes, ADC distances, and the OOD monitor alike
+        raise ValueError(
+            f"embedding dim {len(vecs[0])} not divisible by m={m} "
+            f"subspaces — the trailing {len(vecs[0]) % m} dims would be "
+            "silently ignored by coding/ADC; pick m dividing the dim or "
+            "pad the vectors"
         )
     # fewer rows than k just yields a smaller sub-codebook (codes stay
     # valid: argmin over len(rows) centroids; tests/test_degenerate.py)
@@ -991,7 +1051,7 @@ def save_pq_index(
     persist the Lloyd's-refined build."""
     cbs, codes = build_pq_index(embeddings, m, k_cb, codebooks)
     spark = embeddings.sparkSession
-    _clear_index_delta(spark, path, "codes")
+    _reset_index_generation(spark, path, "codes")
     codes.write.mode("overwrite").parquet(f"{path}/codes")
     rows = [
         (s, j, list(map(float, c)))
@@ -1074,7 +1134,7 @@ def save_ivfpq_index(
     cents, cells = build_ivf_index(embeddings, n_centroids)
     cbs, codes = build_pq_index(embeddings, m, k_cb)
     spark = embeddings.sparkSession
-    _clear_index_delta(spark, path, "cells")
+    _reset_index_generation(spark, path, "cells")
     (
         cells.join(codes, "vec_id")  # one-time build-side join
         .repartition("cell")
@@ -1228,18 +1288,19 @@ def load_pq_ood_ref(spark, path: str):
 
 
 def append_to_lsh_index(new_embeddings: DataFrame, path: str) -> None:
-    """Incremental LSH refresh: bucket ONLY the new vectors (hyperplanes
-    are deterministic from n_planes — no sidecar to read) and append to
+    """Incremental LSH refresh: bucket ONLY the new vectors — under the
+    n_planes the index was SAVED with (the ``lsh_meta`` sidecar; r13
+    review: the default-plane assumption silently bucketed appends into
+    a different code space than a non-default base) — and append to
     the flat ``buckets_delta`` (reads union it; :func:`compact_index`
     folds it back into the bucket-partitioned base); results match a
     full rebuild exactly (LSH has no trained state, so there is no drift
     trade at all)."""
-    from flink_clickstream_processor_msk_spark.operators.dedup import (
-        build_lsh_index,
-    )
-
     _refuse_tombstoned(new_embeddings, path)
-    index = build_lsh_index(new_embeddings)
+    index = build_lsh_index(
+        new_embeddings,
+        saved_lsh_n_planes(new_embeddings.sparkSession, path),
+    )
     # one flat delta file per append (the delta_files lesson)
     _append_index_rows(index, path, "buckets")
     index.unpersist()

@@ -974,6 +974,19 @@ def index_ingest_sink(
             "growth trigger is a PQ re-train policy and cannot run "
             "without the monitor"
         )
+    if retrain_hook is not None and kind != "pq":
+        # the drift monitor (OOD qerr vs the ood_ref sidecar) only runs
+        # for kind='pq' today — a hook on ivf/lsh/ivfpq would SILENTLY
+        # never fire while the caller believes drift is covered (r13
+        # review: the composed ivfpq layout degrades exactly like the
+        # measured stale-PQ recall collapse, with no monitor). Refuse
+        # loudly; generalizing the monitor to ivfpq means teaching
+        # save_ivfpq_index to write the ood_ref sidecar first.
+        raise ValueError(
+            f"retrain_hook is only monitored for kind='pq' (got "
+            f"kind={kind!r}) — the hook would never fire; drop it or "
+            "use a pq index for the drift-monitored tier"
+        )
     if ood_retrain_fraction is None:
         ood_retrain_fraction = similarity.PQ_OOD_RETRAIN_FRACTION
     if compact_every is None:

@@ -80,11 +80,25 @@ def es_bulk_records(
     doc_type = doc_type or index
     meta = [F.lit(index).alias("_index"), F.lit(doc_type).alias("_type")]
     if id_cols:
-        meta.append(
-            F.concat_ws(
-                ":", *[F.col(c).cast("string") for c in id_cols]
-            ).alias("_id")
-        )
+        # concat_ws silently SKIPS null components (r13 review), so rows
+        # differing only in a null id column would collide on the same
+        # _id and the later document would silently overwrite the
+        # earlier at the target — the opposite of the idempotent-id
+        # guarantee. Refuse loudly per row instead; non-null bytes are
+        # unchanged (the oracle-pinned encoding).
+        parts = [
+            F.when(
+                F.col(c).isNull(),
+                F.raise_error(
+                    F.lit(
+                        f"es_bulk_records: id column {c!r} is NULL — a "
+                        "deterministic _id cannot skip components"
+                    )
+                ),
+            ).otherwise(F.col(c).cast("string"))
+            for c in id_cols
+        ]
+        meta.append(F.concat_ws(":", *parts).alias("_id"))
     action = F.to_json(F.struct(F.struct(*meta).alias("index")))
     return df.select(
         action.alias("action"),
@@ -224,10 +238,14 @@ def http_bulk_sender(
                 raise RuntimeError(f"bulk POST {resp.status}")
             payload = resp.read()
         try:
-            if _json.loads(payload).get("errors"):
-                raise RuntimeError(f"bulk response reported errors: {payload[:500]!r}")
+            parsed = _json.loads(payload)
         except ValueError:
-            pass  # non-JSON body (test doubles, proxies): transport OK is enough
+            return  # non-JSON body (test doubles, proxies): transport OK is enough
+        # isinstance, not .get-and-hope: a JSON array/scalar body (r13
+        # review) raised AttributeError past the ValueError catch, and
+        # send_with_backoff then re-POSTed an already-delivered chunk
+        if isinstance(parsed, dict) and parsed.get("errors"):
+            raise RuntimeError(f"bulk response reported errors: {payload[:500]!r}")
 
     return send
 
@@ -285,7 +303,9 @@ def bulk_chunks(
     start = clock()
     for d in docs:
         buf.append(d)
-        size += len(d)
+        # UTF-8 bytes, not characters (r13 review): the 1 MB reference cap
+        # is a wire-size limit, and CJK text is 3 bytes/char
+        size += len(d.encode("utf-8"))
         if (
             len(buf) >= policy.max_actions
             or size >= policy.max_bytes

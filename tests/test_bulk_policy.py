@@ -207,3 +207,78 @@ def test_bulk_writer_es_framing_is_valid_bulk_body(spark, tmp_path):
         assert a["index"]["_index"] == "things"
         assert a["index"]["_type"] == "things"
         assert a["index"]["_id"] == f"{s['id']}:{s['v']}"
+
+
+def test_http_bulk_sender_tolerates_non_object_json_bodies():
+    """r13 review: a 200 with a JSON array/scalar body raised
+    AttributeError past the ValueError catch, so send_with_backoff
+    re-POSTed an already-delivered chunk. Any non-object JSON body is a
+    transport-level OK."""
+    import http.server
+    import threading
+
+    from flink_clickstream_processor_msk_spark.streaming.sinks import (
+        http_bulk_sender,
+    )
+
+    n_posts = [0]
+    bodies = [b"[]", b'"ok"', b"3", b"null"]
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            self.rfile.read(int(self.headers["Content-Length"]))
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(bodies[n_posts[0] % len(bodies)])
+            n_posts[0] += 1
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        send = http_bulk_sender(f"http://127.0.0.1:{srv.server_port}")
+        for _ in bodies:
+            send(['{"index":{"_index":"t"}}\n{"a":1}'])  # must not raise
+        assert n_posts[0] == len(bodies)  # one POST each — no retry storm
+    finally:
+        srv.shutdown()
+
+
+def test_bulk_chunks_accounts_utf8_bytes():
+    """r13 review: the 1 MB reference cap is a wire-size limit — CJK text
+    is 3 bytes/char, so character accounting undercounted 3x."""
+    from flink_clickstream_processor_msk_spark.streaming.sinks import (
+        BulkFlushPolicy,
+        bulk_chunks,
+    )
+
+    doc = "漢" * 100            # 100 chars, 300 UTF-8 bytes
+    policy = BulkFlushPolicy(
+        max_actions=10_000, max_interval_s=3600.0, max_bytes=600
+    )
+    chunks = list(bulk_chunks([doc] * 6, policy, clock=lambda: 0.0))
+    # 2 docs = 600 bytes trips the cap; char accounting would pack 6
+    assert [len(c) for c in chunks] == [2, 2, 2]
+
+
+def test_es_bulk_records_refuses_null_id_components(spark):
+    """r13 review: concat_ws silently skips null components, colliding
+    _ids for rows that differ only in a null id column — refuse loudly
+    instead (non-null bytes unchanged, the oracle-pinned encoding)."""
+    import pytest
+
+    from flink_clickstream_processor_msk_spark.streaming.sinks import (
+        es_bulk_records,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", None)], "k string, w long"
+    )
+    ok = es_bulk_records(
+        df.filter("w IS NOT NULL"), "idx", id_cols=["k", "w"]
+    ).collect()
+    assert '"_id":"a:1"' in ok[0]["action"]
+    with pytest.raises(Exception, match="id column 'w' is NULL"):
+        es_bulk_records(df, "idx", id_cols=["k", "w"]).collect()

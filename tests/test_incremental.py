@@ -2637,3 +2637,104 @@ def test_sink_inline_compaction_defers_on_conflict(spark, tmp_path):
     # the conflict is still present (deferred, not silently collapsed)
     with pytest.raises(ValueError, match="CONFLICTING"):
         similarity.compact_index(spark, path, "ivf")
+
+
+def test_compact_index_survives_full_tombstone_coverage(spark, tmp_path):
+    """r13 review (runtime-verified bug): compacting after tombstones
+    covered EVERY row wrote an empty partitionBy dir with no
+    schema-bearing file, so every later load crashed with
+    UNABLE_TO_INFER_SCHEMA and the pre-compaction data was already gone.
+    The empty base must stay loadable and re-ingestable."""
+    base, _ = _base_and_drifted(spark)
+    small = base.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "all_gone")
+    similarity.save_ivf_index(small, path)
+    similarity.delete_from_index(spark, path, list(range(10)))
+    similarity.compact_index(spark, path, "ivf")  # must not destroy
+    _, cells = similarity.load_ivf_index(spark, path)
+    assert cells.count() == 0
+    # deleted ids are re-ingestable after the physical drop
+    similarity.append_to_ivf_index(small.filter(F.col("vec_id") < 3), path)
+    _, cells = similarity.load_ivf_index(spark, path)
+    assert cells.count() == 3
+    # and the next non-empty compaction restores the partitioned layout
+    similarity.compact_index(spark, path, "ivf")
+    assert similarity.load_ivf_index(spark, path)[1].count() == 3
+
+
+def test_lsh_append_uses_saved_n_planes(spark, tmp_path):
+    """r13 review: appends bucketed under the DEFAULT plane count while
+    the base was saved with a different one, putting appended vectors in
+    a different code space (probes silently miss them). The lsh_meta
+    sidecar pins the save-time n_planes for appends."""
+    base, _ = _base_and_drifted(spark)
+    path = str(tmp_path / "lsh12")
+    similarity.save_lsh_index(base.filter(F.col("vec_id") < 80), path,
+                              n_planes=12)
+    assert similarity.saved_lsh_n_planes(spark, path) == 12
+    newer = base.filter(F.col("vec_id") >= 80)
+    similarity.append_to_lsh_index(newer, path)
+    # appended buckets must equal a 12-plane rebuild of the same rows
+    from flink_clickstream_processor_msk_spark.operators.dedup import (
+        build_lsh_index,
+    )
+
+    want = {
+        (r["vec_id"], r["bucket"])
+        for r in build_lsh_index(newer, 12).select("vec_id", "bucket").collect()
+    }
+    got = {
+        (r["vec_id"], r["bucket"])
+        for r in similarity.load_lsh_index(spark, path)
+        .filter(F.col("vec_id") >= 80)
+        .select("vec_id", "bucket")
+        .collect()
+    }
+    assert got == want
+
+
+def test_save_index_clears_stale_tombstones(spark, tmp_path):
+    """r13 review: a re-save cleared the stale delta but NOT deleted_ids,
+    so a full re-train's freshly rebuilt rows were silently suppressed at
+    every load (and physically dropped at the next compact). A re-save
+    states 'this is the corpus now' — old-generation tombstones die with
+    the old generation."""
+    base, _ = _base_and_drifted(spark)
+    path = str(tmp_path / "resave")
+    similarity.save_ivf_index(base, path)
+    similarity.delete_from_index(spark, path, [5])
+    assert similarity.load_ivf_index(spark, path)[1].filter(
+        F.col("vec_id") == 5
+    ).count() == 0
+    similarity.save_ivf_index(base, path)  # full re-train incl. vec 5
+    assert similarity.load_ivf_index(spark, path)[1].filter(
+        F.col("vec_id") == 5
+    ).count() == 1
+    assert similarity.load_index_tombstones(spark, path) is None
+
+
+def test_index_sink_refuses_unmonitored_retrain_hook(spark, tmp_path):
+    """r13 review: a retrain_hook with kind='ivfpq' would silently never
+    fire (the drift monitor is PQ-only today) while the caller believes
+    drift is covered — refuse at construction, the half-configured-
+    trigger rule."""
+    from flink_clickstream_processor_msk_spark.streaming.ingest import (
+        index_ingest_sink,
+    )
+
+    with pytest.raises(ValueError, match="only monitored for kind='pq'"):
+        index_ingest_sink(
+            str(tmp_path / "idx"), kind="ivfpq",
+            retrain_hook=lambda s, e: None,
+        )
+
+
+def test_pq_codebooks_refuse_indivisible_dim(spark):
+    """r13 review: dim % m != 0 silently truncated the trailing dims from
+    codes, ADC, and the OOD monitor alike."""
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 65) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_codebooks(emb, m=8)
