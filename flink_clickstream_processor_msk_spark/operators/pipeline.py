@@ -370,6 +370,8 @@ def dsir_select(
     n_buckets: int = 1024,
     keep_fraction: float = 0.25,
     scratch: list | None = None,
+    approx: bool = False,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
     score every raw document by how TARGET-like its hashed-bigram
@@ -409,11 +411,27 @@ def dsir_select(
     pattern — the only driver materialization), the ratio table built as
     a ≤ ``n_buckets``-row literal broadcast into the per-occurrence
     scoring join, one groupBy(doc_id) — no all-pairs term.
-    The exact rank window shuffles ONLY (doc_id, score) scalar pairs;
-    at cluster scale substitute a distributed quantile cut for the
-    exact rank (compute the keep_fraction score threshold from a
-    sample/sketch, then filter — the formula and ordering are
-    unchanged, only the cut becomes approximate).
+    The exact rank window shuffles ONLY (doc_id, score) scalar pairs,
+    but ranks them through ONE partition — correct and cheap at test
+    scale, a straggler at corpus scale.
+
+    ``approx=True`` is the 100 TB production knob (the
+    :func:`~flink_clickstream_processor_msk_spark.operators.text.difficulty_buckets`
+    pattern): the keep_fraction score threshold comes from a
+    Greenwald-Khanna ``percentile_approx`` sketch at quantile
+    ``1 - keep_fraction`` (rank error ≤ 1/``accuracy``), collected as a
+    single scalar and applied as a literal filter predicate — NO
+    single-partition Window anywhere in the plan (plan-asserted in
+    tests). Semantics shift from rank-exact (top ceil(f·N), doc_id
+    tiebreak) to value-cut (``dsir_score >= threshold``): score ties at
+    the cut are ALL kept, and — because the sketch returns the element
+    at bottom-rank ceil((1-f)·N) — the kept count on distinct scores is
+    exactly ceil(f·N) when f·N is non-integral and f·N + 1 (the cut
+    element rides along) when integral, plus sketch rank error at
+    corpus scale. Away from ties the kept set is a superset-or-equal
+    top prefix of the exact rank's. Exact (default) stays the
+    oracle-checked driver configuration.
+
     Reference: the raw counts come from ``documents`` itself (importance
     sampling FROM the raw pool); pass a held-out raw sample instead when
     the pool is too large to count exactly — the formula is unchanged.
@@ -432,6 +450,22 @@ def dsir_select(
         scratch.append(raw_b)
     ratio_q = _dsir_ratio_table(raw_b, target, n_buckets)
     scored = _dsir_score(raw_b, ratio_q)
+    if approx:
+        # eager scalar-threshold job; `scored` then has exactly one lazy
+        # consumer so nothing needs a persist beyond the caller's
+        # scratch (which already keeps the raw explode hot for both the
+        # threshold job and the final consumption)
+        row = scored.agg(
+            F.percentile_approx(
+                "dsir_score", 1.0 - keep_fraction, accuracy
+            ).alias("_cut")
+        ).first()
+        cut = row["_cut"]
+        if cut is None:  # empty corpus — nothing to select
+            return scored.withColumn("selected", F.lit(False))
+        return scored.withColumn(
+            "selected", F.col("dsir_score") >= F.lit(cut)
+        )
     rank_w = Window.orderBy(F.desc("dsir_score"), F.asc("doc_id"))
     all_w = Window.partitionBy()
     return scored.withColumn(

@@ -687,7 +687,14 @@ def dsir_ingest_sink(
     every epoch's broadcast join build side. Batch-vs-replay equality is
     pinned in tests/test_incremental.py: scores over a replay equal the
     batch operator's, and the selected set equals ``dsir_select``'s rank
-    cut on the training corpus when no scores tie the boundary."""
+    cut on the training corpus when no scores tie the boundary.
+
+    This saved-cutoff gate is the streaming twin of
+    ``dsir_select(approx=True)`` (the batch 100 TB path): both replace
+    the exact global rank with a score-threshold filter — here the
+    threshold is frozen at train time, there it comes from a
+    percentile_approx sketch per run — so neither ever ranks a corpus
+    through a single partition."""
     from pyspark.storagelevel import StorageLevel
 
     from flink_clickstream_processor_msk_spark.operators import pipeline

