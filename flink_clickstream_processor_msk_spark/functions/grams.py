@@ -21,9 +21,19 @@ from __future__ import annotations
 import hashlib
 import re
 
-#: ASCII-only whitespace: Python's \s is Unicode-aware by default, the
-#: JVM regex and DuckDB regexp_split_to_array are not — re.ASCII aligns them
-WS_ASCII = re.compile(r"\s+", re.ASCII)
+#: the ONE whitespace class every tokenizer shares (r14, ADVICE r13):
+#: bare \s is ENGINE-DEPENDENT — Java's and Python-ASCII's include \x0B
+#: (vertical tab), RE2/DuckDB's does not — so a \x0B in a future data
+#: tier would split the hash contract. The explicit class is RE2's set,
+#: spelled with backslash escapes so it interpolates safely into SQL
+#: string literals and Spark pattern strings alike. Consumers:
+#: text.tokens (Catalyst), text.BPE_ISH_PATTERN (negated form),
+#: oracles_beyond._TOKENS (DuckDB), WS_ASCII below (pandas kernels).
+WS_CLASS = r"[ \t\n\r\f]"
+
+#: the shared class, compiled for the Python kernels (replaces the old
+#: re.ASCII \s+, whose set still included \x0B)
+WS_ASCII = re.compile(WS_CLASS + "+")
 
 
 def ascii_words(text: str) -> list[str]:

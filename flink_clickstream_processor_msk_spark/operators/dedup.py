@@ -1296,13 +1296,16 @@ def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     per Arrow batch (natural-language tokens repeat). Zero shuffle either
     way; formula identical to the SQL oracle."""
     import hashlib as _hl
-    import re as _re
 
     import numpy as np
 
+    from flink_clickstream_processor_msk_spark.functions.grams import (
+        WS_ASCII as _ws,
+    )
+
     @F.pandas_udf(T.LongType())
     def fp(texts: pd.Series) -> pd.Series:
-        ws = _re.compile(r"\s+", _re.ASCII)
+        ws = _ws
         shifts = np.arange(bits, dtype=np.int64)
         cache: dict[str, int] = {}
 

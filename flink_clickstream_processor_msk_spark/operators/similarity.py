@@ -153,15 +153,15 @@ def _append_index_rows(rows: DataFrame, path: str, sub: str) -> None:
     rows.coalesce(1).write.mode("append").parquet(f"{path}/{sub}_delta")
 
 
-def _reset_index_generation(spark, path: str, sub: str) -> None:
-    """Drop a stale append delta AND stale tombstones when the base
-    table is rebuilt from scratch (save_*_index overwrite / re-train):
-    the fresh base already covers the corpus, so surviving delta rows
-    would duplicate — and a surviving ``deleted_ids`` table would
-    SILENTLY suppress freshly rebuilt rows at every load until a compact
-    made the loss physical (r13 review: the exact live-tombstone hazard
-    the module header says must never be silent). A re-save states "this
-    is the corpus now"; deletes issued against the OLD generation do not
+def _clear_index_journal(spark, path: str, sub: str) -> None:
+    """Drop the append delta AND tombstones when a generation is
+    replaced (save_*_index re-train / compact fold): a fresh base
+    already covers the corpus, so surviving delta rows would duplicate —
+    and a surviving ``deleted_ids`` table would SILENTLY suppress
+    freshly rebuilt rows at every load until a compact made the loss
+    physical (r13 review: the exact live-tombstone hazard the module
+    header says must never be silent). A re-save states "this is the
+    corpus now"; deletes issued against the OLD generation do not
     outlive it — re-issue post-save deletes if they still apply."""
     fs, dpath = _hadoop_fs(spark, f"{path}/{sub}_delta")
     if fs.exists(dpath):
@@ -169,6 +169,119 @@ def _reset_index_generation(spark, path: str, sub: str) -> None:
     fs, tpath = _hadoop_fs(spark, f"{path}/deleted_ids")
     if fs.exists(tpath):
         fs.delete(tpath, True)
+
+
+def _write_base_staged(rows: DataFrame, path: str, sub: str, part_col: str | None) -> None:
+    """Write a data-table generation to the ``{sub}_new`` staging dir:
+    clustered ``repartition(part_col)`` before ``partitionBy`` so the
+    base stays one file per partition (the dedup-state re-splinter
+    lesson — without it every input task writes its own file per
+    partition dir, measured 5× probe-read overhead). An EMPTY
+    partitioned frame is written plain instead: a partitionBy write of
+    an empty frame emits only _SUCCESS — no schema-bearing file — and
+    installing that as the base makes every later load crash with
+    UNABLE_TO_INFER_SCHEMA (r13 review, runtime-verified); the plain
+    write keeps the schema and the next non-empty generation
+    re-partitions."""
+    if part_col is not None and rows.isEmpty():
+        writer = rows.coalesce(1).write.mode("overwrite")
+    elif part_col is not None:
+        writer = (
+            rows.repartition(part_col).write.mode("overwrite").partitionBy(part_col)
+        )
+    else:
+        writer = rows.write.mode("overwrite")
+    writer.parquet(f"{path}/{sub}_new")
+
+
+def _swap_base(spark, path: str, sub: str) -> None:
+    """Install the staged ``{sub}_new`` generation: delete the live dir,
+    rename staged over it. The one crash window (staged present, live
+    missing) self-heals in :func:`_read_index_table`."""
+    fs, cur = _hadoop_fs(spark, f"{path}/{sub}")
+    staged = spark.sparkContext._jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}_new")
+    fs.delete(cur, True)
+    fs.rename(staged, cur)
+
+
+def _install_index_base(
+    rows: DataFrame,
+    path: str,
+    kind: str,
+    write_sidecars=None,
+) -> None:
+    """Shared generation install for every ``save_*_index``: staged base
+    write → sidecars → clear delta + tombstones → swap. The ordering is
+    the r14 crash-window fix (ADVICE r13): the old generation stays
+    fully live — base, sidecars, delta, tombstones all consistent —
+    through the EXPENSIVE corpus write; every remaining window is a few
+    filesystem ops wide. A crash after the sidecar write leaves old
+    base + new sidecars (re-run the save; probes during the window may
+    route on the new structure — same exposure a concurrent load always
+    had during a non-staged overwrite, now milliseconds instead of the
+    corpus-write duration). A crash after the journal clear but before
+    the swap leaves the old base live with its tombstones gone
+    (resurrected deletes until the save is re-run) — previously that
+    window spanned the whole base overwrite, now two renames. A crash
+    between the live-dir delete and the rename self-heals at the next
+    read (:func:`_read_index_table`), installing the already-written
+    new generation whose sidecars and cleared journal are in place."""
+    spark = rows.sparkSession
+    sub, part_col = _INDEX_TABLES[kind]
+    _write_base_staged(rows, path, sub, part_col)
+    if write_sidecars is not None:
+        write_sidecars()
+    _clear_index_journal(spark, path, sub)
+    _swap_base(spark, path, sub)
+
+
+def _write_centroids_sidecar(spark, path: str, cents) -> None:
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cidx int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def _load_centroids(spark, path: str) -> list[list[float]]:
+    """The ``centroids`` sidecar as the in-memory list every probe /
+    append / load shares; EMPTY is refused loudly — a build never writes
+    zero centroids, so an empty read is a crashed or foreign layout."""
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("cidx").collect()
+    if not rows:
+        raise ValueError(f"no centroids sidecar at {path}/centroids")
+    return [[float(x) for x in r["cvec"]] for r in rows]
+
+
+def _write_codebooks_sidecar(spark, path: str, cbs) -> None:
+    spark.createDataFrame(
+        [
+            (s, j, list(map(float, c)))
+            for s, cb in enumerate(cbs)
+            for j, c in enumerate(cb)
+        ],
+        "s int, j int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def _load_codebooks(spark, path: str) -> list[list[list[float]]]:
+    """The ``codebooks`` sidecar as the nested per-subspace list (same
+    refuse-on-empty contract as :func:`_load_centroids`)."""
+    rows = spark.read.parquet(f"{path}/codebooks").orderBy("s", "j").collect()
+    if not rows:
+        raise ValueError(f"no codebooks sidecar at {path}/codebooks")
+    m = max(r["s"] for r in rows) + 1
+    cbs: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in rows:
+        cbs[r["s"]].append([float(x) for x in r["cvec"]])
+    return cbs
+
+
+def _load_index_rows(spark, path: str, kind: str) -> DataFrame:
+    """Shared data-table read for every ``load_*_index``: finish any
+    interrupted compaction swap, union the flat delta, drop tombstoned
+    vec_ids."""
+    sub, _ = _INDEX_TABLES[kind]
+    return _apply_index_tombstones(spark, path, _read_index_table(spark, path, sub))
 
 
 def compact_index(spark, path: str, kind: str) -> None:
@@ -238,32 +351,17 @@ def compact_index(spark, path: str, kind: str) -> None:
             "and compact before re-adding, or dedupe the producer"
         )
     filtered = live.dropDuplicates(["vec_id"])
-    if part_col is not None and filtered.isEmpty():
-        # EMPTY result (tombstones covered every row): a partitionBy
-        # write of an empty frame emits only _SUCCESS — no
-        # schema-bearing file — and installing that as the base makes
-        # every later load crash with UNABLE_TO_INFER_SCHEMA after the
-        # old data is already deleted (r13 review, runtime-verified).
-        # A plain non-partitioned write keeps the schema (part col as a
-        # regular column); partition pruning has nothing to prune on an
-        # empty table, and the next non-empty compaction re-partitions.
-        writer = filtered.coalesce(1).write.mode("overwrite")
-    elif part_col is not None:
-        writer = (
-            filtered.repartition(part_col)
-            .write.mode("overwrite")
-            .partitionBy(part_col)
-        )
-    else:
-        writer = filtered.write.mode("overwrite")
-    writer.parquet(f"{path}/{sub}_new")
-    fs, cur = _hadoop_fs(spark, f"{path}/{sub}")
-    jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
-    staged = jvm_path(f"{path}/{sub}_new")
-    fs.delete(cur, True)
-    fs.rename(staged, cur)
-    fs.delete(jvm_path(f"{path}/{sub}_delta"), True)
-    fs.delete(jvm_path(f"{path}/deleted_ids"), True)
+    # staged write → swap → clear journal (shared with the save core).
+    # Clearing AFTER the swap here (vs before it in _install_index_base)
+    # is deliberate: the tombstones were already applied to `filtered`,
+    # so a crash between swap and clear leaves them live over a base
+    # that physically dropped the rows — re-applied at read as no-ops,
+    # re-add refused until a re-run compact clears them, both loud-safe;
+    # delta rows surviving that crash are duplicated in base + delta and
+    # the dropDuplicates makes a re-run heal them.
+    _write_base_staged(filtered, path, sub, part_col)
+    _swap_base(spark, path, sub)
+    _clear_index_journal(spark, path, sub)
 
 
 def _query_vector(embeddings: DataFrame, query_vec_id: int) -> list[float]:
@@ -648,15 +746,10 @@ def save_ivf_index(
     + ``path/centroids`` sidecar."""
     cents, index = build_ivf_index(embeddings, n_centroids)
     spark = embeddings.sparkSession
-    _reset_index_generation(spark, path, "cells")
-    # clustered before partitionBy (the dedup-state re-splinter lesson —
-    # without it every input task writes its own file per cell dir)
-    index.repartition("cell").write.partitionBy("cell").mode(
-        "overwrite"
-    ).parquet(f"{path}/cells")
-    spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)], "cidx int, cvec array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    _install_index_base(
+        index, path, "ivf",
+        lambda: _write_centroids_sidecar(spark, path, cents),
+    )
     index.unpersist()
 
 
@@ -665,11 +758,7 @@ def load_ivf_index(
 ) -> tuple[list[list[float]], DataFrame]:
     """Read a saved IVF index; the returned pair plugs straight into
     ``ann_ivf_topk(..., index=...)``."""
-    cents_rows = spark.read.parquet(f"{path}/centroids").orderBy("cidx").collect()
-    cents = [[float(x) for x in r["cvec"]] for r in cents_rows]
-    return cents, _apply_index_tombstones(
-        spark, path, _read_index_table(spark, path, "cells")
-    )
+    return _load_centroids(spark, path), _load_index_rows(spark, path, "ivf")
 
 
 def append_to_ivf_index(new_embeddings: DataFrame, path: str) -> None:
@@ -687,21 +776,18 @@ def append_to_ivf_index(new_embeddings: DataFrame, path: str) -> None:
     writes, which cost the per-partition committer overhead and wrote
     n_touched_cells files per batch); every read unions the delta and
     :func:`compact_index` folds it back into the partition-pruned base."""
-    _refuse_tombstoned(new_embeddings, path)
+    append_to_index(new_embeddings, path, "ivf")
+
+
+def _encode_ivf_rows(new_embeddings: DataFrame, path: str) -> DataFrame:
     spark = new_embeddings.sparkSession
-    cents_rows = spark.read.parquet(f"{path}/centroids").orderBy("cidx").collect()
-    if not cents_rows:
-        raise ValueError(f"no centroids sidecar at {path}/centroids")
-    cents = [[float(x) for x in r["cvec"]] for r in cents_rows]
-    cell_udf = _make_cell_udf(spark.sparkContext.broadcast(cents))
-    _append_index_rows(
-        new_embeddings.select(
-            "vec_id",
-            F.col("embedding").cast("array<double>").alias("v"),
-            cell_udf("embedding").alias("cell"),
-        ),
-        path,
-        "cells",
+    cell_udf = _make_cell_udf(
+        spark.sparkContext.broadcast(_load_centroids(spark, path))
+    )
+    return new_embeddings.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        cell_udf("embedding").alias("cell"),
     )
 
 
@@ -768,19 +854,21 @@ def save_lsh_index(
     missed every appended vector), so it is recorded in an ``lsh_meta``
     sidecar that :func:`append_to_lsh_index` and
     :func:`saved_lsh_n_planes` resolve — the centroids/codebooks-sidecar
-    pattern. Clustered ``repartition("bucket")`` before ``partitionBy``
-    (the dedup-state re-splinter lesson: without it every input task
-    writes its own file per bucket dir)."""
+    pattern. Unlike the loud-on-missing sidecars, lsh_meta is written
+    BEFORE the staged base (ADVICE r13: a first save crashing after the
+    base write would otherwise leave a non-default index whose missing
+    sidecar silently resolves to the N_PLANES default; meta-first makes
+    a meta-less buckets table provably a pre-sidecar legacy index, the
+    one case the fallback is correct for). A re-saved crash window
+    (new meta over the old base) fails VISIBLY on re-run, not
+    silently."""
     spark = embeddings.sparkSession
     index = build_lsh_index(embeddings, n_planes)
-    _reset_index_generation(spark, path, "buckets")
-    index.repartition("bucket").write.partitionBy("bucket").mode(
-        "overwrite"
-    ).parquet(f"{path}/buckets")
-    index.unpersist()
     spark.createDataFrame([(int(n_planes),)], "n_planes int").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{path}/lsh_meta")
+    _install_index_base(index, path, "lsh")
+    index.unpersist()
 
 
 def saved_lsh_n_planes(spark, path: str) -> int:
@@ -794,9 +882,7 @@ def saved_lsh_n_planes(spark, path: str) -> int:
 
 
 def load_lsh_index(spark, path: str) -> DataFrame:
-    return _apply_index_tombstones(
-        spark, path, _read_index_table(spark, path, "buckets")
-    )
+    return _load_index_rows(spark, path, "lsh")
 
 
 def ann_lsh_topk(
@@ -1051,20 +1137,18 @@ def save_pq_index(
     persist the Lloyd's-refined build."""
     cbs, codes = build_pq_index(embeddings, m, k_cb, codebooks)
     spark = embeddings.sparkSession
-    _reset_index_generation(spark, path, "codes")
-    codes.write.mode("overwrite").parquet(f"{path}/codes")
-    rows = [
-        (s, j, list(map(float, c)))
-        for s, cb in enumerate(cbs)
-        for j, c in enumerate(cb)
-    ]
-    spark.createDataFrame(
-        rows, "s int, j int, cvec array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
-    codes.unpersist()
+    # OOD reference computed BEFORE install (it reads embeddings, not
+    # the written base) so the sidecar closure is pure writes
     qerr = pq_quantization_error(embeddings, cbs)
     threshold = qerr.approxQuantile("qerr", [PQ_OOD_QUANTILE], 0.0)[0]
-    _write_pq_ood_ref(spark, path, threshold, embeddings.count(), PQ_OOD_QUANTILE)
+    n_base = embeddings.count()
+
+    def sidecars():
+        _write_codebooks_sidecar(spark, path, cbs)
+        _write_pq_ood_ref(spark, path, threshold, n_base, PQ_OOD_QUANTILE)
+
+    _install_index_base(codes, path, "pq", sidecars)
+    codes.unpersist()
 
 
 def load_pq_index(
@@ -1072,14 +1156,7 @@ def load_pq_index(
 ) -> tuple[list[list[list[float]]], DataFrame]:
     """Read a saved PQ index; the returned pair plugs straight into
     ``ann_pq_topk(..., index=...)`` / ``ann_ivfpq_topk(..., pq_index=...)``."""
-    rows = spark.read.parquet(f"{path}/codebooks").orderBy("s", "j").collect()
-    m = max(r["s"] for r in rows) + 1
-    cbs: list[list[list[float]]] = [[] for _ in range(m)]
-    for r in rows:
-        cbs[r["s"]].append([float(x) for x in r["cvec"]])
-    return cbs, _apply_index_tombstones(
-        spark, path, _read_index_table(spark, path, "codes")
-    )
+    return _load_codebooks(spark, path), _load_index_rows(spark, path, "pq")
 
 
 def append_to_pq_index(new_embeddings: DataFrame, path: str) -> None:
@@ -1090,25 +1167,15 @@ def append_to_pq_index(new_embeddings: DataFrame, path: str) -> None:
     same-codebook full rebuild (tests/test_incremental.py). Codebook
     drift is the trade, as with every quantized index serving inserts
     between re-trains."""
-    _refuse_tombstoned(new_embeddings, path)
+    append_to_index(new_embeddings, path, "pq")
+
+
+def _encode_pq_rows(new_embeddings: DataFrame, path: str) -> DataFrame:
     spark = new_embeddings.sparkSession
-    rows = spark.read.parquet(f"{path}/codebooks").orderBy("s", "j").collect()
-    if not rows:
-        raise ValueError(f"no codebooks sidecar at {path}/codebooks")
-    m = max(r["s"] for r in rows) + 1
-    cbs: list[list[list[float]]] = [[] for _ in range(m)]
-    for r in rows:
-        cbs[r["s"]].append([float(x) for x in r["cvec"]])
-    codes_udf, _bc = _make_pq_codes_udf(spark.sparkContext, cbs)
-    # one file per append into the flat delta (the dedup delta_files
-    # lesson; compact_index folds it back)
-    _append_index_rows(
-        new_embeddings.select(
-            "vec_id", codes_udf("embedding").alias("codes")
-        ),
-        path,
-        "codes",
+    codes_udf, _bc = _make_pq_codes_udf(
+        spark.sparkContext, _load_codebooks(spark, path)
     )
+    return new_embeddings.select("vec_id", codes_udf("embedding").alias("codes"))
 
 
 # --- composed IVFADC written layout -----------------------------------------
@@ -1134,25 +1201,17 @@ def save_ivfpq_index(
     cents, cells = build_ivf_index(embeddings, n_centroids)
     cbs, codes = build_pq_index(embeddings, m, k_cb)
     spark = embeddings.sparkSession
-    _reset_index_generation(spark, path, "cells")
-    (
-        cells.join(codes, "vec_id")  # one-time build-side join
-        .repartition("cell")
-        .write.partitionBy("cell")
-        .mode("overwrite")
-        .parquet(f"{path}/cells")
+
+    def sidecars():
+        _write_centroids_sidecar(spark, path, cents)
+        _write_codebooks_sidecar(spark, path, cbs)
+
+    _install_index_base(
+        cells.join(codes, "vec_id"),  # one-time build-side join
+        path,
+        "ivfpq",
+        sidecars,
     )
-    spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)], "cidx int, cvec array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    spark.createDataFrame(
-        [
-            (s, j, list(map(float, c)))
-            for s, cb in enumerate(cbs)
-            for j, c in enumerate(cb)
-        ],
-        "s int, j int, cvec array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
     cells.unpersist()
     codes.unpersist()
 
@@ -1168,43 +1227,32 @@ def append_to_ivfpq_index(new_embeddings: DataFrame, path: str) -> None:
     in tests/test_incremental.py); drift policy per PLANS.md — IVF
     routing needs no re-train, re-train the PQ half (re-seeded) past
     ~10% OOD mass."""
-    _refuse_tombstoned(new_embeddings, path)
+    append_to_index(new_embeddings, path, "ivfpq")
+
+
+def _encode_ivfpq_rows(new_embeddings: DataFrame, path: str) -> DataFrame:
     spark = new_embeddings.sparkSession
-    cents_rows = spark.read.parquet(f"{path}/centroids").orderBy("cidx").collect()
-    if not cents_rows:
-        raise ValueError(f"no centroids sidecar at {path}/centroids")
-    cents = [[float(x) for x in r["cvec"]] for r in cents_rows]
-    cb_rows = spark.read.parquet(f"{path}/codebooks").orderBy("s", "j").collect()
-    m = max(r["s"] for r in cb_rows) + 1
-    cbs: list[list[list[float]]] = [[] for _ in range(m)]
-    for r in cb_rows:
-        cbs[r["s"]].append([float(x) for x in r["cvec"]])
-    cell_udf = _make_cell_udf(spark.sparkContext.broadcast(cents))
-    codes_udf, _bc = _make_pq_codes_udf(spark.sparkContext, cbs)
-    _append_index_rows(
-        new_embeddings.select(
-            "vec_id",
-            F.col("embedding").cast("array<double>").alias("v"),
-            cell_udf("embedding").alias("cell"),
-            codes_udf("embedding").alias("codes"),
-        ),
-        path,
-        "cells",
+    cell_udf = _make_cell_udf(
+        spark.sparkContext.broadcast(_load_centroids(spark, path))
+    )
+    codes_udf, _bc = _make_pq_codes_udf(
+        spark.sparkContext, _load_codebooks(spark, path)
+    )
+    return new_embeddings.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        cell_udf("embedding").alias("cell"),
+        codes_udf("embedding").alias("codes"),
     )
 
 
 def load_ivfpq_index(spark, path: str):
     """Read a composed IVFADC index → (centroids, codebooks, table);
     plugs into ``ann_ivfpq_topk(..., composed_index=...)``."""
-    cents_rows = spark.read.parquet(f"{path}/centroids").orderBy("cidx").collect()
-    cents = [[float(x) for x in r["cvec"]] for r in cents_rows]
-    cb_rows = spark.read.parquet(f"{path}/codebooks").orderBy("s", "j").collect()
-    m = max(r["s"] for r in cb_rows) + 1
-    cbs: list[list[list[float]]] = [[] for _ in range(m)]
-    for r in cb_rows:
-        cbs[r["s"]].append([float(x) for x in r["cvec"]])
-    return cents, cbs, _apply_index_tombstones(
-        spark, path, _read_index_table(spark, path, "cells")
+    return (
+        _load_centroids(spark, path),
+        _load_codebooks(spark, path),
+        _load_index_rows(spark, path, "ivfpq"),
     )
 
 
@@ -1296,14 +1344,41 @@ def append_to_lsh_index(new_embeddings: DataFrame, path: str) -> None:
     folds it back into the bucket-partitioned base); results match a
     full rebuild exactly (LSH has no trained state, so there is no drift
     trade at all)."""
-    _refuse_tombstoned(new_embeddings, path)
-    index = build_lsh_index(
+    append_to_index(new_embeddings, path, "lsh")
+
+
+def _encode_lsh_rows(new_embeddings: DataFrame, path: str) -> DataFrame:
+    return build_lsh_index(
         new_embeddings,
         saved_lsh_n_planes(new_embeddings.sparkSession, path),
     )
-    # one flat delta file per append (the delta_files lesson)
-    _append_index_rows(index, path, "buckets")
-    index.unpersist()
+
+
+#: per-kind append row encoder: resolve the saved structure sidecars and
+#: produce delta rows in the kind's base schema
+_INDEX_ENCODERS = {
+    "ivf": _encode_ivf_rows,
+    "ivfpq": _encode_ivfpq_rows,
+    "lsh": _encode_lsh_rows,
+    "pq": _encode_pq_rows,
+}
+
+
+def append_to_index(new_embeddings: DataFrame, path: str, kind: str) -> None:
+    """The single LSM append core behind all four ``append_to_*_index``
+    wrappers (r14 consolidation — r13's deep review fixed the same bug
+    once per layout; the lifecycle now lives here once): refuse
+    tombstoned ids (a live tombstone would silently suppress the rows at
+    every read), encode ONLY the new vectors under the index's SAVED
+    structure (centroids / codebooks / n_planes — resolved via the
+    sidecar loaders, loud on absence), and write ONE flat file into
+    ``{sub}_delta`` (:func:`_append_index_rows`); reads union the delta,
+    :func:`compact_index` folds it back."""
+    _refuse_tombstoned(new_embeddings, path)
+    sub, _ = _INDEX_TABLES[kind]
+    rows = _INDEX_ENCODERS[kind](new_embeddings, path)
+    _append_index_rows(rows, path, sub)
+    rows.unpersist()  # no-op unless the encoder persisted (lsh build)
 
 
 def _adc_lut(

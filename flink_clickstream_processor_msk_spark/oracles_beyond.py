@@ -8,6 +8,7 @@ double folds make the results bit-identical, not just approximately equal.
 
 from __future__ import annotations
 
+from flink_clickstream_processor_msk_spark.functions.grams import WS_CLASS
 from flink_clickstream_processor_msk_spark.functions.hashing import (
     H28_MOD,
     MOD_P,
@@ -35,7 +36,12 @@ from flink_clickstream_processor_msk_spark.operators.text import (
 )
 
 _H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
-_TOKENS = r"list_filter(regexp_split_to_array({x}, '\s+'), t -> t != '')"
+# WS_CLASS, not \s (r14): RE2's \s already equals this set, but spelling
+# it keeps the tokenizer lockstep with the Spark/Python sides EXPLICIT —
+# Java's and Python-ASCII's \s include \x0B, RE2's does not
+_TOKENS = (
+    "list_filter(regexp_split_to_array({x}, '" + WS_CLASS + "+'), t -> t != '')"
+)
 
 
 def _h60(x: str) -> str:

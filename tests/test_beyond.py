@@ -1734,6 +1734,44 @@ def test_train_bpe_merges_matches_reference_tool_both_paths(spark):
     assert top["merge_rank"] == 1
 
 
+def test_train_bpe_merges_sample_fraction(spark):
+    """The production-vocab sampling knob (VERDICT r13 #5): the h60
+    document sample is deterministic (two runs identical), training on
+    sample_fraction=f equals training on the MANUALLY h60-filtered
+    subset (the sample is exactly that predicate — the sequential greedy
+    of the sampled corpus, not an approximation of the full one), a
+    fraction covering every doc equals the unsampled run, and on a
+    Zipf-ish corpus the sampled merges keep the full-trained HEAD (early
+    merges come from head mass a half-corpus sample preserves)."""
+    from flink_clickstream_processor_msk_spark.functions.hashing import h60
+
+    rows = []
+    did = 0
+    for rep, word in [(40, "the cat"), (25, "dog and"), (12, "fish or")]:
+        for _ in range(rep):
+            rows.append((did, (word + " ") * 3 + f"tail{did % 7}"))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = text.train_bpe_merges(docs, 24, sample_fraction=0.5)
+    assert got == text.train_bpe_merges(docs, 24, sample_fraction=0.5)
+    manual = docs.filter(
+        F.pmod(
+            h60(F.concat(F.lit("bpe_sample:"), F.col("doc_id").cast("string"))),
+            F.lit(1 << 20),
+        )
+        < F.lit(int(0.5 * (1 << 20)))
+    )
+    assert got == text.train_bpe_merges(manual, 24)
+    # the sample is a real subset, not empty / not everything
+    n_s, n_all = manual.count(), docs.count()
+    assert 0 < n_s < n_all
+    full = text.train_bpe_merges(docs, 24)
+    assert text.train_bpe_merges(docs, 24, sample_fraction=1.0) == full
+    # head fidelity: the first merges agree (Zipf head survives sampling)
+    assert got[:4] == full[:4]
+
+
 def test_bpe_train_save_encode_roundtrip(spark, tmp_path):
     """The round-12 train → save → load → ENCODE loop: merges learned
     from a corpus by train_bpe_merges, written with save_bpe_merges, and
@@ -2087,6 +2125,11 @@ def test_gopher_rules_engine_parity_on_crlf_and_edge_text(spark):
         (4, "mixed unicode line sep... the of"),            # U+2028
         (5, "tab\tand  spaces the of"),
         (6, None),
+        # \x0B (vertical tab): Java's and Python-ASCII's \s include it,
+        # RE2's does not — r14 tightened every tokenizer to the shared
+        # explicit WS_CLASS (which excludes it), so 'one\x0Btwo' is ONE
+        # token on both engines and \x0B counts as a word character
+        (7, "one\x0btwo the of... and\x0bis a"),
     ]
     docs = spark.createDataFrame(
         [(i, t) for i, t in rows], "doc_id long, text string"
@@ -2101,6 +2144,11 @@ def test_gopher_rules_engine_parity_on_crlf_and_edge_text(spark):
     # U+2028 is NOT a line break or whitespace for any of these counts
     assert got[4]["n_lines"] == 1
     assert 6 not in got
+    # \x0B joins tokens (excluded from WS_CLASS): 5 words — one\x0Btwo,
+    # the, of..., and\x0Bis, a — and both vertical tabs count in
+    # n_word_chars (non-WS_CLASS characters)
+    assert got[7]["n_words"] == 5
+    assert got[7]["n_word_chars"] == len("one\x0btwo" "the" "of..." "and\x0bis" "a")
 
     con = duckdb.connect()
     con.register(

