@@ -70,6 +70,19 @@ def _q1(gap: str):
     return run
 
 
+def _q1_two_phase(gap: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_clickstream_processor_msk_spark.operators.sessionize import (
+            sessionize_two_phase,
+        )
+
+        return driver_output(
+            sessionize_two_phase(_clickevents(spark, sf_dir), gap=gap)
+        )
+
+    return run
+
+
 def _q1_buy(gap: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return driver_output(buy_sessions(sessionize(_clickevents(spark, sf_dir), gap=gap)))
@@ -956,6 +969,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CTE verbatim + one salted h60-modulus threshold; h60 machinery
         # value-pinned in-window by stratified_sample/family_safe_split)
         "resample_corpus": _on_table("documents", text.resample_corpus),
+        # hot-key-skew-safe Q1 (r14): the time-salted two-phase variant
+        # is RESULT-IDENTICAL to sessionize by construction (equality +
+        # exact-gap-touch + fuzz pinned in tests/test_skew.py), so its
+        # oracle is the q1_user_sessions_30m SQL verbatim — redundant
+        # coverage by definition, hence a tail row; what the driver
+        # check adds is the end-to-end hash proof on real tier data
+        "q1_user_sessions_two_phase": _q1_two_phase(_GAP_30M),
     }
 
 
@@ -969,6 +989,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "think_time_stats": oracles.think_time_stats(),
         "q1_user_sessions_30m": oracles.q1_user_sessions(_GAP_30M_MS),
+        # the two-phase variant is result-identical by construction, so
+        # its oracle IS the q1 SQL (tail row; tests/test_skew.py pins the
+        # operator-level equality, this row hash-proves it on tier data)
+        "q1_user_sessions_two_phase": oracles.q1_user_sessions(_GAP_30M_MS),
         "q1_buy_sessions_30m": oracles.q1_buy_sessions(_GAP_30M_MS),
         "q2_session_stats_30m": oracles.q2_session_stats(_GAP_30M_MS, _WIN_6H_MS),
         "q3_department_counts_30m": oracles.q3_department_counts(_GAP_30M_MS, _WIN_6H_MS),

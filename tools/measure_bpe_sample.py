@@ -45,6 +45,10 @@ from flink_clickstream_processor_msk_spark.operators import text
 
 N_MERGES = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
 FRACTION = float(sys.argv[2]) if len(sys.argv) > 2 else 0.25
+# set between the sample's and the full corpus's vocabulary sizes to
+# demonstrate the round-collapse: full goes distributed (rounds ≈
+# n_merges / realized batch), the sample fits the driver (0 rounds)
+MAX_DRIVER_WORDS = int(os.environ.get("BPE_MAX_DRIVER_WORDS", "200000"))
 LEGS = sys.argv[3:] or ["rich", "testdata"]
 FACTOR = int(os.environ.get("SCALE_FACTOR", "10"))
 TEN_X = os.environ.get("SCALE_OUT_DIR", f"/tmp/scale{FACTOR}x")
@@ -73,6 +77,37 @@ def syllable_corpus(spark, seed: int, n_words: int):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+def mixed_corpus(spark, seed: int, n_docs: int):
+    """Zipf word draws from a shared 20k vocabulary, ~150 words per doc —
+    the realistic regime where document sampling preserves the frequent
+    vocabulary (words co-occur across documents)."""
+    rng = random.Random(seed)
+    syl = [
+        "ing", "er", "tion", "al", "re", "con", "de", "st", "ly",
+        "ment", "pro", "ter", "an", "in", "en", "es", "ar", "or",
+        "un", "ab",
+    ]
+    vrng = random.Random(7)  # vocabulary fixed across train/holdout seeds
+    words = sorted(
+        {
+            "".join(vrng.choice(syl) for _ in range(vrng.randint(2, 4)))
+            for _ in range(26000)
+        }
+    )[:20000]
+    n_v = len(words)
+    rows = [
+        (
+            i,
+            " ".join(
+                words[min(n_v - 1, int(n_v * rng.random() ** 3))]
+                for _ in range(rng.randint(100, 200))
+            ),
+        )
+        for i in range(n_docs)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
 def fertility(docs, merges) -> dict:
     row = text.corpus_fertility(docs, merges=merges).first()
     return {
@@ -97,6 +132,14 @@ def main() -> None:
                 raise SystemExit(f"{docs_path} missing - run tools/scale10x.py first")
             docs = spark.read.parquet(docs_path)
             holdout = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        elif leg == "mixed":
+            # realistic doc shape: words SPREAD across documents (Zipf
+            # draws of a shared vocabulary), so a doc sample keeps the
+            # frequent vocabulary — `rich` (one doc per word) is the
+            # adversarial bound where sampling deletes 1-fraction of the
+            # vocabulary outright
+            docs = mixed_corpus(spark, seed=7, n_docs=4000)
+            holdout = mixed_corpus(spark, seed=13, n_docs=800)
         else:
             docs = syllable_corpus(spark, seed=7, n_words=20000)
             holdout = syllable_corpus(spark, seed=13, n_words=4000)
@@ -104,7 +147,11 @@ def main() -> None:
             stats: dict = {}
             t0 = time.time()
             merges = text.train_bpe_merges(
-                docs, N_MERGES, stats=stats, sample_fraction=frac
+                docs,
+                N_MERGES,
+                max_driver_words=MAX_DRIVER_WORDS,
+                stats=stats,
+                sample_fraction=frac,
             )
             wall = time.time() - t0
             out = {
