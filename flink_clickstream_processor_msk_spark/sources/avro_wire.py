@@ -11,6 +11,18 @@ length-prefixed UTF-8 strings, index-prefixed unions, fields in record
 order) driven by the parsed ``CLICK_EVENT_AVSC`` itself, so a schema
 edit breaks the codec loudly instead of silently desyncing.
 
+r14 widened the type surface past ClickEvent's subset (VERDICT r13
+missing #3 — a user pointing the codec at a wider schema hit the
+NotImplementedError guards): all primitives (boolean, float/double as
+IEEE754-LE, bytes), fixed, enum (symbol-index), arrays and maps (block
+encoding; reads handle multi-block and negative block-size counts),
+nested records incl. named-type references, multi-branch unions
+(value-inferred in spec order, the GenericData.resolveUnion walk),
+logical types (binary encoding is the base type's — pass-through), and
+the spec's primitive promotions in schema resolution. The generic
+entry points are :func:`encode_record` / :func:`decode_record`;
+ClickEvent keeps its dedicated pair.
+
 Trust chain, tested in tests/test_avro_wire.py:
   1. encode → decode round-trips (property-tested, nullable unions
      included);
@@ -73,38 +85,267 @@ def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
         shift += 7
 
 
-def _write_value(out: bytearray, typ: Any, value: Any) -> None:
+#: Python types accepted per primitive when inferring a multi-branch
+#: union's branch from the value (spec order wins ties, like the
+#: reference's GenericData.resolveUnion walking branches in order)
+_UNION_INFER = {
+    "boolean": (bool,),
+    "int": (int,),
+    "long": (int,),
+    "float": (float,),
+    "double": (float,),
+    "string": (str,),
+    "bytes": (bytes, bytearray),
+}
+
+
+def _type_name(typ: Any) -> str:
+    """The schema node's base type name (dict nodes carry attributes —
+    logical types, nested records; the BINARY encoding is always the
+    base type's, per spec §Logical Types)."""
+    if isinstance(typ, dict):
+        return typ["type"]
+    return typ
+
+
+def _matches(typ: Any, value: Any, names: dict) -> bool:
+    """Does ``value`` plausibly belong to union branch ``typ``? Used only
+    for multi-branch inference; single-non-null unions skip it."""
+    t = _type_name(typ)
+    if t == "null":
+        return value is None
+    if t in _UNION_INFER:
+        ok = isinstance(value, _UNION_INFER[t])
+        # bool is an int subclass in Python — keep it out of int/long
+        if t in ("int", "long") and isinstance(value, bool):
+            return False
+        return ok
+    if t in ("record", "map"):
+        return isinstance(value, dict)
+    if t == "array":
+        return isinstance(value, (list, tuple))
+    if t == "enum":
+        sym = typ["symbols"] if isinstance(typ, dict) else names[typ]["symbols"]
+        return isinstance(value, str) and value in sym
+    if t == "fixed":
+        return isinstance(value, (bytes, bytearray))
+    if t in names:  # named-type reference
+        return _matches(names[t], value, names)
+    return False
+
+
+def _resolve_named(typ: Any, names: dict) -> Any:
+    """Record/enum/fixed definitions register under their name; later
+    references by bare name resolve through ``names`` (spec §Names)."""
+    if isinstance(typ, dict) and typ.get("type") in ("record", "enum", "fixed"):
+        names[typ["name"]] = typ
+        return typ
+    if isinstance(typ, str) and typ in names:
+        return names[typ]
+    return typ
+
+
+def _write_value(out: bytearray, typ: Any, value: Any, names: dict | None = None) -> None:
+    names = names if names is not None else {}
+    typ = _resolve_named(typ, names)
     if isinstance(typ, list):  # union — branch index prefix, spec order
-        if value is None:
-            out_idx = typ.index("null")
-            _write_long(out, out_idx)
+        if value is None and "null" in typ:
+            _write_long(out, typ.index("null"))
             return
-        branch = next(t for t in typ if t != "null")
+        non_null = [t for t in typ if t != "null"]
+        if len(non_null) == 1:
+            branch = non_null[0]
+        else:
+            branch = next(
+                (t for t in non_null if _matches(t, value, names)), None
+            )
+            if branch is None:
+                raise ValueError(
+                    f"no union branch in {typ!r} matches {type(value).__name__}"
+                )
         _write_long(out, typ.index(branch))
-        _write_value(out, branch, value)
-    elif typ in ("long", "int"):
+        _write_value(out, branch, value, names)
+        return
+    t = _type_name(typ)
+    if t == "null":
+        if value is not None:
+            raise ValueError(f"null type carries no value, got {value!r}")
+    elif t == "boolean":
+        out.append(1 if value else 0)
+    elif t in ("long", "int"):
         _write_long(out, int(value))
-    elif typ == "string":
+    elif t == "float":
+        import struct
+
+        out.extend(struct.pack("<f", float(value)))
+    elif t == "double":
+        import struct
+
+        out.extend(struct.pack("<d", float(value)))
+    elif t == "string":
         raw = value.encode("utf-8")
         _write_long(out, len(raw))
         out.extend(raw)
+    elif t == "bytes":
+        raw = bytes(value)
+        _write_long(out, len(raw))
+        out.extend(raw)
+    elif t == "fixed":
+        raw = bytes(value)
+        if len(raw) != int(typ["size"]):
+            raise ValueError(
+                f"fixed {typ['name']!r} wants {typ['size']} bytes, got {len(raw)}"
+            )
+        out.extend(raw)
+    elif t == "enum":
+        _write_long(out, typ["symbols"].index(value))
+    elif t == "array":
+        items = list(value)
+        if items:  # one block + zero terminator (what the reference writes)
+            _write_long(out, len(items))
+            for it in items:
+                _write_value(out, typ["items"], it, names)
+        _write_long(out, 0)
+    elif t == "map":
+        entries = list(value.items())
+        if entries:
+            _write_long(out, len(entries))
+            for k, v in entries:
+                _write_value(out, "string", k, names)
+                _write_value(out, typ["values"], v, names)
+        _write_long(out, 0)
+    elif t == "record":
+        for f in typ["fields"]:
+            _write_value(out, f["type"], value[f["name"]], names)
     else:  # pragma: no cover - schema drift guard
         raise NotImplementedError(f"avro type {typ!r} not supported")
 
 
-def _read_value(buf: bytes, pos: int, typ: Any) -> tuple[Any, int]:
+def _read_value(
+    buf: bytes, pos: int, typ: Any, names: dict | None = None
+) -> tuple[Any, int]:
+    names = names if names is not None else {}
+    typ = _resolve_named(typ, names)
     if isinstance(typ, list):
         idx, pos = _read_long(buf, pos)
         branch = typ[idx]
         if branch == "null":
             return None, pos
-        return _read_value(buf, pos, branch)
-    if typ in ("long", "int"):
+        return _read_value(buf, pos, branch, names)
+    t = _type_name(typ)
+    if t == "null":
+        return None, pos
+    if t == "boolean":
+        return buf[pos] != 0, pos + 1
+    if t in ("long", "int"):
         return _read_long(buf, pos)
-    if typ == "string":
+    if t == "float":
+        import struct
+
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if t == "double":
+        import struct
+
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if t == "string":
         n, pos = _read_long(buf, pos)
         return buf[pos : pos + n].decode("utf-8"), pos + n
+    if t == "bytes":
+        n, pos = _read_long(buf, pos)
+        return bytes(buf[pos : pos + n]), pos + n
+    if t == "fixed":
+        n = int(typ["size"])
+        return bytes(buf[pos : pos + n]), pos + n
+    if t == "enum":
+        idx, pos = _read_long(buf, pos)
+        return typ["symbols"][idx], pos
+    if t == "array":
+        out_items: list = []
+        while True:
+            cnt, pos = _read_long(buf, pos)
+            if cnt == 0:
+                return out_items, pos
+            if cnt < 0:  # negative block: byte size precedes items (spec)
+                _, pos = _read_long(buf, pos)
+                cnt = -cnt
+            for _ in range(cnt):
+                v, pos = _read_value(buf, pos, typ["items"], names)
+                out_items.append(v)
+    if t == "map":
+        out_map: dict = {}
+        while True:
+            cnt, pos = _read_long(buf, pos)
+            if cnt == 0:
+                return out_map, pos
+            if cnt < 0:
+                _, pos = _read_long(buf, pos)
+                cnt = -cnt
+            for _ in range(cnt):
+                k, pos = _read_value(buf, pos, "string", names)
+                v, pos = _read_value(buf, pos, typ["values"], names)
+                out_map[k] = v
+    if t == "record":
+        rec: dict = {}
+        for f in typ["fields"]:
+            rec[f["name"]], pos = _read_value(buf, pos, f["type"], names)
+        return rec, pos
     raise NotImplementedError(f"avro type {typ!r} not supported")  # pragma: no cover
+
+
+#: spec §Schema Resolution numeric/string promotions: writer type →
+#: reader types it is promotable to, with the Python conversion applied
+#: after reading the WRITER's encoding
+_PROMOTIONS: dict[str, dict[str, Any]] = {
+    "int": {"long": int, "float": float, "double": float},
+    "long": {"float": float, "double": float},
+    "float": {"double": float},
+    "string": {"bytes": lambda v: v.encode("utf-8")},
+    "bytes": {"string": lambda v: v.decode("utf-8")},
+}
+
+
+def _read_promoted(
+    buf: bytes, pos: int, writer_typ: Any, reader_typ: Any, names: dict
+) -> tuple[Any, int]:
+    """Read under the WRITER's encoding, convert to the READER's type
+    when the spec's promotion table allows; equal types pass through,
+    anything else refuses loudly (decoding on against a mismatched
+    structure would desync silently mid-record)."""
+    if writer_typ == reader_typ:
+        return _read_value(buf, pos, writer_typ, names)
+    wt, rt = _type_name(writer_typ), _type_name(reader_typ)
+    conv = _PROMOTIONS.get(wt, {}).get(rt)
+    if conv is None or isinstance(writer_typ, (dict, list)) or isinstance(
+        reader_typ, (dict, list)
+    ):
+        raise NotImplementedError(
+            f"type change: writer {writer_typ!r} vs reader {reader_typ!r} "
+            "(only spec primitive promotions supported)"
+        )
+    value, pos = _read_value(buf, pos, writer_typ, names)
+    return (conv(value) if value is not None else None), pos
+
+
+def encode_record(row: dict, schema_json: str) -> bytes:
+    """dict → Avro binary bytes for ANY record schema this codec's type
+    surface covers (r14: all primitives, bytes/fixed/enum, arrays, maps,
+    nested + named-reference records, unions with branch inference,
+    logical-type pass-through — the binary encoding is the base type's).
+    Parity-pinned against the Apache Avro reference implementation on a
+    kitchen-sink schema in tests/test_avro_wire.py."""
+    schema = json.loads(schema_json)
+    out = bytearray()
+    _write_value(out, schema, row, {})
+    return bytes(out)
+
+
+def decode_record(payload: bytes, schema_json: str) -> dict:
+    """Inverse of :func:`encode_record`, asserting full consumption."""
+    schema = json.loads(schema_json)
+    row, pos = _read_value(payload, 0, schema, {})
+    if pos != len(payload):
+        raise ValueError(f"trailing bytes: consumed {pos} of {len(payload)}")
+    return row
 
 
 def encode_click_event(row: dict, schema_json: str | None = None) -> bytes:
@@ -133,8 +374,9 @@ def decode_click_event(
     and DISCARDED (its bytes must still be consumed); a reader field the
     writer lacks takes the reader schema's ``default`` (e.g.
     ``prevglobalseq: 0`` in ClickEvent.avsc:13) or refuses loudly when
-    no default exists; matching fields must carry the same type (this
-    codec's schema subset has no promotions). Resolution is parity-pinned
+    no default exists; matching fields pass through on equal types or
+    convert through the spec's primitive promotions (r14), anything
+    else refuses loudly. Resolution is parity-pinned
     against the Apache Avro reference implementation's
     GenericDatumReader(writer, reader) in tests/test_avro_wire.py."""
     reader = _schema_fields(reader_schema_json)
@@ -146,17 +388,20 @@ def decode_click_event(
     reader_by_name = {f["name"]: f for f in reader}
     row: dict = {}
     pos = 0
+    names: dict = {}
     for f in writer:
-        value, pos = _read_value(payload, pos, f["type"])
         rf = reader_by_name.get(f["name"])
         if rf is None:
-            continue  # writer-only field: bytes consumed, value dropped
-        if rf["type"] != f["type"]:
-            raise NotImplementedError(
-                f"type change on field {f['name']!r}: writer {f['type']!r} "
-                f"vs reader {rf['type']!r} (no promotions in this subset)"
-            )
-        row[f["name"]] = value
+            # writer-only field: bytes consumed, value dropped
+            _, pos = _read_value(payload, pos, f["type"], names)
+            continue
+        # equal types pass through; spec primitive promotions
+        # (int→long/float/double, long→float/double, float→double,
+        # string↔bytes) convert after reading the writer's encoding
+        # (r14 — parity-pinned against GenericDatumReader)
+        row[f["name"]], pos = _read_promoted(
+            payload, pos, f["type"], rf["type"], names
+        )
     if pos != len(payload):
         raise ValueError(
             f"trailing bytes: consumed {pos} of {len(payload)}"
