@@ -288,23 +288,18 @@ def compact_index(spark, path: str, kind: str) -> None:
     """Fold the flat append delta back into the routing-partitioned base
     AND physically drop tombstoned vectors (``kind`` in ivf | ivfpq |
     lsh | pq) — the LSM compaction of the written-index lifecycle:
-    rewrite the data table (base ∪ delta, tombstone-filtered,
-    vec_id-deduplicated) through a staging dir (write → delete → rename —
-    the one crash window self-heals in :func:`_read_index_table`),
-    clustered by ``repartition(part_col)`` before ``partitionBy`` so the
-    base stays one file per partition (the dedup-state re-splinter
-    lesson), then clear the delta and tombstones; deleted ids may be
-    re-ingested afterwards. A crash between the swap and the delta
-    delete leaves delta rows duplicated in base + delta — probes stay
-    top-k-correct modulo a duplicated neighbor row, and RE-RUNNING
-    compact heals it (the dropDuplicates makes the fold idempotent —
-    byte-identical replay rows ONLY; a live vec_id re-appended with a
-    DIFFERENT payload is refused loudly rather than collapsed to an
-    arbitrary winner).
+    rewrite base ∪ delta, tombstone-filtered and vec_id-deduplicated,
+    through the shared staged write + swap (:func:`_write_base_staged` /
+    :func:`_swap_base`), then clear the journal; deleted ids may be
+    re-ingested afterwards. A crash between swap and delta delete leaves
+    delta rows duplicated in base + delta — probes stay top-k-correct
+    modulo a duplicated neighbor row, and RE-RUNNING compact heals it
+    (dropDuplicates makes the fold idempotent for byte-identical replay
+    rows ONLY; a live vec_id re-appended with a DIFFERENT payload is
+    refused loudly rather than collapsed to an arbitrary winner).
     Sidecars (centroids/codebooks/ood_ref) are structure, not rows —
     untouched; a large delete shifts occupancy/OOD shares, which the
-    monitors read post-delete by construction (they run over the
-    filtered load)."""
+    monitors read post-delete by construction."""
     sub, part_col = _INDEX_TABLES[kind]
     fs, dpath = _hadoop_fs(spark, f"{path}/{sub}_delta")
     if load_index_tombstones(spark, path) is None and not fs.exists(dpath):
@@ -762,20 +757,12 @@ def load_ivf_index(
 
 
 def append_to_ivf_index(new_embeddings: DataFrame, path: str) -> None:
-    """Incremental index refresh — the 100 TB ingest pattern: route ONLY
-    the new vectors with the index's SAVED centroids and append their
-    rows into the cell-partitioned layout; the existing corpus is never
-    rescanned or re-assigned, and probes over the refreshed index see
-    old + new vectors identically to a same-centroid full rebuild
-    (pinned in tests/test_incremental.py). New batches are assigned
-    under the ORIGINAL centroids — exactly how production IVF serves
-    inserts between periodic re-trains; re-train = a fresh
-    :func:`save_ivf_index` (or :func:`kmeans_refine_centroids` pass)
-    when drift accumulates. Appended rows land in the flat ``cells_delta``
-    (ONE file per append — round 12 moved appends off dynamic-partition
-    writes, which cost the per-partition committer overhead and wrote
-    n_touched_cells files per batch); every read unions the delta and
-    :func:`compact_index` folds it back into the partition-pruned base."""
+    """Incremental IVF refresh (:func:`append_to_index` core): route
+    ONLY the new vectors under the SAVED centroids — how production IVF
+    serves inserts between re-trains (re-train = a fresh
+    :func:`save_ivf_index` / :func:`kmeans_refine_centroids` pass);
+    probes see old + new identically to a same-centroid rebuild
+    (tests/test_incremental.py)."""
     append_to_index(new_embeddings, path, "ivf")
 
 
@@ -1160,13 +1147,11 @@ def load_pq_index(
 
 
 def append_to_pq_index(new_embeddings: DataFrame, path: str) -> None:
-    """Incremental PQ refresh (the :func:`append_to_ivf_index` pattern):
-    encode ONLY the new vectors with the index's SAVED codebooks and
-    append their code rows — the corpus is never re-encoded, and ADC
-    probes over the refreshed index are pinned identical to a
-    same-codebook full rebuild (tests/test_incremental.py). Codebook
-    drift is the trade, as with every quantized index serving inserts
-    between re-trains."""
+    """Incremental PQ refresh (:func:`append_to_index` core): encode
+    ONLY the new vectors under the SAVED codebooks; ADC probes pinned
+    identical to a same-codebook rebuild (tests/test_incremental.py).
+    Codebook drift is the trade, as with every quantized index serving
+    inserts between re-trains."""
     append_to_index(new_embeddings, path, "pq")
 
 
@@ -1217,16 +1202,12 @@ def save_ivfpq_index(
 
 
 def append_to_ivfpq_index(new_embeddings: DataFrame, path: str) -> None:
-    """Incremental refresh of the composed IVFADC layout (the
-    :func:`append_to_ivf_index` pattern applied to the single-table
-    form): route AND encode only the new vectors with the index's saved
-    centroids + codebooks, append the composed rows to the flat
-    ``cells_delta`` (reads union it; compact folds). Probes over the
-    refreshed table
-    see old + new identically to a same-structure full rebuild (pinned
-    in tests/test_incremental.py); drift policy per PLANS.md — IVF
-    routing needs no re-train, re-train the PQ half (re-seeded) past
-    ~10% OOD mass."""
+    """Incremental IVFADC refresh (:func:`append_to_index` core): route
+    AND encode only the new vectors under the saved centroids +
+    codebooks; probes pinned identical to a same-structure rebuild
+    (tests/test_incremental.py). Drift policy per PLANS.md — IVF routing
+    needs no re-train, re-train the PQ half (re-seeded) past ~10% OOD
+    mass."""
     append_to_index(new_embeddings, path, "ivfpq")
 
 
@@ -1336,14 +1317,11 @@ def load_pq_ood_ref(spark, path: str):
 
 
 def append_to_lsh_index(new_embeddings: DataFrame, path: str) -> None:
-    """Incremental LSH refresh: bucket ONLY the new vectors — under the
-    n_planes the index was SAVED with (the ``lsh_meta`` sidecar; r13
-    review: the default-plane assumption silently bucketed appends into
-    a different code space than a non-default base) — and append to
-    the flat ``buckets_delta`` (reads union it; :func:`compact_index`
-    folds it back into the bucket-partitioned base); results match a
-    full rebuild exactly (LSH has no trained state, so there is no drift
-    trade at all)."""
+    """Incremental LSH refresh (:func:`append_to_index` core): bucket
+    ONLY the new vectors under the SAVED n_planes (``lsh_meta`` sidecar
+    — r13: the default-plane assumption silently bucketed appends into a
+    different code space); results match a full rebuild exactly (no
+    trained state, no drift trade)."""
     append_to_index(new_embeddings, path, "lsh")
 
 

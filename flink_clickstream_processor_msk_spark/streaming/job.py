@@ -106,8 +106,11 @@ def elasticsearch_sinks(
     sink all three streams as /_bulk NDJSON (es_bulk_records framing,
     the reference's flush/backoff policy) through plain-HTTP POSTs —
     runnable against any reachable ES with no client library.
-    ``send_factory(index_name) -> send`` overrides delivery (SigV4
-    signing, test doubles); returns [] when no endpoint is configured."""
+    ``send_factory(index_name) -> send`` overrides delivery — e.g.
+    ``lambda _i: sigv4_http_bulk_sender(endpoint, region)`` for IAM-auth
+    Amazon OpenSearch (streaming/sigv4.py, the reference's
+    AmazonElasticsearchSink signing path), or test doubles; returns []
+    when no endpoint is configured."""
     endpoint = config.get("ElasticsearchEndpoint")
     if not endpoint:
         return []

@@ -219,8 +219,10 @@ def http_bulk_sender(
     a response body reporting ``"errors": true``), so
     :func:`send_with_backoff` drives the reference's bounded retry
     policy. Amazon OpenSearch with IAM auth needs SigV4-signed requests
-    — supply your own signing ``send`` there (this stays a deployment
-    concern; the chunk framing is identical either way)."""
+    — use :func:`~...streaming.sigv4.sigv4_http_bulk_sender` (r14: the
+    complete stdlib signer, pinned against the AWS documented vectors;
+    the reference's AmazonElasticsearchSink.java:27-71 path). Chunk
+    framing and error contract are identical either way."""
     url = endpoint.rstrip("/") + "/_bulk"
 
     def send(chunk: list[str]) -> None:
