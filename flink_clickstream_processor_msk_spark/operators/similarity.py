@@ -1179,17 +1179,26 @@ def save_ivfpq_index(
     and NO join (the billion-scale layout of Jégou et al. 2011 §V; the
     separate-index composition ``ann_ivfpq_topk`` joins per probe
     instead, which is the right shape only while both structures are
-    session-cached). Sidecars: ``centroids`` + ``codebooks`` (same
-    formats as the standalone indexes). ``v`` rides along for query
+    session-cached). Sidecars: ``centroids`` + ``codebooks`` + ``ood_ref``
+    (same formats as the standalone indexes — the OOD drift monitor
+    covers this kind too, r14). ``v`` rides along for query
     lookup and exact re-ranking — a deployment trimming bytes drops it
     and keeps a separate id→vector table for the re-rank tier."""
     cents, cells = build_ivf_index(embeddings, n_centroids)
     cbs, codes = build_pq_index(embeddings, m, k_cb)
     spark = embeddings.sparkSession
+    # ood_ref sidecar (r14, closing the r13 follow-up): the PQ half of
+    # the composed layout drifts exactly like a standalone PQ index, so
+    # the same quantization-error reference is written and
+    # index_ingest_sink(kind="ivfpq") monitors it
+    qerr = pq_quantization_error(embeddings, cbs)
+    threshold = qerr.approxQuantile("qerr", [PQ_OOD_QUANTILE], 0.0)[0]
+    n_base = embeddings.count()
 
     def sidecars():
         _write_centroids_sidecar(spark, path, cents)
         _write_codebooks_sidecar(spark, path, cbs)
+        _write_pq_ood_ref(spark, path, threshold, n_base, PQ_OOD_QUANTILE)
 
     _install_index_base(
         cells.join(codes, "vec_id"),  # one-time build-side join

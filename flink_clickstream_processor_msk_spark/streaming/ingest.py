@@ -929,9 +929,11 @@ def index_ingest_sink(
       delivered to the callback — IVF recall is drift-robust, so
       occupancy skew (one cell absorbing the new region; alarm at
       ``similarity.OCCUPANCY_SKEW_ALARM``) is the stat worth paging on.
-    - ``kind="pq"`` + ``retrain_hook``: each batch's share of vectors
-      whose quantization error exceeds the saved base quantile
-      (``path/ood_ref``, written by ``save_pq_index``) accumulates into
+    - ``kind="pq"`` / ``kind="ivfpq"`` + ``retrain_hook``: each batch's
+      share of vectors whose quantization error exceeds the saved base
+      quantile (``path/ood_ref``, written by ``save_pq_index`` /
+      ``save_ivfpq_index`` — the composed layout's PQ half drifts
+      exactly like the standalone one, r14) accumulates into
       a cumulative OOD fraction of the corpus; when it passes
       ``ood_retrain_fraction`` (default
       ``similarity.PQ_OOD_RETRAIN_FRACTION``, the measured ~10%
@@ -944,7 +946,7 @@ def index_ingest_sink(
       twin — both halves are required) — then monitoring restarts
       against the re-trained reference. Indexes saved before the ood_ref sidecar existed keep
       monitoring off rather than inventing a threshold.
-    - ``kind="pq"`` + ``retrain_hook`` + ``growth_retrain_fraction``:
+    - ``kind="pq"``/``"ivfpq"`` + ``retrain_hook`` + ``growth_retrain_fraction``:
       the COMPOSITION trigger the one-shot OOD fire lacks (PLANS.md
       round-10 lesson 3, VERDICT r10 next#2): after a re-train the
       drifted region is in-distribution, the OOD monitor correctly
@@ -968,31 +970,32 @@ def index_ingest_sink(
         "lsh": similarity.append_to_lsh_index,
         "ivfpq": similarity.append_to_ivfpq_index,
     }[kind]
+    _MONITORED = ("pq", "ivfpq")
     if growth_retrain_fraction is not None and (
-        kind != "pq" or retrain_hook is None
+        kind not in _MONITORED or retrain_hook is None
     ):
         # half-configured periodic re-train: the monitor only runs for
-        # kind='pq' with a hook, so the growth trigger would silently
-        # never fire — the corpus_ingest_sink lm_path/min_avg_prob rule
-        # (ADVICE r11): refuse loudly at sink construction
+        # the PQ-coded kinds with a hook, so the growth trigger would
+        # silently never fire — the corpus_ingest_sink lm_path/
+        # min_avg_prob rule (ADVICE r11): refuse loudly at construction
         raise ValueError(
-            "growth_retrain_fraction requires kind='pq' AND retrain_hook "
-            f"(got kind={kind!r}, retrain_hook={retrain_hook!r}); the "
-            "growth trigger is a PQ re-train policy and cannot run "
-            "without the monitor"
+            "growth_retrain_fraction requires kind='pq'/'ivfpq' AND "
+            f"retrain_hook (got kind={kind!r}, "
+            f"retrain_hook={retrain_hook!r}); the growth trigger is a PQ "
+            "re-train policy and cannot run without the monitor"
         )
-    if retrain_hook is not None and kind != "pq":
-        # the drift monitor (OOD qerr vs the ood_ref sidecar) only runs
-        # for kind='pq' today — a hook on ivf/lsh/ivfpq would SILENTLY
-        # never fire while the caller believes drift is covered (r13
-        # review: the composed ivfpq layout degrades exactly like the
-        # measured stale-PQ recall collapse, with no monitor). Refuse
-        # loudly; generalizing the monitor to ivfpq means teaching
-        # save_ivfpq_index to write the ood_ref sidecar first.
+    if retrain_hook is not None and kind not in _MONITORED:
+        # the drift monitor (OOD qerr vs the ood_ref sidecar) runs for
+        # the PQ-coded kinds (pq, ivfpq — r14 closed the r13 follow-up
+        # by teaching save_ivfpq_index the sidecar); a hook on ivf/lsh
+        # would SILENTLY never fire while the caller believes drift is
+        # covered. Refuse loudly — those kinds have no trained codebooks
+        # to drift (IVF recall is drift-robust, LSH has no trained
+        # state; occupancy skew is their monitor).
         raise ValueError(
-            f"retrain_hook is only monitored for kind='pq' (got "
+            f"retrain_hook is only monitored for kind='pq'/'ivfpq' (got "
             f"kind={kind!r}) — the hook would never fire; drop it or "
-            "use a pq index for the drift-monitored tier"
+            "use a PQ-coded index for the drift-monitored tier"
         )
     if ood_retrain_fraction is None:
         ood_retrain_fraction = similarity.PQ_OOD_RETRAIN_FRACTION
@@ -1006,7 +1009,11 @@ def index_ingest_sink(
         if monitor["ref"] == "unresolved":
             monitor["ref"] = similarity.load_pq_ood_ref(spark, index_path)
             if monitor["ref"] is not None:
-                monitor["cbs"] = similarity.load_pq_index(spark, index_path)[0]
+                monitor["cbs"] = (
+                    similarity.load_pq_index(spark, index_path)[0]
+                    if kind == "pq"
+                    else similarity.load_ivfpq_index(spark, index_path)[1]
+                )
         if monitor["ref"] is None:
             if growth_retrain_fraction is not None:
                 # the growth trigger arithmetic needs base_n from the
@@ -1052,7 +1059,7 @@ def index_ingest_sink(
                 similarity.index_occupancy_stats(cells, n_cells=len(cents)),
                 epoch_id,
             )
-        if kind == "pq" and retrain_hook is not None:
+        if kind in _MONITORED and retrain_hook is not None:
             _pq_monitor(spark, batch_vecs, epoch_id)
 
     return write

@@ -2714,19 +2714,58 @@ def test_save_index_clears_stale_tombstones(spark, tmp_path):
 
 
 def test_index_sink_refuses_unmonitored_retrain_hook(spark, tmp_path):
-    """r13 review: a retrain_hook with kind='ivfpq' would silently never
-    fire (the drift monitor is PQ-only today) while the caller believes
-    drift is covered — refuse at construction, the half-configured-
-    trigger rule."""
+    """r13 review (narrowed in r14 — ivfpq is now monitored): a
+    retrain_hook on kinds without trained codebooks (ivf, lsh) would
+    silently never fire while the caller believes drift is covered —
+    refuse at construction, the half-configured-trigger rule."""
     from flink_clickstream_processor_msk_spark.streaming.ingest import (
         index_ingest_sink,
     )
 
-    with pytest.raises(ValueError, match="only monitored for kind='pq'"):
-        index_ingest_sink(
-            str(tmp_path / "idx"), kind="ivfpq",
-            retrain_hook=lambda s, e: None,
-        )
+    for kind in ("ivf", "lsh"):
+        with pytest.raises(ValueError, match="only monitored for kind"):
+            index_ingest_sink(
+                str(tmp_path / "idx"), kind=kind,
+                retrain_hook=lambda s, e: None,
+            )
+
+
+def test_ivfpq_index_sink_ood_monitor_fires(spark, tmp_path):
+    """r14 (closing the r13 named follow-up): save_ivfpq_index writes the
+    ood_ref sidecar, and index_ingest_sink(kind='ivfpq') runs the same
+    cumulative-OOD monitor as the standalone PQ sink — the composed
+    layout's PQ half drifts identically. A drifted stream fires the hook
+    exactly once; the re-save resets the reference."""
+    from flink_clickstream_processor_msk_spark.streaming.ingest import (
+        index_ingest_sink,
+    )
+
+    base, drifted = _base_and_drifted(spark)
+    seen = [base]
+    path = str(tmp_path / "ivfpq_mon")
+    similarity.save_ivfpq_index(base, path)
+    assert similarity.load_pq_ood_ref(spark, path) is not None
+    fired: list[int] = []
+
+    def retrain(sp, epoch_id):
+        fired.append(epoch_id)
+        corpus = seen[0]
+        for b in seen[1:]:
+            corpus = corpus.unionByName(b)
+        similarity.save_ivfpq_index(corpus, path)
+
+    write = index_ingest_sink(path, kind="ivfpq", retrain_hook=retrain)
+    batches = [drifted.filter((F.col("vec_id") % 4) == i) for i in range(4)]
+    for epoch, b in enumerate(batches):
+        seen.append(b)
+        write(b, epoch)
+    # base_n=100; first 25-vector drifted batch -> 25/125 = 20% OOD > 10%
+    assert fired == [0], fired
+    # the refreshed table carries base + all appended vectors exactly once
+    total = sum(df.count() for df in seen)
+    cents, cbs, table = similarity.load_ivfpq_index(spark, path)
+    assert table.select("vec_id").distinct().count() == total
+    assert table.count() == total
 
 
 def test_pq_codebooks_refuse_indivisible_dim(spark):
