@@ -146,7 +146,7 @@ def test_sessionize_two_phase_equals_plain_fuzz(spark):
         ts += rng.choice([50, 200, 700, 1000, 1001, 3000])
         ev.append(
             {
-                "ts": ts if rng.random() > 0.1 else ts,  # keep monotone-ish
+                "ts": ts,
                 "seq": seq,
                 "userid": 1 if rng.random() < 0.6 else rng.choice([2, 3]),
                 "event_type": "order_checkout" if rng.random() < 0.2 else "view",
