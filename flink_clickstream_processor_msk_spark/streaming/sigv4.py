@@ -47,6 +47,10 @@ def _canonical_uri(path: str) -> str:
 
 
 def _canonical_query(query: str) -> str:
+    """Sort + URI-encode key/value pairs. The query string must arrive
+    UNENCODED (the SDKs' convention — encoding happens exactly once,
+    here); a pre-percent-encoded value would be double-encoded and the
+    signature rejected. The bulk sender never sends a query string."""
     if not query:
         return ""
     pairs = []

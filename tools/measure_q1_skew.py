@@ -33,7 +33,7 @@ from pyspark.sql import SparkSession, functions as F
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-HOT_SHARE = 0.20
+HOT_SHARE = float(os.environ.get("Q1_SKEW_HOT_SHARE", "0.20"))
 ID_STRIDE = 10_000_000
 HOT_USER = 424242
 
