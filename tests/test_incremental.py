@@ -2777,3 +2777,63 @@ def test_pq_codebooks_refuse_indivisible_dim(spark):
     )
     with pytest.raises(ValueError, match="not divisible"):
         similarity.pq_codebooks(emb, m=8)
+
+
+def test_staged_save_crash_windows_self_heal(spark, tmp_path):
+    """r14 staged-install crash windows (ADVICE r13 orderings):
+
+    (a) FIRST save crashing between the staged base write and the swap
+        leaves {sub}_new only — the next read self-heals by renaming,
+        and because sidecars are written BEFORE the swap (lsh_meta even
+        before the staged write), the healed index loads complete;
+    (b) a RE-save crashing after the staged write but before the
+        journal clear leaves the OLD generation fully live — base,
+        sidecars, delta, tombstones all still consistent (the expensive
+        window carries no partial state);
+    (c) re-running the crashed save converges to the new generation
+        with an empty journal."""
+    base, drifted = _base_and_drifted(spark)
+    path = str(tmp_path / "heal")
+
+    # (a) simulate a first-save crash after staged write + sidecars:
+    # run the save's stages by hand, skipping the swap
+    from flink_clickstream_processor_msk_spark.operators.similarity import (
+        _write_base_staged,
+        _write_centroids_sidecar,
+        build_ivf_index,
+    )
+
+    cents, cells = build_ivf_index(base)
+    _write_base_staged(cells, path, "cells", "cell")
+    _write_centroids_sidecar(spark, path, cents)
+    cells.unpersist()
+    import os
+
+    assert os.path.isdir(f"{path}/cells_new") and not os.path.isdir(
+        f"{path}/cells"
+    )
+    got_cents, got_rows = similarity.load_ivf_index(spark, path)  # self-heal
+    assert os.path.isdir(f"{path}/cells") and not os.path.isdir(
+        f"{path}/cells_new"
+    )
+    assert got_cents == cents and got_rows.count() == base.count()
+
+    # (b) re-save crash after staged write, before journal clear: the
+    # old generation (with a live delta + tombstone) must stay intact
+    similarity.append_to_ivf_index(drifted, path)
+    similarity.delete_from_index(spark, path, [3])
+    n_old = similarity.load_ivf_index(spark, path)[1].count()
+    cents2, cells2 = build_ivf_index(base.unionByName(drifted))
+    _write_base_staged(cells2, path, "cells", "cell")  # crash here
+    cells2.unpersist()
+    healed = similarity.load_ivf_index(spark, path)[1]
+    assert healed.count() == n_old  # old base ∪ delta, tombstone applied
+    assert healed.filter(F.col("vec_id") == 3).count() == 0
+
+    # (c) re-running the full save converges: new generation, journal gone
+    similarity.save_ivf_index(base.unionByName(drifted), path)
+    final = similarity.load_ivf_index(spark, path)[1]
+    assert final.count() == base.count() + drifted.count()
+    assert final.filter(F.col("vec_id") == 3).count() == 1  # deletes died with old gen
+    assert similarity.load_index_tombstones(spark, path) is None
+    assert not os.path.isdir(f"{path}/cells_delta")
