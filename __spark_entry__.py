@@ -316,6 +316,21 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic benchmark decontamination: embeddings split by the same
+    md5 bucket formula as train_test_split (vec_id for doc_id), train
+    vectors flagged on exact-cosine proximity to ANY test vector."""
+    from pyspark.sql import functions as F
+
+    from flink_clickstream_processor_msk_spark.functions.hashing import h60
+
+    emb = _embeddings(spark, sf_dir)
+    bucket = h60(F.col("vec_id").cast("string")) % 100
+    return pipeline.decontaminate_semantic(
+        emb.filter(bucket >= 10), emb.filter(bucket < 10)
+    )
+
+
 # Re-persist a cached index after an external catalog.clearCache(): the
 # index table feeds self-joins / repeated probes, and an unpersisted plan
 # would re-run the signature pipeline per branch.
@@ -976,6 +991,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # coverage by definition, hence a tail row; what the driver
         # check adds is the end-to-end hash proof on real tier data
         "q1_user_sessions_two_phase": _q1_two_phase(_GAP_30M),
+        # semantic decontamination (r14): every formula term is framed
+        # in-window — the h60 %100 split by train_test_split, the exact
+        # cosine fold by dedup_embedding_cosine, integer hit counting by
+        # decontaminate — so it sits in the tail per the spanning rule;
+        # the row proves the embedding-space gate end-to-end
+        "decontaminate_semantic": _decontaminate_semantic,
     }
 
 
@@ -993,6 +1014,7 @@ def oracle_sql() -> dict[str, str]:
         # its oracle IS the q1 SQL (tail row; tests/test_skew.py pins the
         # operator-level equality, this row hash-proves it on tier data)
         "q1_user_sessions_two_phase": oracles.q1_user_sessions(_GAP_30M_MS),
+        "decontaminate_semantic": oracles_beyond.decontaminate_semantic(),
         "q1_buy_sessions_30m": oracles.q1_buy_sessions(_GAP_30M_MS),
         "q2_session_stats_30m": oracles.q2_session_stats(_GAP_30M_MS, _WIN_6H_MS),
         "q3_department_counts_30m": oracles.q3_department_counts(_GAP_30M_MS, _WIN_6H_MS),

@@ -640,3 +640,102 @@ def dsir_score_saved(
     return scored.withColumn(
         "selected", F.col("dsir_score") >= F.lit(float(cutoff))
     )
+
+
+def decontaminate_semantic(
+    train_embeddings: DataFrame,
+    test_embeddings: DataFrame,
+    threshold: float | None = None,
+    max_test_rows: int = 1_000_000,
+) -> DataFrame:
+    """Semantic benchmark decontamination (the embedding-space sibling of
+    :func:`decontaminate`'s n-gram overlap, standard practice for recent
+    LM data pipelines): flag every TRAIN document whose embedding is
+    within cosine ``threshold`` of ANY benchmark/test embedding — n-gram
+    decontamination misses paraphrases and translations of a benchmark
+    item; embedding proximity catches them. Returns one row per train
+    vector: ``(vec_id, n_test_hits, contaminated)`` — integers/booleans
+    only, so the result hash-matches the DuckDB twin without exposing
+    matmul-order-dependent doubles (the SemDeDup flags-kernel rule).
+
+    ``threshold`` defaults to the repo-shared ``dedup.COSINE_THRESHOLD``
+    (one constant source, CLAUDE.md lockstep rule).
+
+    Scale shape at 100 TB: benchmark suites are SMALL by construction
+    (10^4-10^6 items — they are hand-curated test sets), so the test
+    matrix collects once (``max_test_rows`` guards the contract loudly)
+    and broadcasts; the scan is then a zero-shuffle per-row map over the
+    train corpus — one Arrow-batched numpy matmul per batch, column-
+    blocked (the ``_CELL_MATMUL_BLOCK_ELEMS`` budget) so memory is
+    O(batch·dim + batch·block) regardless of benchmark size. Cosines
+    inside ``_COS_EPS`` of the threshold are re-folded sequentially
+    (dot and both norms), so every count/flag decision is bit-identical
+    to the Catalyst/DuckDB sequential IEEE fold; NaN (zero-norm) counts
+    as a hit, matching both engines' NaN-is-greatest comparison order.
+    """
+    import math
+
+    import numpy as np
+
+    from flink_clickstream_processor_msk_spark.operators.dedup import (
+        _CELL_MATMUL_BLOCK_ELEMS,
+        _COS_EPS,
+        COSINE_THRESHOLD,
+        _seq_dot,
+    )
+
+    th = COSINE_THRESHOLD if threshold is None else float(threshold)
+    rows = (
+        test_embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(max_test_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_test_rows:
+        raise ValueError(
+            f"test_embeddings exceeds max_test_rows={max_test_rows}; "
+            "semantic decontamination broadcasts the benchmark matrix — "
+            "route a corpus-sized reference through the IVF cell join "
+            "(semantic_dedup) instead"
+        )
+    if rows:
+        T = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+        tnorms = np.sqrt(np.einsum("ij,ij->i", T, T))
+    else:
+        T = None
+    spark = train_embeddings.sparkSession
+    bc = spark.sparkContext.broadcast(
+        None if T is None else (T, tnorms)
+    )
+
+    @F.pandas_udf("long")
+    def n_hits(emb: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        if len(emb) == 0:
+            return pd.Series([], dtype="int64")
+        payload = bc.value
+        if payload is None:
+            return pd.Series(_np.zeros(len(emb), dtype="int64"))
+        Tm, tn = payload
+        A = _np.stack([_np.asarray(v, dtype=_np.float64) for v in emb.to_numpy()])
+        an = _np.sqrt(_np.einsum("ij,ij->i", A, A))
+        out = _np.zeros(len(A), dtype=_np.int64)
+        block = max(1, _CELL_MATMUL_BLOCK_ELEMS // max(len(A), 1))
+        for s in range(0, len(Tm), block):
+            Tb, tb = Tm[s : s + block], tn[s : s + block]
+            with _np.errstate(divide="ignore", invalid="ignore"):
+                cos = (A @ Tb.T) / _np.outer(an, tb)
+            ge = (cos >= th) | _np.isnan(cos)
+            for i, j in zip(*_np.nonzero(_np.abs(cos - th) < _COS_EPS)):
+                a, b = A[i], Tb[j]
+                n = math.sqrt(_seq_dot(a, a)) * math.sqrt(_seq_dot(b, b))
+                c = _seq_dot(a, b) / n if n != 0.0 else float("nan")
+                ge[i, j] = math.isnan(c) or c >= th
+            out += ge.sum(axis=1)
+        return pd.Series(out)
+
+    return train_embeddings.select(
+        "vec_id",
+        n_hits("embedding").alias("n_test_hits"),
+    ).withColumn("contaminated", F.col("n_test_hits") > 0)

@@ -2042,3 +2042,25 @@ def profile_documents() -> str:
         for c in DOCUMENTS_PROFILE_COLUMNS
     )
     return branches
+
+
+def decontaminate_semantic(test_pct: int = 10, threshold: float = COSINE_THRESHOLD) -> str:
+    """SQL twin of pipeline.decontaminate_semantic: the embeddings table
+    split by the same md5 bucket formula as train_test_split (vec_id in
+    place of doc_id), every train x test cosine evaluated with the exact
+    sequential fold (_COS — the dedup_embedding_cosine contract), hits
+    counted as integers so no matmul-order double ever reaches the hash."""
+    cos = _COS.format(a="t.embedding", b="e.embedding")
+    bucket = f"({_h60('vec_id::VARCHAR')}) % 100"
+    hit = f"CASE WHEN {cos} >= {threshold!r} THEN 1 ELSE 0 END"
+    return f"""
+WITH split AS (
+  SELECT vec_id, embedding, ({bucket}) AS b FROM embeddings
+)
+SELECT t.vec_id,
+  CAST(COALESCE(SUM({hit}), 0) AS BIGINT) AS n_test_hits,
+  COALESCE(SUM({hit}), 0) > 0 AS contaminated
+FROM (SELECT * FROM split WHERE b >= {test_pct}) t
+LEFT JOIN (SELECT * FROM split WHERE b < {test_pct}) e ON TRUE
+GROUP BY t.vec_id
+"""

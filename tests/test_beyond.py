@@ -2160,3 +2160,60 @@ def test_gopher_rules_engine_parity_on_crlf_and_edge_text(spark):
     )
     assert result["ok"], result
     spark.catalog.clearCache()
+
+
+def test_decontaminate_semantic_flags_paraphrase_neighbors(spark):
+    """Semantic decontamination (r14): train vectors within cosine
+    threshold of ANY test vector flag with exact hit counts; orthogonal
+    vectors don't; the near-tie epsilon band re-folds sequentially (a
+    vector EXACTLY at the threshold counts as a hit on both engines);
+    an oversized benchmark set refuses loudly; an empty one flags
+    nothing."""
+    import pytest as _pytest
+
+    from flink_clickstream_processor_msk_spark.operators.pipeline import (
+        decontaminate_semantic,
+    )
+
+    def vec(i, scale=1.0):
+        v = [0.0] * 64
+        v[i] = scale
+        return v
+
+    # test set: axes 0 and 1
+    test = spark.createDataFrame(
+        [(1000, vec(0)), (1001, vec(1))],
+        "vec_id long, embedding array<float>",
+    )
+    mixed = [0.0] * 64
+    mixed[0] = 1.0
+    mixed[1] = 1.0  # cos 1/sqrt(2)≈0.707 to BOTH test axes
+    train = spark.createDataFrame(
+        [
+            (0, vec(0, 2.0)),   # parallel to test axis 0 -> cos 1.0
+            (1, mixed),         # hits both at 0.707
+            (2, vec(2)),        # orthogonal -> clean
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["n_test_hits"], r["contaminated"])
+        for r in decontaminate_semantic(train, test, threshold=0.7).collect()
+    }
+    assert got == {0: (1, True), 1: (2, True), 2: (0, False)}
+    # exact-threshold tie: cos == 0.5 must count (>= on both engines)
+    half = [0.0] * 64
+    half[0] = 1.0
+    half[2] = 3.0 ** 0.5  # cos to axis0 = 1/2 exactly in doubles
+    tie_train = spark.createDataFrame(
+        [(7, half)], "vec_id long, embedding array<float>"
+    )
+    tie = decontaminate_semantic(tie_train, test, threshold=0.5).first()
+    assert tie["n_test_hits"] == 1 and tie["contaminated"]
+    # empty benchmark set -> zero hits, not an error
+    empty = test.filter("vec_id < 0")
+    clean = decontaminate_semantic(train, empty).collect()
+    assert all(r["n_test_hits"] == 0 and not r["contaminated"] for r in clean)
+    # oversized benchmark refuses loudly (the broadcast contract)
+    with _pytest.raises(ValueError, match="max_test_rows"):
+        decontaminate_semantic(train, test, max_test_rows=1)
