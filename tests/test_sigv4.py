@@ -28,7 +28,9 @@ from flink_clickstream_processor_msk_spark.streaming.sigv4 import (
     sigv4_http_bulk_sender,
 )
 
-# the documented example's fixed inputs
+# the documented example's fixed inputs — these are the PUBLIC example
+# credentials printed verbatim in the AWS General Reference signing docs
+# (AKIDEXAMPLE / ...EXAMPLEKEY); they are not, and never were, real keys
 _AK = "AKIDEXAMPLE"
 _SK = "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY"
 _WHEN = dt.datetime(2015, 8, 30, 12, 36, 0, tzinfo=dt.timezone.utc)
