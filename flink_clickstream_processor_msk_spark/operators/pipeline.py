@@ -673,18 +673,16 @@ def decontaminate_semantic(
     to the Catalyst/DuckDB sequential IEEE fold; NaN (zero-norm) counts
     as a hit, matching both engines' NaN-is-greatest comparison order.
     """
-    import math
-
-    import numpy as np
-
-    from flink_clickstream_processor_msk_spark.operators.dedup import (
-        _CELL_MATMUL_BLOCK_ELEMS,
-        _COS_EPS,
-        COSINE_THRESHOLD,
-        _seq_dot,
+    bc = _benchmark_broadcast(
+        train_embeddings.sparkSession,
+        _collect_benchmark(test_embeddings, max_test_rows),
     )
+    return _semantic_decon_flags(train_embeddings, bc, threshold)
 
-    th = COSINE_THRESHOLD if threshold is None else float(threshold)
+
+def _collect_benchmark(test_embeddings: DataFrame, max_test_rows: int):
+    """Bounded benchmark collect (vec_id-ordered for determinism); loud
+    past ``max_test_rows`` — the broadcast contract."""
     rows = (
         test_embeddings.select("vec_id", "embedding")
         .orderBy("vec_id")
@@ -698,15 +696,39 @@ def decontaminate_semantic(
             "route a corpus-sized reference through the IVF cell join "
             "(semantic_dedup) instead"
         )
+    return rows
+
+
+def _benchmark_broadcast(spark, rows):
+    """(matrix, norms) broadcast for :func:`_semantic_decon_flags`; None
+    payload for an empty benchmark (nothing can be contaminated)."""
+    import numpy as np
+
     if rows:
         T = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
-        tnorms = np.sqrt(np.einsum("ij,ij->i", T, T))
+        payload = (T, np.sqrt(np.einsum("ij,ij->i", T, T)))
     else:
-        T = None
-    spark = train_embeddings.sparkSession
-    bc = spark.sparkContext.broadcast(
-        None if T is None else (T, tnorms)
+        payload = None
+    return spark.sparkContext.broadcast(payload)
+
+
+def _semantic_decon_flags(
+    train_embeddings: DataFrame, bc, threshold: float | None
+) -> DataFrame:
+    """The shared flag kernel behind :func:`decontaminate_semantic`, its
+    saved form, and the streaming sink: one Arrow matmul per batch over
+    the prepared benchmark broadcast, ``_COS_EPS``-band sequential
+    re-folds, integer outputs."""
+    import math
+
+    from flink_clickstream_processor_msk_spark.operators.dedup import (
+        _CELL_MATMUL_BLOCK_ELEMS,
+        _COS_EPS,
+        COSINE_THRESHOLD,
+        _seq_dot,
     )
+
+    th = COSINE_THRESHOLD if threshold is None else float(threshold)
 
     @F.pandas_udf("long")
     def n_hits(emb: pd.Series) -> pd.Series:
@@ -739,3 +761,45 @@ def decontaminate_semantic(
         "vec_id",
         n_hits("embedding").alias("n_test_hits"),
     ).withColumn("contaminated", F.col("n_test_hits") > 0)
+
+
+def save_benchmark_embeddings(
+    test_embeddings: DataFrame, path: str, max_test_rows: int = 1_000_000
+) -> None:
+    """Write the benchmark/test embedding set as a reusable gate artifact
+    (the save_dsir / save_lm lifecycle): one parquet file of
+    ``(vec_id, embedding)``. The ``max_test_rows`` bound is enforced at
+    SAVE time so every later load/scan can trust the broadcast
+    contract."""
+    n = test_embeddings.limit(max_test_rows + 1).count()
+    if n > max_test_rows:
+        raise ValueError(
+            f"benchmark set exceeds max_test_rows={max_test_rows}; "
+            "see decontaminate_semantic for the corpus-sized alternative"
+        )
+    test_embeddings.select("vec_id", "embedding").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/benchmark")
+
+
+def load_benchmark_embeddings(spark, path: str):
+    """The saved benchmark rows, bounded by the save-time guard — feed
+    :func:`_benchmark_broadcast` once per session/sink (the
+    _StateHandles resolve-once discipline), not per batch."""
+    return (
+        spark.read.parquet(f"{path}/benchmark").orderBy("vec_id").collect()
+    )
+
+
+def decontaminate_semantic_saved(
+    train_embeddings: DataFrame,
+    path: str,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Score a train shard against a WRITTEN benchmark set
+    (:func:`save_benchmark_embeddings`) — the per-shard gate: stateless,
+    zero-shuffle, identical flags to the batch operator on the same
+    inputs (pinned in tests/test_incremental.py)."""
+    spark = train_embeddings.sparkSession
+    bc = _benchmark_broadcast(spark, load_benchmark_embeddings(spark, path))
+    return _semantic_decon_flags(train_embeddings, bc, threshold)

@@ -721,6 +721,40 @@ def dsir_ingest_sink(
     return write
 
 
+def semantic_decon_ingest_sink(
+    benchmark_path: str,
+    on_flags: Callable[[DataFrame, int], None],
+    threshold: float | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch writer flagging each micro-batch of train embeddings
+    against a WRITTEN benchmark set
+    (``pipeline.save_benchmark_embeddings``) — the streaming shape of
+    embedding-space decontamination (r14): the benchmark matrix resolves
+    and broadcasts ONCE per sink (the ``_StateHandles`` discipline —
+    re-collecting + re-broadcasting per epoch would pay the driver round
+    trip every batch), then every epoch is a stateless zero-shuffle
+    Arrow matmul scan delivering ``(vec_id, n_test_hits, contaminated)``
+    to ``on_flags`` (route/drop/audit there). Batch-vs-replay equality
+    is pinned in tests/test_incremental.py: flags over a replay equal
+    ``decontaminate_semantic`` on the same inputs."""
+    from flink_clickstream_processor_msk_spark.operators import pipeline
+
+    handles: dict = {}
+
+    def write(batch_vecs: DataFrame, epoch_id: int) -> None:
+        spark = batch_vecs.sparkSession
+        if "bc" not in handles:
+            handles["bc"] = pipeline._benchmark_broadcast(
+                spark, pipeline.load_benchmark_embeddings(spark, benchmark_path)
+            )
+        on_flags(
+            pipeline._semantic_decon_flags(batch_vecs, handles["bc"], threshold),
+            epoch_id,
+        )
+
+    return write
+
+
 def lm_quality_ingest_sink(
     lm_path: str,
     on_scores: Callable[[DataFrame, int], None],

@@ -2837,3 +2837,72 @@ def test_staged_save_crash_windows_self_heal(spark, tmp_path):
     assert final.filter(F.col("vec_id") == 3).count() == 1  # deletes died with old gen
     assert similarity.load_index_tombstones(spark, path) is None
     assert not os.path.isdir(f"{path}/cells_delta")
+
+
+def test_semantic_decon_sink_matches_batch_flags(spark, tmp_path):
+    """The streaming embedding-decontamination gate (r14):
+    save_benchmark_embeddings writes the benchmark once; a 2-batch replay
+    of the train vectors through semantic_decon_ingest_sink reproduces
+    decontaminate_semantic's exact hit counts and flags (stateless gate —
+    the benchmark broadcast resolves once per sink); the saved-scorer
+    form agrees; an oversized benchmark refuses at SAVE time."""
+    from flink_clickstream_processor_msk_spark.operators import pipeline
+    from flink_clickstream_processor_msk_spark.streaming.ingest import (
+        semantic_decon_ingest_sink,
+    )
+
+    def vec(i, j=None):
+        v = [0.0] * 64
+        v[i] = 1.0
+        if j is not None:
+            v[j] = 1.0
+        return v
+
+    test = spark.createDataFrame(
+        [(1000, vec(0)), (1001, vec(1))],
+        "vec_id long, embedding array<float>",
+    )
+    train = spark.createDataFrame(
+        [(0, vec(0)), (1, vec(0, 1)), (2, vec(2)), (3, vec(1)), (4, vec(3))],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "benchmark")
+    pipeline.save_benchmark_embeddings(test, path)
+
+    want = {
+        r["vec_id"]: (r["n_test_hits"], r["contaminated"])
+        for r in pipeline.decontaminate_semantic(train, test, threshold=0.7).collect()
+    }
+    assert want == {0: (1, True), 1: (2, True), 2: (0, False), 3: (1, True), 4: (0, False)}
+
+    saved = {
+        r["vec_id"]: (r["n_test_hits"], r["contaminated"])
+        for r in pipeline.decontaminate_semantic_saved(
+            train, path, threshold=0.7
+        ).collect()
+    }
+    assert saved == want
+
+    src = str(tmp_path / "src")
+    train.filter(F.col("vec_id") < 2).coalesce(1).write.mode("append").parquet(src)
+    train.filter(F.col("vec_id") >= 2).coalesce(1).write.mode("append").parquet(src)
+    got: list = []
+    write = semantic_decon_ingest_sink(
+        path, lambda df, e: got.extend(df.collect()), threshold=0.7
+    )
+    q = (
+        spark.readStream.schema(train.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(write)
+        .option("checkpointLocation", str(tmp_path / "decon_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert {
+        r["vec_id"]: (r["n_test_hits"], r["contaminated"]) for r in got
+    } == want
+
+    with pytest.raises(ValueError, match="max_test_rows"):
+        pipeline.save_benchmark_embeddings(test, str(tmp_path / "b2"), max_test_rows=1)
