@@ -841,20 +841,26 @@ def save_lsh_index(
     missed every appended vector), so it is recorded in an ``lsh_meta``
     sidecar that :func:`append_to_lsh_index` and
     :func:`saved_lsh_n_planes` resolve — the centroids/codebooks-sidecar
-    pattern. Unlike the loud-on-missing sidecars, lsh_meta is written
-    BEFORE the staged base (ADVICE r13: a first save crashing after the
-    base write would otherwise leave a non-default index whose missing
-    sidecar silently resolves to the N_PLANES default; meta-first makes
-    a meta-less buckets table provably a pre-sidecar legacy index, the
-    one case the fallback is correct for). A re-saved crash window
-    (new meta over the old base) fails VISIBLY on re-run, not
-    silently."""
+    pattern, written through :func:`_install_index_base`'s sidecar stage
+    (after the staged base, before the swap). That ordering keeps BOTH
+    invariants: a live base never exists without its meta (the ADVICE
+    r13 hazard — a meta-less buckets table is provably a pre-sidecar
+    legacy index, the one case the N_PLANES fallback is correct for),
+    and on a RE-save the window where readers see the NEW meta against
+    the OLD live base is a few filesystem ops wide, not the corpus
+    write (ADVICE r14: during that window ``saved_lsh_n_planes`` /
+    append / probe SILENTLY hash with the new planes against old-plane
+    buckets — shrinking it is the mitigation; re-running the crashed
+    save converges either way)."""
     spark = embeddings.sparkSession
     index = build_lsh_index(embeddings, n_planes)
-    spark.createDataFrame([(int(n_planes),)], "n_planes int").coalesce(
-        1
-    ).write.mode("overwrite").parquet(f"{path}/lsh_meta")
-    _install_index_base(index, path, "lsh")
+
+    def _write_meta() -> None:
+        spark.createDataFrame([(int(n_planes),)], "n_planes int").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{path}/lsh_meta")
+
+    _install_index_base(index, path, "lsh", write_sidecars=_write_meta)
     index.unpersist()
 
 

@@ -304,6 +304,14 @@ _PROMOTIONS: dict[str, dict[str, Any]] = {
 }
 
 
+#: spec §Primitive Types: nodes whose binary encoding is fully
+#: determined by the base NAME — annotation differences (logicalType)
+#: never change the wire format, so same-named primitives resolve
+_PRIMITIVE_NAMES = frozenset(
+    {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
+)
+
+
 def _read_promoted(
     buf: bytes, pos: int, writer_typ: Any, reader_typ: Any, names: dict
 ) -> tuple[Any, int]:
@@ -313,11 +321,31 @@ def _read_promoted(
     structure would desync silently mid-record)."""
     if writer_typ == reader_typ:
         return _read_value(buf, pos, writer_typ, names)
+    if isinstance(writer_typ, list) or isinstance(reader_typ, list):
+        # union-shape changes are resolved upstream; reaching here with
+        # a list node is a structural mismatch
+        raise NotImplementedError(
+            f"type change: writer {writer_typ!r} vs reader {reader_typ!r} "
+            "(only spec primitive promotions supported)"
+        )
     wt, rt = _type_name(writer_typ), _type_name(reader_typ)
-    conv = _PROMOTIONS.get(wt, {}).get(rt)
-    if conv is None or isinstance(writer_typ, (dict, list)) or isinstance(
-        reader_typ, (dict, list)
-    ):
+    if wt == rt and wt in _PRIMITIVE_NAMES:
+        # equal base types that differ only in annotation (a logicalType
+        # on one side, e.g. writer {'type':'long','logicalType':
+        # 'timestamp-millis'} vs reader 'long'): the BINARY encoding is
+        # always the base type's (spec §Logical Types), and spec
+        # §Schema Resolution matches on base types — pass through
+        # (ADVICE r14: raw equality refused these valid pairs). The
+        # primitive gate keeps the loud refusal for same-named
+        # STRUCTURAL nodes (fixed/enum/record/array/map), whose
+        # attributes are load-bearing.
+        return _read_value(buf, pos, writer_typ, names)
+    # promotions too compare on BASE names (an annotated primitive node
+    # is still its base type on the wire); non-primitive base names
+    # (fixed/enum/record/array/map) never appear in _PROMOTIONS, so
+    # structural changes keep refusing loudly below
+    conv = _PROMOTIONS.get(wt, {}).get(rt) if wt in _PRIMITIVE_NAMES else None
+    if conv is None:
         raise NotImplementedError(
             f"type change: writer {writer_typ!r} vs reader {reader_typ!r} "
             "(only spec primitive promotions supported)"

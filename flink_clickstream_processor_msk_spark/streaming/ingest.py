@@ -1056,8 +1056,8 @@ def index_ingest_sink(
                 raise ValueError(
                     f"growth_retrain_fraction is set but {index_path} has "
                     "no ood_ref sidecar (index saved before the monitor "
-                    "existed?) — re-save with save_pq_index to write the "
-                    "base_n reference"
+                    f"existed?) — re-save with save_{kind}_index to write "
+                    "the base_n reference"
                 )
             return
         threshold, base_n, _q = monitor["ref"]

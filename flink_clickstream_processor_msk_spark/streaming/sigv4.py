@@ -190,6 +190,7 @@ def sigv4_http_bulk_sender(
 
     def send(chunk: list[str]) -> None:
         import json as _json
+        import urllib.error
         import urllib.request
 
         body = ("\n".join(chunk) + "\n").encode("utf-8")
@@ -205,10 +206,14 @@ def sigv4_http_bulk_sender(
             body=body,
         )
         req = urllib.request.Request(url, data=body, headers=headers, method="POST")
-        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
-            if not 200 <= resp.status < 300:
-                raise RuntimeError(f"bulk POST {resp.status}")
-            payload = resp.read()
+        # urlopen raises HTTPError for every non-2xx before any status
+        # check could run (ADVICE r14: an in-`with` status test is dead
+        # code) — normalize it to the docstring's RuntimeError contract
+        try:
+            with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                payload = resp.read()
+        except urllib.error.HTTPError as exc:
+            raise RuntimeError(f"bulk POST {exc.code}") from exc
         try:
             parsed = _json.loads(payload)
         except ValueError:

@@ -774,6 +774,71 @@ def test_schema_resolution_applies_spec_promotions(spark):
     assert got3["ip"] == row["ip"].encode("utf-8")
 
 
+def test_schema_resolution_logical_type_annotation_passes_through():
+    """ADVICE r14: a logicalType annotation present on only ONE side is
+    NOT a type change — spec §Schema Resolution matches on base types and
+    §Logical Types says the binary encoding is the base type's. Writer
+    {'type':'long','logicalType':'timestamp-millis'} must decode under a
+    plain-'long' reader (and the reverse), while same-named STRUCTURAL
+    nodes (fixed size mismatch) still refuse loudly."""
+    writer = _json.dumps(
+        {
+            "type": "record",
+            "name": "R",
+            "fields": [
+                {
+                    "name": "ts",
+                    "type": {"type": "long", "logicalType": "timestamp-millis"},
+                }
+            ],
+        }
+    )
+    reader_plain = _json.dumps(
+        {"type": "record", "name": "R", "fields": [{"name": "ts", "type": "long"}]}
+    )
+    payload = encode_click_event({"ts": 1723800000000}, writer)
+    assert decode_click_event(
+        payload, writer_schema_json=writer, reader_schema_json=reader_plain
+    ) == {"ts": 1723800000000}
+    # reverse direction: plain writer, annotated reader
+    payload2 = encode_click_event({"ts": 7}, reader_plain)
+    assert decode_click_event(
+        payload2, writer_schema_json=reader_plain, reader_schema_json=writer
+    ) == {"ts": 7}
+    # annotated long -> double still promotes through the spec table
+    reader_double = _json.dumps(
+        {"type": "record", "name": "R", "fields": [{"name": "ts", "type": "double"}]}
+    )
+    got = decode_click_event(
+        payload, writer_schema_json=writer, reader_schema_json=reader_double
+    )
+    assert got == {"ts": 1723800000000.0} and isinstance(got["ts"], float)
+    # structural same-name mismatch keeps the loud refusal
+    w_fixed = _json.dumps(
+        {
+            "type": "record",
+            "name": "R",
+            "fields": [
+                {"name": "b", "type": {"type": "fixed", "name": "F8", "size": 8}}
+            ],
+        }
+    )
+    r_fixed4 = _json.dumps(
+        {
+            "type": "record",
+            "name": "R",
+            "fields": [
+                {"name": "b", "type": {"type": "fixed", "name": "F4", "size": 4}}
+            ],
+        }
+    )
+    p_fixed = encode_click_event({"b": b"\x01" * 8}, w_fixed)
+    with pytest.raises(NotImplementedError, match="type change"):
+        decode_click_event(
+            p_fixed, writer_schema_json=w_fixed, reader_schema_json=r_fixed4
+        )
+
+
 @given(
     arr=st.lists(st.integers(-(2**62), 2**62), max_size=8),
     mp=st.dictionaries(st.text(max_size=8), st.text(max_size=8), max_size=6),

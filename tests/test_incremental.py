@@ -2784,8 +2784,9 @@ def test_staged_save_crash_windows_self_heal(spark, tmp_path):
 
     (a) FIRST save crashing between the staged base write and the swap
         leaves {sub}_new only — the next read self-heals by renaming,
-        and because sidecars are written BEFORE the swap (lsh_meta even
-        before the staged write), the healed index loads complete;
+        and because sidecars are written BEFORE the swap (lsh_meta now
+        rides the same sidecar stage, r15), the healed index loads
+        complete;
     (b) a RE-save crashing after the staged write but before the
         journal clear leaves the OLD generation fully live — base,
         sidecars, delta, tombstones all still consistent (the expensive
