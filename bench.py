@@ -104,6 +104,7 @@ def main() -> None:
     for name, fn in entry_mod.queries().items():
         deps = entry_mod.CACHE_DEPS.get(name, ())
         runs: list[float] = []
+        warms: list[float] = []
         # best-of-2, adaptively extended: a transient host/JVM stall (this
         # box runs multi-second hiccups under sustained load) can span both
         # ~2 s runs and poison the min; when the two timings disagree wildly,
@@ -119,7 +120,14 @@ def main() -> None:
             # timing measures the query's own work over the artifact, not a
             # rebuild the cluster usage model amortizes away. Builder
             # queries declare no deps and pay their full pipeline cost.
+            # r15 instrumentation (VERDICT r14 #1 adjudication): record the
+            # UNTIMED warm wall per run — a warm that inflates alongside the
+            # timed run marks a host stall window, not an artifact problem
+            # (eviction was refuted in tools/measure_pairs_block.py:
+            # partition deficit 0 under 52 GB of induced residue)
+            warm_start = time.perf_counter()
             entry_mod.warm_caches(spark, sf_dir, deps)
+            warms.append(time.perf_counter() - warm_start)
             # time construction + execution: iterative operators (e.g.
             # connected components) run distributed jobs during construction
             start = time.perf_counter()
@@ -142,6 +150,9 @@ def main() -> None:
             "max": round(max(runs), 3),
             "n": len(runs),
         }
+        if deps:
+            spread[name]["warm_min"] = round(min(warms), 3)
+            spread[name]["warm_max"] = round(max(warms), 3)
 
     total = round(sum(timings.values()), 3)
     # The driver keeps only the ~2000-byte TAIL of stdout and parses the
