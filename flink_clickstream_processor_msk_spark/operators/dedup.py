@@ -42,6 +42,7 @@ from flink_clickstream_processor_msk_spark.functions.hashing import (
     h60,
     perm_coefficients,
 )
+from flink_clickstream_processor_msk_spark.operators import lsm
 from flink_clickstream_processor_msk_spark.operators.text import SHINGLE_K
 
 N_PERMS = 16
@@ -364,37 +365,56 @@ def _state_bucket(band_key: Column, n_buckets) -> Column:
     )
 
 
+def _banded_frame(
+    state: DataFrame, n_bands: int, n_perms: int, n_buckets: int
+) -> DataFrame:
+    """The banded state table as a frame: UNCAPPED (the cap is a
+    probe-time policy — rank over corpus ∪ new; baking it into the saved
+    table would freeze the corpus-only ranking); shingles ride along
+    (n_bands× duplication on disk) so a probe verifies candidates from
+    the pruned read alone — no corpus-wide doc_id→shingles join scan per
+    batch."""
+    return (
+        _banded(state, n_bands, n_perms, None, carry=("shingles",))
+        .withColumn("pt", _state_bucket(F.col("band_key"), n_buckets))
+        .withColumn("ptmod", F.lit(n_buckets))
+    )
+
+
+def _write_ptmod_marker(spark, path: str, n_buckets: int) -> None:
+    """Persist the modulus INDEPENDENTLY of row count: an empty corpus
+    writes no partition files (the ptmod column then has no row to
+    self-describe with), and before this marker existed the first
+    append after an empty-corpus bootstrap silently fell back to the
+    default modulus, discarding a configured n_buckets (ADVICE r8)."""
+    spark.createDataFrame([(n_buckets,)], "ptmod int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/banded_ptmod")
+
+
 def _write_banded_state(
     state: DataFrame, path: str, mode: str, n_bands: int, n_perms: int,
     n_buckets: int,
 ) -> None:
-    (
-        _banded(state, n_bands, n_perms, None, carry=("shingles",))
-        # UNCAPPED: the cap is a probe-time policy (rank over corpus ∪
-        # new); baking it into the saved table would freeze the
-        # corpus-only ranking. Shingles ride along (n_bands× duplication
-        # on disk) so a probe verifies candidates from the pruned read
-        # alone — no corpus-wide doc_id→shingles join scan per batch.
-        .withColumn("pt", _state_bucket(F.col("band_key"), n_buckets))
-        .withColumn("ptmod", F.lit(n_buckets))
-        # cluster rows by their target directory before partitionBy —
-        # otherwise every write task emits a sliver into every one of the
-        # n_bands × n_buckets dirs (measured 5× probe-read overhead from
-        # file listing/opens at the 50 k-doc tier); this way each dir
-        # holds ~1 file per write
-        .repartition("band_idx", "pt")
-        .write.mode(mode)
-        .partitionBy("band_idx", "pt")
-        .parquet(f"{path}/banded_state")
+    """Install a banded-base generation through the shared LSM core
+    (r15, VERDICT r14 #2): staged write (clustered
+    ``repartition(band_idx, pt)`` before ``partitionBy`` — the 5×
+    probe-read splinter lesson, now enforced in
+    :func:`lsm.write_base_staged`), ptmod marker BEFORE the swap (a live
+    banded base never exists without its modulus — the lsh_meta
+    ordering), then swap. Journal handling stays with the CALLERS
+    (save clears it, compact deletes the delta after its minhash steps —
+    the crash-window contract tests pin). ``mode`` is retained for
+    signature compatibility; a generation install is an overwrite."""
+    if mode != "overwrite":
+        raise ValueError("banded-state generations are overwrite-installed")
+    spark = state.sparkSession
+    lsm.write_base_staged(
+        _banded_frame(state, n_bands, n_perms, n_buckets),
+        path, "banded_state", ("band_idx", "pt"),
     )
-    # persist the modulus INDEPENDENTLY of row count: an empty corpus
-    # writes no partition files (the ptmod column then has no row to
-    # self-describe with), and before this marker existed the first
-    # append after an empty-corpus bootstrap silently fell back to the
-    # default modulus, discarding a configured n_buckets (ADVICE r8)
-    state.sparkSession.createDataFrame(
-        [(n_buckets,)], "ptmod int"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/banded_ptmod")
+    _write_ptmod_marker(spark, path, n_buckets)
+    lsm.swap_base(spark, path, "banded_state")
 
 
 def state_ptmod(spark, path: str) -> int | None:
@@ -434,13 +454,36 @@ def save_dedup_state(
     and the carried shingles let it verify candidates without a
     corpus-wide doc_id→shingles join scan. Cost of that last property:
     the banded table stores shingles ``n_bands``× (space-for-time; the
-    signature state remains the compact 1× copy)."""
+    signature state remains the compact 1× copy).
+
+    r15 (shared LSM core): the install is STAGED — both expensive writes
+    land in staging dirs while the old generation stays fully live, the
+    journal (``banded_delta`` + ``deleted_ids``) is cleared, then the
+    two swaps run. The journal clear fixes a latent re-save hazard the
+    index side had already fixed in r13 and this side had NOT (the ×N
+    bug crop VERDICT r14 #2 predicted): a re-save over a live delta
+    previously left stale rows unioned into every read, and a re-save
+    over live tombstones silently suppressed freshly saved docs. A crash
+    between the journal clear and the swaps leaves the OLD bases live
+    with their journal gone (resurrected deletes / dropped appends until
+    the save is re-run — a few fs-ops-wide window, vs the old path's
+    unstaged overwrite that could crash mid-base); a crash between the
+    two swaps leaves new truth + old banded, which the next
+    :func:`compact_dedup_state` (or a save re-run) rebuilds."""
     state = _materialized(
         _signatures_from_sets(shingle_hashes(documents), "shingles", n_perms)
     )
+    spark = state.sparkSession
     try:
-        state.write.mode("overwrite").parquet(f"{path}/minhash_state")
-        _write_banded_state(state, path, "overwrite", n_bands, n_perms, n_buckets)
+        lsm.write_base_staged(state, path, "minhash_state", ())
+        lsm.write_base_staged(
+            _banded_frame(state, n_bands, n_perms, n_buckets),
+            path, "banded_state", ("band_idx", "pt"),
+        )
+        _write_ptmod_marker(spark, path, n_buckets)
+        lsm.clear_journal(spark, path, "banded_delta")
+        lsm.swap_base(spark, path, "minhash_state")
+        lsm.swap_base(spark, path, "banded_state")
     finally:
         state.unpersist()
 
@@ -481,23 +524,11 @@ def append_dedup_state(
     on an object store per-file opens dominate even harder. Coalescing a
     micro-batch-sized append is free: the banding explode of a ≤ few-k-doc
     batch is trivially single-partition work."""
-    deleted = load_deleted_ids(new_state.sparkSession, path)
-    if deleted is not None:
-        clash = (
-            new_state.join(
-                F.broadcast(deleted.select("doc_id")), "doc_id", "left_semi"
-            )
-            .limit(5)
-            .collect()
-        )
-        if clash:
-            # a live tombstone would silently suppress the re-added rows
-            # at every read — refuse until compaction clears it
-            raise ValueError(
-                f"doc_ids {sorted(r['doc_id'] for r in clash)} are "
-                f"tombstoned at {path}; run compact_dedup_state before "
-                "re-adding deleted documents"
-            )
+    # a live tombstone would silently suppress the re-added rows at
+    # every read — refuse until compaction clears it (shared guard)
+    lsm.refuse_tombstoned(
+        new_state, path, "doc_id", "compact_dedup_state", "documents"
+    )
     new_state.select("doc_id", "shingles", "signature").coalesce(
         delta_files
     ).write.mode("append").parquet(f"{path}/minhash_state")
@@ -518,13 +549,9 @@ def append_dedup_state(
             f"banded state at {path} was written with n_buckets="
             f"{recorded}; cannot append with n_buckets={n_buckets}"
         )
-    (
-        _banded(new_state, n_bands, n_perms, None, carry=("shingles",))
-        .withColumn("pt", _state_bucket(F.col("band_key"), n_buckets))
-        .withColumn("ptmod", F.lit(n_buckets))
-        .coalesce(delta_files)
-        .write.mode("append")
-        .parquet(f"{path}/banded_delta")
+    lsm.append_delta(
+        _banded_frame(new_state, n_bands, n_perms, n_buckets),
+        path, "banded_delta", delta_files,
     )
 
 
@@ -534,13 +561,7 @@ def load_dedup_state(spark, path: str) -> DataFrame:
     but the rewrite staging dir ``minhash_state_new`` survived (crash
     between compact's delete and rename), the rename is finished here
     before reading."""
-    fs, cur = _hadoop_fs(spark, f"{path}/minhash_state")
-    if not fs.exists(cur):
-        staged = spark.sparkContext._jvm.org.apache.hadoop.fs.Path(
-            f"{path}/minhash_state_new"
-        )
-        if fs.exists(staged):
-            fs.rename(staged, cur)
+    lsm.self_heal_swap(spark, path, "minhash_state")
     return apply_tombstones(
         spark, path, spark.read.parquet(f"{path}/minhash_state")
     )
@@ -554,6 +575,7 @@ def _read_banded_or_empty(spark, path: str, sub: str) -> DataFrame:
     from pyspark.errors import AnalysisException
 
     cols = ("doc_id", "band_idx", "band_key", "shingles", "pt", "ptmod")
+    lsm.self_heal_swap(spark, path, sub)  # finish an interrupted install
     try:
         return spark.read.parquet(f"{path}/{sub}").select(*cols)
     except AnalysisException:
@@ -606,10 +628,7 @@ def load_banded_state(spark, path: str) -> DataFrame:
 # lock or a manifest layer (Delta/Iceberg) — out of scope here.
 
 
-def _hadoop_fs(spark, p: str):
-    sc = spark.sparkContext
-    hp = sc._jvm.org.apache.hadoop.fs.Path(p)
-    return hp.getFileSystem(sc._jsc.hadoopConfiguration()), hp
+_hadoop_fs = lsm.hadoop_fs
 
 
 def delete_from_dedup_state(spark, path: str, doc_ids) -> None:
@@ -624,35 +643,21 @@ def delete_from_dedup_state(spark, path: str, doc_ids) -> None:
     Re-adding a tombstoned id before a compaction has run is REFUSED by
     :func:`append_dedup_state` (the tombstone would silently suppress
     the re-added rows — delete-then-readd requires a compact between)."""
-    ids = (
-        doc_ids
-        if isinstance(doc_ids, DataFrame)
-        else spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long")
-    )
-    ids.select("doc_id").distinct().write.mode("append").parquet(
-        f"{path}/deleted_ids"
-    )
+    lsm.write_tombstones(spark, path, doc_ids, "doc_id")
 
 
 def load_deleted_ids(spark, path: str) -> DataFrame | None:
-    """The live tombstone set, or None when no deletes are pending (the
-    existence probe is one filesystem stat — reads in the no-delete
-    common case pay nothing)."""
-    fs, hp = _hadoop_fs(spark, f"{path}/deleted_ids")
-    if not fs.exists(hp):
-        return None
-    return spark.read.parquet(f"{path}/deleted_ids")
+    """The live tombstone set, or None when no deletes are pending
+    (:func:`lsm.load_tombstones` — one filesystem stat in the no-delete
+    common case)."""
+    return lsm.load_tombstones(spark, path)
 
 
 def apply_tombstones(spark, path: str, df: DataFrame) -> DataFrame:
-    """Filter a state read against the live tombstones: a LEFT ANTI join
-    on doc_id — the deleted set is takedown-sized, so Catalyst
-    broadcasts it and the filter costs one map-side hash probe per row;
-    no-op (and no plan node at all) when no deletes are pending."""
-    deleted = load_deleted_ids(spark, path)
-    if deleted is None:
-        return df
-    return df.join(F.broadcast(deleted.select("doc_id")), "doc_id", "left_anti")
+    """Filter a state read against the live tombstones
+    (:func:`lsm.apply_tombstones` on doc_id: a broadcast LEFT ANTI join;
+    no plan node at all when no deletes are pending)."""
+    return lsm.apply_tombstones(spark, path, df, "doc_id")
 
 
 def compact_dedup_state(
@@ -686,26 +691,16 @@ def compact_dedup_state(
         _write_banded_state(state, path, "overwrite", n_bands, n_perms, n_buckets)
         if had_tombstones:
             # physical removal from the source of truth: stage, swap
-            state.select("doc_id", "shingles", "signature").write.mode(
-                "overwrite"
-            ).parquet(f"{path}/minhash_state_new")
-            fs, cur = _hadoop_fs(spark, f"{path}/minhash_state")
-            staged = spark.sparkContext._jvm.org.apache.hadoop.fs.Path(
-                f"{path}/minhash_state_new"
+            lsm.write_base_staged(
+                state.select("doc_id", "shingles", "signature"),
+                path, "minhash_state", (),
             )
-            fs.delete(cur, True)
-            fs.rename(staged, cur)
-            fs.delete(
-                spark.sparkContext._jvm.org.apache.hadoop.fs.Path(
-                    f"{path}/deleted_ids"
-                ),
-                True,
-            )
+            lsm.swap_base(spark, path, "minhash_state")
+            lsm.delete_path(spark, f"{path}/deleted_ids")
     finally:
         state.unpersist()
     # portable recursive delete of the folded delta (local FS, HDFS, s3a)
-    fs, hpath = _hadoop_fs(spark, f"{path}/banded_delta")
-    fs.delete(hpath, True)
+    lsm.delete_path(spark, f"{path}/banded_delta")
 
 
 def batch_dedup_state(new_docs: DataFrame, n_perms: int = N_PERMS) -> DataFrame:

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 import pandas as pd
 
 from flink_clickstream_processor_msk_spark.functions.hashing import h60
+from flink_clickstream_processor_msk_spark.operators import lsm
 from flink_clickstream_processor_msk_spark.operators.dedup import (
     N_PLANES,
     _hadoop_fs,
@@ -64,144 +65,62 @@ def delete_from_index(spark, path: str, vec_ids) -> None:
     therefore every probe over them) exclude the ids; the next
     :func:`compact_index` drops their rows physically. ``vec_ids``: an
     iterable of ids or a DataFrame with a ``vec_id`` column."""
-    ids = (
-        vec_ids
-        if isinstance(vec_ids, DataFrame)
-        else spark.createDataFrame([(int(i),) for i in vec_ids], "vec_id long")
-    )
-    ids.select("vec_id").distinct().write.mode("append").parquet(
-        f"{path}/deleted_ids"
-    )
+    lsm.write_tombstones(spark, path, vec_ids, "vec_id")
 
 
 def load_index_tombstones(spark, path: str) -> DataFrame | None:
     """The live tombstone set, or None when no deletes are pending (one
     filesystem stat — loads in the no-delete common case pay nothing)."""
-    fs, hp = _hadoop_fs(spark, f"{path}/deleted_ids")
-    if not fs.exists(hp):
-        return None
-    return spark.read.parquet(f"{path}/deleted_ids")
+    return lsm.load_tombstones(spark, path)
 
 
 def _apply_index_tombstones(spark, path: str, df: DataFrame) -> DataFrame:
-    deleted = load_index_tombstones(spark, path)
-    if deleted is None:
-        return df
-    return df.join(F.broadcast(deleted.select("vec_id")), "vec_id", "left_anti")
+    return lsm.apply_tombstones(spark, path, df, "vec_id")
 
 
 def _refuse_tombstoned(new_embeddings: DataFrame, path: str) -> None:
     """Append-side guard shared by every ``append_to_*_index``."""
-    deleted = load_index_tombstones(new_embeddings.sparkSession, path)
-    if deleted is None:
-        return
-    clash = (
-        new_embeddings.join(
-            F.broadcast(deleted.select("vec_id")), "vec_id", "left_semi"
-        )
-        .limit(5)
-        .collect()
+    lsm.refuse_tombstoned(
+        new_embeddings, path, "vec_id", "compact_index", "vectors"
     )
-    if clash:
-        raise ValueError(
-            f"vec_ids {sorted(r['vec_id'] for r in clash)} are tombstoned "
-            f"at {path}; run compact_index before re-adding deleted vectors"
-        )
 
 
 def _read_index_table(spark, path: str, sub: str) -> DataFrame:
-    """Read an index data table, finishing a crash-interrupted compaction
-    swap first (staged dir present, live dir missing — the
-    load_dedup_state self-heal), then unioning the flat append delta
-    (``{sub}_delta``) when one exists — the LSM read path the banded
-    dedup state uses (round 12: appends moved off dynamic-partition
-    writes onto the flat delta; a filter on the routing column still
-    partition-prunes the base branch and row-group-skips the small delta
-    branch)."""
-    fs, cur = _hadoop_fs(spark, f"{path}/{sub}")
-    if not fs.exists(cur):
-        staged = spark.sparkContext._jvm.org.apache.hadoop.fs.Path(
-            f"{path}/{sub}_new"
-        )
-        if fs.exists(staged):
-            fs.rename(staged, cur)
-    base = spark.read.parquet(f"{path}/{sub}")
-    fs, dpath = _hadoop_fs(spark, f"{path}/{sub}_delta")
-    if fs.exists(dpath):
-        delta = spark.read.parquet(f"{path}/{sub}_delta")
-        # the base read surfaces the routing column as an inferred
-        # partition column — align the delta's physical types to it
-        base = base.unionByName(
-            delta.select(
-                *[
-                    F.col(f.name).cast(f.dataType).alias(f.name)
-                    for f in base.schema.fields
-                ]
-            )
-        )
-    return base
+    """The shared LSM read path (:func:`lsm.read_base_with_delta`):
+    finish a crash-interrupted swap, read the base, union the flat
+    append delta — a filter on the routing column still partition-prunes
+    the base branch and row-group-skips the small delta branch."""
+    return lsm.read_base_with_delta(spark, path, sub, f"{sub}_delta")
 
 
 def _append_index_rows(rows: DataFrame, path: str, sub: str) -> None:
     """Shared append write: ONE flat file per append into
-    ``{path}/{sub}_delta`` — the banded-dedup-state delta discipline.
-    Dynamic-partition appends into the base layout paid the committer
-    overhead per touched partition (measured 3.6–5.7 s/batch on the
-    dedup state) and still wrote n_touched_cells files per batch;
-    the flat delta writes exactly one, and :func:`compact_index` folds
-    it back into the partition-pruned base on the caller's cadence."""
-    rows.coalesce(1).write.mode("append").parquet(f"{path}/{sub}_delta")
+    ``{path}/{sub}_delta`` (:func:`lsm.append_delta` — the
+    banded-dedup-state delta discipline; measured provenance in the lsm
+    module docstring); :func:`compact_index` folds it back into the
+    partition-pruned base on the caller's cadence."""
+    lsm.append_delta(rows, path, f"{sub}_delta")
 
 
 def _clear_index_journal(spark, path: str, sub: str) -> None:
     """Drop the append delta AND tombstones when a generation is
-    replaced (save_*_index re-train / compact fold): a fresh base
-    already covers the corpus, so surviving delta rows would duplicate —
-    and a surviving ``deleted_ids`` table would SILENTLY suppress
-    freshly rebuilt rows at every load until a compact made the loss
-    physical (r13 review: the exact live-tombstone hazard the module
-    header says must never be silent). A re-save states "this is the
-    corpus now"; deletes issued against the OLD generation do not
-    outlive it — re-issue post-save deletes if they still apply."""
-    fs, dpath = _hadoop_fs(spark, f"{path}/{sub}_delta")
-    if fs.exists(dpath):
-        fs.delete(dpath, True)
-    fs, tpath = _hadoop_fs(spark, f"{path}/deleted_ids")
-    if fs.exists(tpath):
-        fs.delete(tpath, True)
+    replaced (:func:`lsm.clear_journal`; rationale there — r13 review:
+    a surviving journal silently duplicates or suppresses rows of the
+    fresh base)."""
+    lsm.clear_journal(spark, path, f"{sub}_delta")
 
 
 def _write_base_staged(rows: DataFrame, path: str, sub: str, part_col: str | None) -> None:
-    """Write a data-table generation to the ``{sub}_new`` staging dir:
-    clustered ``repartition(part_col)`` before ``partitionBy`` so the
-    base stays one file per partition (the dedup-state re-splinter
-    lesson — without it every input task writes its own file per
-    partition dir, measured 5× probe-read overhead). An EMPTY
-    partitioned frame is written plain instead: a partitionBy write of
-    an empty frame emits only _SUCCESS — no schema-bearing file — and
-    installing that as the base makes every later load crash with
-    UNABLE_TO_INFER_SCHEMA (r13 review, runtime-verified); the plain
-    write keeps the schema and the next non-empty generation
-    re-partitions."""
-    if part_col is not None and rows.isEmpty():
-        writer = rows.coalesce(1).write.mode("overwrite")
-    elif part_col is not None:
-        writer = (
-            rows.repartition(part_col).write.mode("overwrite").partitionBy(part_col)
-        )
-    else:
-        writer = rows.write.mode("overwrite")
-    writer.parquet(f"{path}/{sub}_new")
+    """Stage a data-table generation (:func:`lsm.write_base_staged`):
+    clustered repartition before partitionBy, plain write for EMPTY
+    partitioned frames (schema keeper), installed by :func:`_swap_base`."""
+    lsm.write_base_staged(rows, path, sub, (part_col,) if part_col else ())
 
 
 def _swap_base(spark, path: str, sub: str) -> None:
-    """Install the staged ``{sub}_new`` generation: delete the live dir,
-    rename staged over it. The one crash window (staged present, live
-    missing) self-heals in :func:`_read_index_table`."""
-    fs, cur = _hadoop_fs(spark, f"{path}/{sub}")
-    staged = spark.sparkContext._jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}_new")
-    fs.delete(cur, True)
-    fs.rename(staged, cur)
+    """Install the staged generation (:func:`lsm.swap_base`); the one
+    crash window self-heals in :func:`_read_index_table`."""
+    lsm.swap_base(spark, path, sub)
 
 
 def _install_index_base(
@@ -211,28 +130,14 @@ def _install_index_base(
     write_sidecars=None,
 ) -> None:
     """Shared generation install for every ``save_*_index``: staged base
-    write → sidecars → clear delta + tombstones → swap. The ordering is
-    the r14 crash-window fix (ADVICE r13): the old generation stays
-    fully live — base, sidecars, delta, tombstones all consistent —
-    through the EXPENSIVE corpus write; every remaining window is a few
-    filesystem ops wide. A crash after the sidecar write leaves old
-    base + new sidecars (re-run the save; probes during the window may
-    route on the new structure — same exposure a concurrent load always
-    had during a non-staged overwrite, now milliseconds instead of the
-    corpus-write duration). A crash after the journal clear but before
-    the swap leaves the old base live with its tombstones gone
-    (resurrected deletes until the save is re-run) — previously that
-    window spanned the whole base overwrite, now two renames. A crash
-    between the live-dir delete and the rename self-heals at the next
-    read (:func:`_read_index_table`), installing the already-written
-    new generation whose sidecars and cleared journal are in place."""
-    spark = rows.sparkSession
+    write → sidecars → clear delta + tombstones → swap
+    (:func:`lsm.install_base`; the full crash-window analysis — the r14
+    ADVICE r13 fix — lives on that function)."""
     sub, part_col = _INDEX_TABLES[kind]
-    _write_base_staged(rows, path, sub, part_col)
-    if write_sidecars is not None:
-        write_sidecars()
-    _clear_index_journal(spark, path, sub)
-    _swap_base(spark, path, sub)
+    lsm.install_base(
+        rows, path, sub, (part_col,) if part_col else (),
+        f"{sub}_delta", write_sidecars=write_sidecars,
+    )
 
 
 def _write_centroids_sidecar(spark, path: str, cents) -> None:

@@ -2713,6 +2713,44 @@ def test_save_index_clears_stale_tombstones(spark, tmp_path):
     assert similarity.load_index_tombstones(spark, path) is None
 
 
+def test_save_dedup_state_clears_stale_journal(spark, tmp_path):
+    """r15 (shared LSM core, VERDICT r14 #2): the dedup side had the
+    SAME latent re-save hazards the index side fixed in r13 — a re-save
+    over a live banded_delta left stale rows unioned into every read,
+    and a re-save over live tombstones silently suppressed freshly saved
+    docs. Both now die with the old generation via lsm.clear_journal."""
+    import os
+
+    corpus, new = _corpus_and_batch(spark)
+    path = str(tmp_path / "resave_state")
+    dedup.save_dedup_state(corpus, path)
+    dedup.append_dedup_state(dedup.batch_dedup_state(new), path)
+    dedup.delete_from_dedup_state(spark, path, [1])
+    assert os.path.isdir(f"{path}/banded_delta")
+    assert os.path.isdir(f"{path}/deleted_ids")
+    n_corpus_rows = (
+        dedup._banded_frame(
+            dedup._signatures_from_sets(
+                dedup.shingle_hashes(corpus), "shingles", dedup.N_PERMS
+            ),
+            dedup.N_BANDS, dedup.N_PERMS, dedup.state_ptmod(spark, path),
+        ).count()
+    )
+
+    dedup.save_dedup_state(corpus, path)  # re-save: this is the corpus now
+    assert not os.path.exists(f"{path}/banded_delta")
+    assert not os.path.exists(f"{path}/deleted_ids")
+    banded = dedup.load_banded_state(spark, path)
+    # no stale delta rows for `new`'s docs, no suppressed doc 1
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    assert banded.filter(F.col("doc_id").isin(list(new_ids))).count() == 0
+    assert banded.filter(F.col("doc_id") == 1).count() > 0
+    assert banded.count() == n_corpus_rows
+    sigs = dedup.load_dedup_state(spark, path)
+    assert sigs.count() == corpus.count()
+    assert sigs.filter(F.col("doc_id") == 1).count() == 1
+
+
 def test_index_sink_refuses_unmonitored_retrain_hook(spark, tmp_path):
     """r13 review (narrowed in r14 — ivfpq is now monitored): a
     retrain_hook on kinds without trained codebooks (ivf, lsh) would
