@@ -170,8 +170,15 @@ def sessionize_two_phase(
 
     Batch path only (phase 2's analytic window needs a complete input);
     streaming keeps the native incremental session_window state — per
-    RECORD cost there is flat, and this operator is the backfill/batch
-    answer when one key dominates."""
+    RECORD cost there is flat (state lookups per record, never a
+    per-key SORT buffer holding a user's whole history), and this
+    operator is the backfill/batch answer when one key dominates. The
+    production hybrid for a hot-key STREAM: run the native streaming Q1
+    live, and use this operator for the batch RECONCILIATION/BACKFILL
+    over any replayed slice — the two paths are row-identical, so a
+    reconciliation diff reports zero drift and a backfill repairs
+    streaming gaps in place (pinned end-to-end in tests/test_skew.py::
+    test_two_phase_backfill_equals_streaming_result, r15)."""
     gap_us = _gap_micros(clickevents, gap)
     product = is_real_product()
     checkout = is_checkout()
