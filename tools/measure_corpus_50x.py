@@ -149,7 +149,7 @@ def main() -> None:
     expected_contaminated = (
         pipeline.decontaminate_incremental(
             admitted_docs, pipeline.load_test_grams(spark, grams_path)
-        ).filter("contaminated").count()
+        ).filter("contaminated = 1").count()
     )
 
     def one_run(tag: str) -> dict:
@@ -170,7 +170,7 @@ def main() -> None:
             on_flags=lambda df, e: (
                 flags.__setitem__(0, flags[0] + df.count()),
                 contaminated.__setitem__(
-                    0, contaminated[0] + df.filter("contaminated").count()
+                    0, contaminated[0] + df.filter("contaminated = 1").count()
                 ),
             ),
             lm_path=lm_path,

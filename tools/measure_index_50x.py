@@ -43,7 +43,10 @@ KINDS = (sys.argv[2].split(",") if len(sys.argv) > 2
 SCRATCH = f"/tmp/index{FACTOR}x_measure"
 ID_STRIDE = 10_000_000
 PER_APPEND = 100
-DEPTHS = [0, 16, 64]
+DEPTHS = [
+    int(x)
+    for x in os.environ.get("INDEX50X_DEPTHS", "0,16,64").split(",")
+]
 
 
 def main() -> None:
