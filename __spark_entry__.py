@@ -376,7 +376,13 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     CacheManager, so an external catalog.clearCache() no longer strips
     them (the old path re-ran the full md5 pipeline in every untimed
     bench re-warm, ~1.3 s/run), and the lineage is CUT, so a recompute
-    is impossible rather than merely unlikely."""
+    is impossible rather than merely unlikely. The flip side of cut
+    lineage (r15 review #3): on a multi-executor cluster, losing an
+    executor holding checkpoint blocks fails the handle LOUDLY for the
+    rest of the session instead of recomputing — acceptable here
+    because this cache is the local-bench stand-in; the cluster-scale
+    artifact is the WRITTEN pairs table (dedup.save_pairs), which has
+    no such failure mode."""
     hit = _ANN_INDEX_CACHE.get(("minhash_pairs", sf_dir))
     if hit is not None and hit[0] is spark:
         return hit[1]

@@ -95,7 +95,22 @@ def ensure_persisted(df: DataFrame) -> DataFrame:
     ``spark.catalog.clearCache()``: index/pairs tables feed self-joins and
     repeated probes, and an unpersisted plan would re-run the signature
     pipeline per branch. Persisting an already-persisted frame at the same
-    level is a no-op, so this is safe to call on every access."""
+    level is a no-op, so this is safe to call on every access.
+
+    A checkpoint-backed frame (its analyzed plan is a leaf
+    ``LogicalRDD`` — the r15 pairs artifact) is returned untouched: its
+    blocks already live in the block manager, the leaf plan CANNOT
+    recompute, and a persist mark would only materialize a second copy
+    of the same rows per clearCache cycle (r15 review #5)."""
+    try:
+        leaf = (
+            df._jdf.queryExecution().analyzed().getClass().getSimpleName()
+            == "LogicalRDD"
+        )
+    except Exception:  # pragma: no cover - defensive against py4j drift
+        leaf = False
+    if leaf:
+        return df
     sl = df.storageLevel
     if not (sl.useMemory or sl.useDisk):
         df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -529,6 +544,14 @@ def append_dedup_state(
     lsm.refuse_tombstoned(
         new_state, path, "doc_id", "compact_dedup_state", "documents"
     )
+    # finish any interrupted save/compact swap BEFORE appending (r15
+    # review #2): a mode("append") parquet write into a missing live dir
+    # CREATES it, after which self_heal_swap no-ops forever — the staged
+    # corpus would be orphaned and the next compact (which rebuilds the
+    # banded base from minhash_state, the source of truth) would silently
+    # shrink the corpus to the appended batches. Reads already heal this
+    # window (load_dedup_state); appends must too.
+    lsm.self_heal_swap(new_state.sparkSession, path, "minhash_state")
     new_state.select("doc_id", "shingles", "signature").coalesce(
         delta_files
     ).write.mode("append").parquet(f"{path}/minhash_state")

@@ -746,26 +746,28 @@ def save_lsh_index(
     missed every appended vector), so it is recorded in an ``lsh_meta``
     sidecar that :func:`append_to_lsh_index` and
     :func:`saved_lsh_n_planes` resolve — the centroids/codebooks-sidecar
-    pattern, written through :func:`_install_index_base`'s sidecar stage
-    (after the staged base, before the swap). That ordering keeps BOTH
-    invariants: a live base never exists without its meta (the ADVICE
-    r13 hazard — a meta-less buckets table is provably a pre-sidecar
-    legacy index, the one case the N_PLANES fallback is correct for),
-    and on a RE-save the window where readers see the NEW meta against
-    the OLD live base is a few filesystem ops wide, not the corpus
-    write (ADVICE r14: during that window ``saved_lsh_n_planes`` /
-    append / probe SILENTLY hash with the new planes against old-plane
-    buckets — shrinking it is the mitigation; re-running the crashed
-    save converges either way)."""
+    pattern. Unlike the loud-on-missing sidecars, lsh_meta is written
+    BEFORE the staged base: a meta-less live buckets table must stay
+    provably a pre-sidecar legacy index (the one case the N_PLANES
+    fallback is correct for), and that invariant has to hold through
+    EVERY crash window INCLUDING the self-heal path — a first save
+    crashing between the staged write and the meta write would
+    otherwise let the next read's :func:`lsm.self_heal_swap` install a
+    non-default base with no meta, silently resolving to the default
+    (r15 review: the sidecar-stage ordering briefly tried here had
+    exactly that hole). The deliberate trade (ADVICE r14, acknowledged):
+    during a RE-save, from this meta write until the swap — a window
+    spanning the staged base write — ``saved_lsh_n_planes`` / append /
+    probe SILENTLY hash with the NEW n_planes against the OLD-plane
+    live buckets; re-running the crashed save converges, and the
+    alternative (meta after base) converts that bounded mismatch window
+    into the unbounded silent-default hazard above."""
     spark = embeddings.sparkSession
     index = build_lsh_index(embeddings, n_planes)
-
-    def _write_meta() -> None:
-        spark.createDataFrame([(int(n_planes),)], "n_planes int").coalesce(
-            1
-        ).write.mode("overwrite").parquet(f"{path}/lsh_meta")
-
-    _install_index_base(index, path, "lsh", write_sidecars=_write_meta)
+    spark.createDataFrame([(int(n_planes),)], "n_planes int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/lsh_meta")
+    _install_index_base(index, path, "lsh")
     index.unpersist()
 
 

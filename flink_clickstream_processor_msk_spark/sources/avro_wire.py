@@ -322,8 +322,12 @@ def _read_promoted(
     if writer_typ == reader_typ:
         return _read_value(buf, pos, writer_typ, names)
     if isinstance(writer_typ, list) or isinstance(reader_typ, list):
-        # union-shape changes are resolved upstream; reaching here with
-        # a list node is a structural mismatch
+        # UNION-shape changes are NOT resolved anywhere in this codec
+        # (r15 review #6: there is no upstream branch-matching) — any
+        # non-identical union pair refuses loudly here, the same
+        # behavior as before the logicalType fix; spec union resolution
+        # (branch reordering/widening) is future work if a deployment
+        # evolves a union field
         raise NotImplementedError(
             f"type change: writer {writer_typ!r} vs reader {reader_typ!r} "
             "(only spec primitive promotions supported)"

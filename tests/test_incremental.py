@@ -2713,6 +2713,69 @@ def test_save_index_clears_stale_tombstones(spark, tmp_path):
     assert similarity.load_index_tombstones(spark, path) is None
 
 
+def test_lsh_first_save_crash_self_heal_keeps_n_planes(spark, tmp_path):
+    """r15 review #1: the meta-first ordering must survive the SELF-HEAL
+    path — a first save with non-default n_planes crashing after the
+    staged base write (meta already on disk, swap never ran) heals at
+    the next read into a base whose saved n_planes still resolves to the
+    non-default value. (The briefly-tried sidecar-stage ordering wrote
+    meta AFTER the staged base, so this exact crash self-healed into a
+    meta-less live index that silently resolved to the default.)"""
+    import os
+
+    from flink_clickstream_processor_msk_spark.operators.similarity import (
+        _write_base_staged,
+        build_lsh_index,
+    )
+
+    base, _ = _base_and_drifted(spark)
+    path = str(tmp_path / "lsh_heal")
+    # replay save_lsh_index's stages in its committed order, crashing
+    # right after the staged write (before _install_index_base's swap)
+    spark.createDataFrame([(32,)], "n_planes int").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/lsh_meta")
+    idx = build_lsh_index(base, n_planes=32)
+    _write_base_staged(idx, path, "buckets", "bucket")
+    idx.unpersist()
+    assert os.path.isdir(f"{path}/buckets_new") and not os.path.isdir(
+        f"{path}/buckets"
+    )
+    healed = similarity.load_lsh_index(spark, path)  # self-heal install
+    assert os.path.isdir(f"{path}/buckets")
+    assert healed.count() == base.count()
+    assert similarity.saved_lsh_n_planes(spark, path) == 32  # NOT default
+
+
+def test_append_dedup_state_heals_interrupted_swap(spark, tmp_path):
+    """r15 review #2: an append landing in save/compact's delete-rename
+    crash window (live minhash_state missing, staged dir present) must
+    FINISH the swap before writing — a bare mode('append') would create
+    a fresh live dir holding only the batch, permanently orphan the
+    staged corpus (self_heal_swap no-ops once the live dir exists), and
+    the next compact would silently rebuild the banded base from that
+    batch-only source of truth."""
+    import os
+    import shutil
+
+    corpus, new = _corpus_and_batch(spark)
+    path = str(tmp_path / "append_heal")
+    dedup.save_dedup_state(corpus, path)
+    # simulate the crash window: live dir deleted, staged dir present
+    shutil.move(f"{path}/minhash_state", f"{path}/minhash_state_new")
+
+    dedup.append_dedup_state(dedup.batch_dedup_state(new), path)
+    assert not os.path.isdir(f"{path}/minhash_state_new")  # swap finished
+    got = dedup.load_dedup_state(spark, path)
+    assert got.count() == corpus.count() + new.count()  # corpus intact
+    # and the banded read still covers corpus ∪ batch after a compact
+    dedup.compact_dedup_state(spark, path)
+    assert (
+        dedup.load_banded_state(spark, path).select("doc_id").distinct().count()
+        == corpus.count() + new.count()
+    )
+
+
 def test_save_dedup_state_clears_stale_journal(spark, tmp_path):
     """r15 (shared LSM core, VERDICT r14 #2): the dedup side had the
     SAME latent re-save hazards the index side fixed in r13 — a re-save
@@ -2822,9 +2885,10 @@ def test_staged_save_crash_windows_self_heal(spark, tmp_path):
 
     (a) FIRST save crashing between the staged base write and the swap
         leaves {sub}_new only — the next read self-heals by renaming,
-        and because sidecars are written BEFORE the swap (lsh_meta now
-        rides the same sidecar stage, r15), the healed index loads
-        complete;
+        and because sidecars are written BEFORE the swap (lsh_meta even
+        before the staged write — the self-heal path must never install
+        a meta-less non-legacy base, r15 review), the healed index
+        loads complete;
     (b) a RE-save crashing after the staged write but before the
         journal clear leaves the OLD generation fully live — base,
         sidecars, delta, tombstones all still consistent (the expensive
