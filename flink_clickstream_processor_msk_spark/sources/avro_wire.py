@@ -312,6 +312,37 @@ _PRIMITIVE_NAMES = frozenset(
 )
 
 
+def _type_fullname(typ: Any) -> str:
+    """A named type's (namespace-qualified) name: dict nodes carry
+    name/namespace; a bare string node IS a name reference."""
+    if isinstance(typ, dict):
+        name = typ.get("name", "")
+        ns = typ.get("namespace")
+        return f"{ns}.{name}" if ns and "." not in name else name
+    return str(typ)
+
+
+def _union_branch_matches(writer_typ: Any, reader_typ: Any, promote: bool) -> bool:
+    """Can this reader union branch resolve the writer's schema? The
+    reference implementation's bestMatch discipline (Resolver
+    ReaderUnion): with ``promote=False`` an exact base-type match —
+    named types (record/enum/fixed) additionally match on name — and
+    with ``promote=True`` a spec primitive promotion. Structural depth
+    (array items, record fields) is NOT inspected here, exactly like
+    the reference: a same-category branch is selected and any deeper
+    mismatch then refuses loudly during resolution."""
+    if isinstance(reader_typ, list):  # nested unions are not valid Avro
+        return False
+    wn, rn = _type_name(writer_typ), _type_name(reader_typ)
+    if not promote:
+        if wn != rn:
+            return False
+        if wn in ("record", "enum", "fixed"):
+            return _type_fullname(writer_typ) == _type_fullname(reader_typ)
+        return True
+    return wn in _PRIMITIVE_NAMES and rn in _PROMOTIONS.get(wn, {})
+
+
 def _read_promoted(
     buf: bytes, pos: int, writer_typ: Any, reader_typ: Any, names: dict
 ) -> tuple[Any, int]:
@@ -321,16 +352,32 @@ def _read_promoted(
     structure would desync silently mid-record)."""
     if writer_typ == reader_typ:
         return _read_value(buf, pos, writer_typ, names)
-    if isinstance(writer_typ, list) or isinstance(reader_typ, list):
-        # UNION-shape changes are NOT resolved anywhere in this codec
-        # (r15 review #6: there is no upstream branch-matching) — any
-        # non-identical union pair refuses loudly here, the same
-        # behavior as before the logicalType fix; spec union resolution
-        # (branch reordering/widening) is future work if a deployment
-        # evolves a union field
+    if isinstance(writer_typ, list):
+        # spec §Schema Resolution, "if writer's is a union": the wire
+        # carries the writer's branch index — read it, select the
+        # branch, and resolve THAT branch against the reader (which may
+        # itself be a union; the recursion lands in the reader-union
+        # arm below, giving the spec's both-unions rule for free)
+        idx, pos = _read_long(buf, pos)
+        if not 0 <= idx < len(writer_typ):
+            raise ValueError(
+                f"union branch index {idx} out of range for {writer_typ!r}"
+            )
+        return _read_promoted(buf, pos, writer_typ[idx], reader_typ, names)
+    if isinstance(reader_typ, list):
+        # spec: "if reader's is a union [and writer's is not], the FIRST
+        # schema in the reader's union that matches the writer's schema
+        # is recursively resolved against it" — the reference
+        # implementation's bestMatch order: exact base-type/name match
+        # first, then a promotable primitive; no match refuses loudly
+        resolved_w = _resolve_named(writer_typ, names)  # "MyRec" → its def
+        for promote in (False, True):
+            for rb in reader_typ:
+                if _union_branch_matches(resolved_w, rb, promote):
+                    return _read_promoted(buf, pos, resolved_w, rb, names)
         raise NotImplementedError(
-            f"type change: writer {writer_typ!r} vs reader {reader_typ!r} "
-            "(only spec primitive promotions supported)"
+            f"no reader union branch in {reader_typ!r} matches writer "
+            f"{writer_typ!r} (spec §Schema Resolution: error)"
         )
     wt, rt = _type_name(writer_typ), _type_name(reader_typ)
     if wt == rt and wt in _PRIMITIVE_NAMES:
@@ -407,7 +454,11 @@ def decode_click_event(
     writer lacks takes the reader schema's ``default`` (e.g.
     ``prevglobalseq: 0`` in ClickEvent.avsc:13) or refuses loudly when
     no default exists; matching fields pass through on equal types or
-    convert through the spec's primitive promotions (r14), anything
+    convert through the spec's primitive promotions (r14); UNION
+    evolution resolves per spec (r15): a writer union's wire-selected
+    branch resolves against the reader, a reader union admits the first
+    branch the writer matches (exact base-type/name first, then a
+    promotable primitive — the reference bestMatch order); anything
     else refuses loudly. Resolution is parity-pinned
     against the Apache Avro reference implementation's
     GenericDatumReader(writer, reader) in tests/test_avro_wire.py."""

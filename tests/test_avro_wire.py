@@ -839,6 +839,69 @@ def test_schema_resolution_logical_type_annotation_passes_through():
         )
 
 
+def _rec(field_type) -> str:
+    return _json.dumps(
+        {"type": "record", "name": "R", "fields": [{"name": "v", "type": field_type}]}
+    )
+
+
+def test_schema_resolution_unions(spark):
+    """spec §Schema Resolution union rules (r15 — closing the refusal the
+    r15 review documented): writer-union branch selected from the wire,
+    reader-union admits the first matching branch (exact base type/name
+    first, then a promotable primitive), both-unions compose the two;
+    non-matching pairs refuse loudly. Value cases parity-pinned against
+    GenericDatumReader(writer, reader)."""
+    w_opt_int = _rec(["null", "int"])
+    r_opt_long = _rec(["null", "long"])
+    # both-unions + promotion: int branch resolves against the long branch
+    p = encode_click_event({"v": 41}, w_opt_int)
+    got = decode_click_event(p, writer_schema_json=w_opt_int,
+                             reader_schema_json=r_opt_long)
+    assert got == {"v": 41} and isinstance(got["v"], int)
+    assert got == _jvm_resolved_decode(spark, p, w_opt_int, r_opt_long)
+    # the null branch resolves too
+    pn = encode_click_event({"v": None}, w_opt_int)
+    assert decode_click_event(
+        pn, writer_schema_json=w_opt_int, reader_schema_json=r_opt_long
+    ) == {"v": None}
+
+    # non-union writer -> reader union (the classic make-a-field-optional
+    # evolution): exact branch preferred over a promotable earlier one
+    w_int = _rec("int")
+    r_long_or_int = _rec(["null", "long", "int"])
+    got2 = decode_click_event(p_w := encode_click_event({"v": 7}, w_int),
+                              writer_schema_json=w_int,
+                              reader_schema_json=r_long_or_int)
+    assert got2 == {"v": 7} and isinstance(got2["v"], int)
+    assert got2 == _jvm_resolved_decode(spark, p_w, w_int, r_long_or_int)
+    # with no exact branch, the first promotable one wins
+    r_null_double = _rec(["null", "double"])
+    got3 = decode_click_event(p_w, writer_schema_json=w_int,
+                              reader_schema_json=r_null_double)
+    assert got3 == {"v": 7.0} and isinstance(got3["v"], float)
+    assert got3 == _jvm_resolved_decode(spark, p_w, w_int, r_null_double)
+
+    # writer union -> non-union reader: resolves when the selected
+    # branch matches...
+    got4 = decode_click_event(p, writer_schema_json=w_opt_int,
+                              reader_schema_json=_rec("long"))
+    assert got4 == {"v": 41} and isinstance(got4["v"], int)
+    assert got4 == _jvm_resolved_decode(spark, p, w_opt_int, _rec("long"))
+    # ...and refuses loudly when it does not (a null payload against a
+    # non-nullable reader)
+    with pytest.raises(NotImplementedError, match="type change"):
+        decode_click_event(pn, writer_schema_json=w_opt_int,
+                           reader_schema_json=_rec("long"))
+    # no reader branch matches -> loud refusal
+    with pytest.raises(NotImplementedError, match="no reader union branch"):
+        decode_click_event(
+            encode_click_event({"v": "x"}, _rec("string")),
+            writer_schema_json=_rec("string"),
+            reader_schema_json=_rec(["null", "int"]),
+        )
+
+
 @given(
     arr=st.lists(st.integers(-(2**62), 2**62), max_size=8),
     mp=st.dictionaries(st.text(max_size=8), st.text(max_size=8), max_size=6),
