@@ -312,6 +312,107 @@ _PRIMITIVE_NAMES = frozenset(
 )
 
 
+def _read_resolved_fields(
+    buf: bytes, pos: int, writer_fields: list, reader_fields: list, names: dict
+) -> tuple[dict, int]:
+    """spec §Schema Resolution for record FIELDS — shared by the
+    top-level :func:`decode_click_event` and nested record nodes (r15):
+    fields are read in WRITER order; a writer field the reader lacks is
+    decoded and DISCARDED (its bytes must still be consumed); matching
+    fields resolve recursively through :func:`_read_promoted`
+    (equal / promotion / union / structural); a reader field the writer
+    lacks takes the reader's ``default`` or refuses loudly."""
+    reader_by_name = {f["name"]: f for f in reader_fields}
+    row: dict = {}
+    for f in writer_fields:
+        rf = reader_by_name.get(f["name"])
+        if rf is None:
+            _, pos = _read_value(buf, pos, f["type"], names)
+            continue
+        row[f["name"]], pos = _read_promoted(
+            buf, pos, f["type"], rf["type"], names
+        )
+    writer_names = {f["name"] for f in writer_fields}
+    for rf in reader_fields:
+        if rf["name"] in writer_names:
+            continue
+        if "default" not in rf:
+            raise ValueError(
+                f"reader field {rf['name']!r} absent from writer schema "
+                "and has no default"
+            )
+        row[rf["name"]] = rf["default"]
+    return row, pos
+
+
+def _read_resolved_structural(
+    buf: bytes, pos: int, writer_typ: Any, reader_typ: Any, kind: str, names: dict
+) -> tuple[Any, int]:
+    """Resolve same-category structural nodes (array/map/record/enum/
+    fixed) under schema evolution — the recursive arm of
+    :func:`_read_promoted`. Mismatched names/sizes refuse loudly."""
+    w = _resolve_named(writer_typ, names)
+    if not isinstance(reader_typ, dict):
+        raise NotImplementedError(
+            f"reader name reference {reader_typ!r} cannot be resolved "
+            "(only writer definitions are registered)"
+        )
+    r = reader_typ
+    if kind in ("record", "enum", "fixed") and _type_fullname(w) != _type_fullname(r):
+        raise NotImplementedError(
+            f"type change: writer {w!r} vs reader {r!r} (named types "
+            "resolve by matching full name)"
+        )
+    if kind == "array":
+        out_items: list = []
+        while True:
+            cnt, pos = _read_long(buf, pos)
+            if cnt == 0:
+                return out_items, pos
+            if cnt < 0:  # negative block: byte size precedes items (spec)
+                _, pos = _read_long(buf, pos)
+                cnt = -cnt
+            for _ in range(cnt):
+                v, pos = _read_promoted(buf, pos, w["items"], r["items"], names)
+                out_items.append(v)
+    if kind == "map":
+        out_map: dict = {}
+        while True:
+            cnt, pos = _read_long(buf, pos)
+            if cnt == 0:
+                return out_map, pos
+            if cnt < 0:
+                _, pos = _read_long(buf, pos)
+                cnt = -cnt
+            for _ in range(cnt):
+                k, pos = _read_value(buf, pos, "string", names)
+                out_map[k], pos = _read_promoted(
+                    buf, pos, w["values"], r["values"], names
+                )
+    if kind == "record":
+        return _read_resolved_fields(buf, pos, w["fields"], r["fields"], names)
+    if kind == "enum":
+        idx, pos = _read_long(buf, pos)
+        sym = w["symbols"][idx]
+        if sym in r["symbols"]:
+            return sym, pos
+        if "default" in r:
+            # spec: a writer symbol the reader lacks resolves to the
+            # reader's enum default when one is declared
+            return r["default"], pos
+        raise NotImplementedError(
+            f"writer enum symbol {sym!r} not in reader symbols "
+            f"{r['symbols']!r} and reader declares no default"
+        )
+    # fixed: names already matched; the SIZE is the binary contract
+    if int(w["size"]) != int(r["size"]):
+        raise NotImplementedError(
+            f"fixed {w.get('name')!r} size change: writer {w['size']} vs "
+            f"reader {r['size']}"
+        )
+    return _read_value(buf, pos, w, names)
+
+
 def _type_fullname(typ: Any) -> str:
     """A named type's (namespace-qualified) name: dict nodes carry
     name/namespace; a bare string node IS a name reference."""
@@ -386,11 +487,18 @@ def _read_promoted(
         # 'timestamp-millis'} vs reader 'long'): the BINARY encoding is
         # always the base type's (spec §Logical Types), and spec
         # §Schema Resolution matches on base types — pass through
-        # (ADVICE r14: raw equality refused these valid pairs). The
-        # primitive gate keeps the loud refusal for same-named
-        # STRUCTURAL nodes (fixed/enum/record/array/map), whose
-        # attributes are load-bearing.
+        # (ADVICE r14: raw equality refused these valid pairs).
         return _read_value(buf, pos, writer_typ, names)
+    if wt == rt and wt in ("array", "map", "record", "enum", "fixed"):
+        # same-category STRUCTURAL nodes resolve recursively (r15,
+        # spec §Schema Resolution): array items / map values resolve
+        # element-wise, records by the shared field-resolution loop,
+        # enums by symbol (reader ``default`` for removed symbols),
+        # fixed by name + size. Reader-side NAME REFERENCES are refused
+        # (only writer definitions populate the names registry).
+        return _read_resolved_structural(
+            buf, pos, writer_typ, reader_typ, wt, names
+        )
     # promotions too compare on BASE names (an annotated primitive node
     # is still its base type on the wire); non-primitive base names
     # (fixed/enum/record/array/map) never appear in _PROMOTIONS, so
@@ -468,37 +576,11 @@ def decode_click_event(
         if writer_schema_json is None
         else _schema_fields(writer_schema_json)
     )
-    reader_by_name = {f["name"]: f for f in reader}
-    row: dict = {}
-    pos = 0
-    names: dict = {}
-    for f in writer:
-        rf = reader_by_name.get(f["name"])
-        if rf is None:
-            # writer-only field: bytes consumed, value dropped
-            _, pos = _read_value(payload, pos, f["type"], names)
-            continue
-        # equal types pass through; spec primitive promotions
-        # (int→long/float/double, long→float/double, float→double,
-        # string↔bytes) convert after reading the writer's encoding
-        # (r14 — parity-pinned against GenericDatumReader)
-        row[f["name"]], pos = _read_promoted(
-            payload, pos, f["type"], rf["type"], names
-        )
+    row, pos = _read_resolved_fields(payload, 0, writer, reader, {})
     if pos != len(payload):
         raise ValueError(
             f"trailing bytes: consumed {pos} of {len(payload)}"
         )
-    writer_names = {f["name"] for f in writer}
-    for rf in reader:
-        if rf["name"] in writer_names:
-            continue
-        if "default" not in rf:
-            raise ValueError(
-                f"reader field {rf['name']!r} absent from writer schema "
-                "and has no default"
-            )
-        row[rf["name"]] = rf["default"]
     return row
 
 

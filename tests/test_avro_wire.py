@@ -902,6 +902,94 @@ def test_schema_resolution_unions(spark):
         )
 
 
+def test_schema_resolution_recurses_into_structures(spark):
+    """spec §Schema Resolution applies RECURSIVELY (r15): array items and
+    map values promote element-wise, NESTED records run the same
+    field-resolution loop as the top level (writer-only fields skipped
+    mid-stream, reader defaults filled), and enum evolution resolves
+    removed symbols to the reader's declared default. Parity-pinned
+    against GenericDatumReader where the value types allow a direct
+    compare; loud refusals pinned for size/name mismatches."""
+    # array<int> -> array<long>
+    w_arr, r_arr = _rec({"type": "array", "items": "int"}), _rec(
+        {"type": "array", "items": "long"}
+    )
+    p = encode_click_event({"v": [1, 2, 3]}, w_arr)
+    got = decode_click_event(p, writer_schema_json=w_arr, reader_schema_json=r_arr)
+    assert got == {"v": [1, 2, 3]}
+    # map<int> -> map<double>
+    w_map, r_map = _rec({"type": "map", "values": "int"}), _rec(
+        {"type": "map", "values": "double"}
+    )
+    pm = encode_click_event({"v": {"a": 1, "b": 2}}, w_map)
+    gm = decode_click_event(pm, writer_schema_json=w_map, reader_schema_json=r_map)
+    assert gm == {"v": {"a": 1.0, "b": 2.0}} and isinstance(gm["v"]["a"], float)
+
+    # nested record evolution: writer-only field dropped mid-record,
+    # reader-only field defaulted, shared field promoted
+    w_inner = {
+        "type": "record", "name": "Inner",
+        "fields": [
+            {"name": "a", "type": "int"},
+            {"name": "gone", "type": "string"},
+            {"name": "b", "type": "int"},
+        ],
+    }
+    r_inner = {
+        "type": "record", "name": "Inner",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": "int"},
+            {"name": "added", "type": "int", "default": 9},
+        ],
+    }
+    w_nest, r_nest = _rec(w_inner), _rec(r_inner)
+    pn = encode_click_event({"v": {"a": 5, "gone": "x", "b": 6}}, w_nest)
+    gn = decode_click_event(pn, writer_schema_json=w_nest, reader_schema_json=r_nest)
+    assert gn == {"v": {"a": 5, "b": 6, "added": 9}}
+    jvm = _jvm_resolved_decode(spark, pn, w_nest, r_nest)
+    inner = jvm["v"]
+    assert (inner.get("a"), inner.get("b"), inner.get("added")) == (5, 6, 9)
+
+    # enum: removed symbol resolves to the reader default, refuses without
+    w_enum = _rec({"type": "enum", "name": "E", "symbols": ["OLD", "KEEP"]})
+    r_enum_def = _rec(
+        {"type": "enum", "name": "E", "symbols": ["KEEP", "OTHER"], "default": "OTHER"}
+    )
+    pe = encode_click_event({"v": "OLD"}, w_enum)
+    assert decode_click_event(
+        pe, writer_schema_json=w_enum, reader_schema_json=r_enum_def
+    ) == {"v": "OTHER"}
+    assert str(
+        _jvm_resolved_decode(spark, pe, w_enum, r_enum_def)["v"]
+    ) == "OTHER"
+    r_enum_nodef = _rec({"type": "enum", "name": "E", "symbols": ["KEEP"]})
+    with pytest.raises(NotImplementedError, match="no default"):
+        decode_click_event(
+            pe, writer_schema_json=w_enum, reader_schema_json=r_enum_nodef
+        )
+    # kept symbols pass through
+    pk = encode_click_event({"v": "KEEP"}, w_enum)
+    assert decode_click_event(
+        pk, writer_schema_json=w_enum, reader_schema_json=r_enum_def
+    ) == {"v": "KEEP"}
+
+    # fixed: same name, annotation-only difference reads; size change refuses
+    w_fx = _rec({"type": "fixed", "name": "F", "size": 4})
+    r_fx_ann = _rec(
+        {"type": "fixed", "name": "F", "size": 4, "logicalType": "duration"}
+    )
+    pf = encode_click_event({"v": b"\x01\x02\x03\x04"}, w_fx)
+    assert decode_click_event(
+        pf, writer_schema_json=w_fx, reader_schema_json=r_fx_ann
+    ) == {"v": b"\x01\x02\x03\x04"}
+    r_fx_big = _rec({"type": "fixed", "name": "F", "size": 8})
+    with pytest.raises(NotImplementedError, match="size change"):
+        decode_click_event(
+            pf, writer_schema_json=w_fx, reader_schema_json=r_fx_big
+        )
+
+
 @given(
     arr=st.lists(st.integers(-(2**62), 2**62), max_size=8),
     mp=st.dictionaries(st.text(max_size=8), st.text(max_size=8), max_size=6),
