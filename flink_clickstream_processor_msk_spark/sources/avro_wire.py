@@ -321,20 +321,29 @@ def _read_resolved_fields(
     decoded and DISCARDED (its bytes must still be consumed); matching
     fields resolve recursively through :func:`_read_promoted`
     (equal / promotion / union / structural); a reader field the writer
-    lacks takes the reader's ``default`` or refuses loudly."""
-    reader_by_name = {f["name"]: f for f in reader_fields}
+    lacks takes the reader's ``default`` or refuses loudly. Reader-field
+    ``aliases`` match renamed writer fields (spec §Aliases, r15) — the
+    real name wins when both would match, and the OUTPUT key is always
+    the reader's (current) field name."""
+    reader_by_name: dict = {}
+    for f in reader_fields:
+        for alias in f.get("aliases", ()):
+            reader_by_name.setdefault(alias, f)
+    for f in reader_fields:
+        reader_by_name[f["name"]] = f  # real names beat aliases
     row: dict = {}
+    matched: set = set()
     for f in writer_fields:
         rf = reader_by_name.get(f["name"])
         if rf is None:
             _, pos = _read_value(buf, pos, f["type"], names)
             continue
-        row[f["name"]], pos = _read_promoted(
+        matched.add(rf["name"])
+        row[rf["name"]], pos = _read_promoted(
             buf, pos, f["type"], rf["type"], names
         )
-    writer_names = {f["name"] for f in writer_fields}
     for rf in reader_fields:
-        if rf["name"] in writer_names:
+        if rf["name"] in matched:
             continue
         if "default" not in rf:
             raise ValueError(
@@ -358,11 +367,15 @@ def _read_resolved_structural(
             "(only writer definitions are registered)"
         )
     r = reader_typ
-    if kind in ("record", "enum", "fixed") and _type_fullname(w) != _type_fullname(r):
-        raise NotImplementedError(
-            f"type change: writer {w!r} vs reader {r!r} (named types "
-            "resolve by matching full name)"
-        )
+    if kind in ("record", "enum", "fixed"):
+        wname = _type_fullname(w)
+        # the reader's type-level aliases map a RENAMED type back to the
+        # writer's name (spec §Aliases, r15)
+        if wname != _type_fullname(r) and wname not in r.get("aliases", ()):
+            raise NotImplementedError(
+                f"type change: writer {w!r} vs reader {r!r} (named types "
+                "resolve by matching full name or a reader alias)"
+            )
     if kind == "array":
         out_items: list = []
         while True:

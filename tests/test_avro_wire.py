@@ -990,6 +990,98 @@ def test_schema_resolution_recurses_into_structures(spark):
         )
 
 
+def test_schema_resolution_aliases(spark):
+    """spec §Aliases (r15): a reader FIELD alias matches a renamed writer
+    field (output keyed by the reader's current name; the real name wins
+    over an alias when both match), and a reader TYPE alias matches a
+    renamed nested record. Parity-pinned against GenericDatumReader."""
+    writer = _json.dumps(
+        {
+            "type": "record", "name": "R",
+            "fields": [
+                {"name": "old_count", "type": "int"},
+                {"name": "keep", "type": "int"},
+            ],
+        }
+    )
+    reader = _json.dumps(
+        {
+            "type": "record", "name": "R",
+            "fields": [
+                {"name": "count", "type": "long", "aliases": ["old_count"]},
+                {"name": "keep", "type": "int"},
+            ],
+        }
+    )
+    p = encode_click_event({"old_count": 3, "keep": 8}, writer)
+    got = decode_click_event(p, writer_schema_json=writer, reader_schema_json=reader)
+    assert got == {"count": 3, "keep": 8}
+    jvm = _jvm_resolved_decode(spark, p, writer, reader)
+    assert (jvm["count"], jvm["keep"]) == (3, 8)
+
+    # real name beats an alias that collides with another field's name:
+    # writer 'keep' binds the reader's real 'keep', so 'other' (whose
+    # alias also says 'keep') falls back to its default
+    reader_collide = _json.dumps(
+        {
+            "type": "record", "name": "R",
+            "fields": [
+                {"name": "other", "type": "long", "aliases": ["keep"],
+                 "default": 0},
+                {"name": "keep", "type": "int"},
+                {"name": "count", "type": "int", "aliases": ["old_count"]},
+            ],
+        }
+    )
+    got2 = decode_click_event(
+        p, writer_schema_json=writer, reader_schema_json=reader_collide
+    )
+    assert got2 == {"other": 0, "keep": 8, "count": 3}
+
+    # nested record RENAME via a type alias
+    w_nested = _json.dumps(
+        {
+            "type": "record", "name": "R",
+            "fields": [
+                {
+                    "name": "v",
+                    "type": {
+                        "type": "record", "name": "OldInner",
+                        "fields": [{"name": "a", "type": "int"}],
+                    },
+                }
+            ],
+        }
+    )
+    r_nested = _json.dumps(
+        {
+            "type": "record", "name": "R",
+            "fields": [
+                {
+                    "name": "v",
+                    "type": {
+                        "type": "record", "name": "Inner",
+                        "aliases": ["OldInner"],
+                        "fields": [{"name": "a", "type": "long"}],
+                    },
+                }
+            ],
+        }
+    )
+    pn = encode_click_event({"v": {"a": 5}}, w_nested)
+    gn = decode_click_event(
+        pn, writer_schema_json=w_nested, reader_schema_json=r_nested
+    )
+    assert gn == {"v": {"a": 5}}
+    assert _jvm_resolved_decode(spark, pn, w_nested, r_nested)["v"].get("a") == 5
+    # without the alias the rename refuses loudly
+    r_noalias = r_nested.replace(', "aliases": ["OldInner"]', "")
+    with pytest.raises(NotImplementedError, match="full name or a reader alias"):
+        decode_click_event(
+            pn, writer_schema_json=w_nested, reader_schema_json=r_noalias
+        )
+
+
 @given(
     arr=st.lists(st.integers(-(2**62), 2**62), max_size=8),
     mp=st.dictionaries(st.text(max_size=8), st.text(max_size=8), max_size=6),
