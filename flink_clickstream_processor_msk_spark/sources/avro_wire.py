@@ -312,8 +312,39 @@ _PRIMITIVE_NAMES = frozenset(
 )
 
 
+def _register_defs(typ: Any, registry: dict) -> None:
+    """Pre-register every record/enum/fixed DEFINITION in a schema tree
+    (r16). Writer definitions self-register in traversal order (Avro
+    requires define-before-use and writer fields decode in schema
+    order), but READER definitions are only visited when resolution
+    touches them — a reader name reference can precede its first
+    resolved visit (e.g. the defining field was defaulted away), so the
+    reader registry is populated up front."""
+    if isinstance(typ, list):
+        for t in typ:
+            _register_defs(t, registry)
+        return
+    if not isinstance(typ, dict):
+        return
+    t = typ.get("type")
+    if t in ("record", "enum", "fixed"):
+        registry.setdefault(typ["name"], typ)
+    if t == "record":
+        for f in typ["fields"]:
+            _register_defs(f["type"], registry)
+    elif t == "array":
+        _register_defs(typ["items"], registry)
+    elif t == "map":
+        _register_defs(typ["values"], registry)
+
+
 def _read_resolved_fields(
-    buf: bytes, pos: int, writer_fields: list, reader_fields: list, names: dict
+    buf: bytes,
+    pos: int,
+    writer_fields: list,
+    reader_fields: list,
+    names: dict,
+    rnames: dict,
 ) -> tuple[dict, int]:
     """spec §Schema Resolution for record FIELDS — shared by the
     top-level :func:`decode_click_event` and nested record nodes (r15):
@@ -324,7 +355,11 @@ def _read_resolved_fields(
     lacks takes the reader's ``default`` or refuses loudly. Reader-field
     ``aliases`` match renamed writer fields (spec §Aliases, r15) — the
     real name wins when both would match, and the OUTPUT key is always
-    the reader's (current) field name."""
+    the reader's (current) field name. ``names``/``rnames`` are the
+    WRITER/READER named-type registries (r16) — kept separate so a name
+    shared by both schemas still resolves each side to its OWN
+    definition (one shared registry silently decoded later references
+    with the writer's definition, skipping reader evolution)."""
     reader_by_name: dict = {}
     for f in reader_fields:
         for alias in f.get("aliases", ()):
@@ -340,7 +375,7 @@ def _read_resolved_fields(
             continue
         matched.add(rf["name"])
         row[rf["name"]], pos = _read_promoted(
-            buf, pos, f["type"], rf["type"], names
+            buf, pos, f["type"], rf["type"], names, rnames
         )
     for rf in reader_fields:
         if rf["name"] in matched:
@@ -355,18 +390,24 @@ def _read_resolved_fields(
 
 
 def _read_resolved_structural(
-    buf: bytes, pos: int, writer_typ: Any, reader_typ: Any, kind: str, names: dict
+    buf: bytes,
+    pos: int,
+    writer_typ: Any,
+    reader_typ: Any,
+    kind: str,
+    names: dict,
+    rnames: dict,
 ) -> tuple[Any, int]:
     """Resolve same-category structural nodes (array/map/record/enum/
     fixed) under schema evolution — the recursive arm of
     :func:`_read_promoted`. Mismatched names/sizes refuse loudly."""
     w = _resolve_named(writer_typ, names)
-    if not isinstance(reader_typ, dict):
+    r = _resolve_named(reader_typ, rnames)
+    if not isinstance(r, dict):
         raise NotImplementedError(
-            f"reader name reference {reader_typ!r} cannot be resolved "
-            "(only writer definitions are registered)"
+            f"reader name reference {reader_typ!r} has no registered "
+            "definition in the reader schema"
         )
-    r = reader_typ
     if kind in ("record", "enum", "fixed"):
         wname = _type_fullname(w)
         # the reader's type-level aliases map a RENAMED type back to the
@@ -386,7 +427,9 @@ def _read_resolved_structural(
                 _, pos = _read_long(buf, pos)
                 cnt = -cnt
             for _ in range(cnt):
-                v, pos = _read_promoted(buf, pos, w["items"], r["items"], names)
+                v, pos = _read_promoted(
+                    buf, pos, w["items"], r["items"], names, rnames
+                )
                 out_items.append(v)
     if kind == "map":
         out_map: dict = {}
@@ -400,10 +443,12 @@ def _read_resolved_structural(
             for _ in range(cnt):
                 k, pos = _read_value(buf, pos, "string", names)
                 out_map[k], pos = _read_promoted(
-                    buf, pos, w["values"], r["values"], names
+                    buf, pos, w["values"], r["values"], names, rnames
                 )
     if kind == "record":
-        return _read_resolved_fields(buf, pos, w["fields"], r["fields"], names)
+        return _read_resolved_fields(
+            buf, pos, w["fields"], r["fields"], names, rnames
+        )
     if kind == "enum":
         idx, pos = _read_long(buf, pos)
         sym = w["symbols"][idx]
@@ -458,42 +503,55 @@ def _union_branch_matches(writer_typ: Any, reader_typ: Any, promote: bool) -> bo
 
 
 def _read_promoted(
-    buf: bytes, pos: int, writer_typ: Any, reader_typ: Any, names: dict
+    buf: bytes, pos: int, writer_typ: Any, reader_typ: Any, names: dict, rnames: dict
 ) -> tuple[Any, int]:
     """Read under the WRITER's encoding, convert to the READER's type
     when the spec's promotion table allows; equal types pass through,
     anything else refuses loudly (decoding on against a mismatched
-    structure would desync silently mid-record)."""
-    if writer_typ == reader_typ:
-        return _read_value(buf, pos, writer_typ, names)
-    if isinstance(writer_typ, list):
+    structure would desync silently mid-record).
+
+    Both sides resolve name references FIRST — writer via ``names``,
+    reader via its own ``rnames`` registry (r16, ADVICE r15): a raw
+    ``writer_typ == reader_typ`` fast path on two "Inner" strings (or on
+    deep-equal dicts whose nested references diverge between schemas)
+    silently decoded with the writer's definition, skipping reader-side
+    evolution — so the shortcut below is restricted to identical
+    PRIMITIVE names, where no evolution is possible; every structural
+    node routes through the resolving arms even when equal (an equal
+    pair resolves to itself, just not on the fast path)."""
+    w = _resolve_named(writer_typ, names)
+    r = _resolve_named(reader_typ, rnames)
+    if w == r and not isinstance(w, (dict, list)):
+        return _read_value(buf, pos, w, names)
+    if isinstance(w, list):
         # spec §Schema Resolution, "if writer's is a union": the wire
         # carries the writer's branch index — read it, select the
         # branch, and resolve THAT branch against the reader (which may
         # itself be a union; the recursion lands in the reader-union
         # arm below, giving the spec's both-unions rule for free)
         idx, pos = _read_long(buf, pos)
-        if not 0 <= idx < len(writer_typ):
+        if not 0 <= idx < len(w):
             raise ValueError(
-                f"union branch index {idx} out of range for {writer_typ!r}"
+                f"union branch index {idx} out of range for {w!r}"
             )
-        return _read_promoted(buf, pos, writer_typ[idx], reader_typ, names)
-    if isinstance(reader_typ, list):
+        return _read_promoted(buf, pos, w[idx], r, names, rnames)
+    if isinstance(r, list):
         # spec: "if reader's is a union [and writer's is not], the FIRST
         # schema in the reader's union that matches the writer's schema
         # is recursively resolved against it" — the reference
         # implementation's bestMatch order: exact base-type/name match
         # first, then a promotable primitive; no match refuses loudly
-        resolved_w = _resolve_named(writer_typ, names)  # "MyRec" → its def
         for promote in (False, True):
-            for rb in reader_typ:
-                if _union_branch_matches(resolved_w, rb, promote):
-                    return _read_promoted(buf, pos, resolved_w, rb, names)
+            for rb in r:
+                if _union_branch_matches(
+                    w, _resolve_named(rb, rnames), promote
+                ):
+                    return _read_promoted(buf, pos, w, rb, names, rnames)
         raise NotImplementedError(
-            f"no reader union branch in {reader_typ!r} matches writer "
-            f"{writer_typ!r} (spec §Schema Resolution: error)"
+            f"no reader union branch in {r!r} matches writer "
+            f"{w!r} (spec §Schema Resolution: error)"
         )
-    wt, rt = _type_name(writer_typ), _type_name(reader_typ)
+    wt, rt = _type_name(w), _type_name(r)
     if wt == rt and wt in _PRIMITIVE_NAMES:
         # equal base types that differ only in annotation (a logicalType
         # on one side, e.g. writer {'type':'long','logicalType':
@@ -501,17 +559,14 @@ def _read_promoted(
         # always the base type's (spec §Logical Types), and spec
         # §Schema Resolution matches on base types — pass through
         # (ADVICE r14: raw equality refused these valid pairs).
-        return _read_value(buf, pos, writer_typ, names)
+        return _read_value(buf, pos, w, names)
     if wt == rt and wt in ("array", "map", "record", "enum", "fixed"):
         # same-category STRUCTURAL nodes resolve recursively (r15,
         # spec §Schema Resolution): array items / map values resolve
         # element-wise, records by the shared field-resolution loop,
         # enums by symbol (reader ``default`` for removed symbols),
-        # fixed by name + size. Reader-side NAME REFERENCES are refused
-        # (only writer definitions populate the names registry).
-        return _read_resolved_structural(
-            buf, pos, writer_typ, reader_typ, wt, names
-        )
+        # fixed by name + size.
+        return _read_resolved_structural(buf, pos, w, r, wt, names, rnames)
     # promotions too compare on BASE names (an annotated primitive node
     # is still its base type on the wire); non-primitive base names
     # (fixed/enum/record/array/map) never appear in _PROMOTIONS, so
@@ -522,7 +577,7 @@ def _read_promoted(
             f"type change: writer {writer_typ!r} vs reader {reader_typ!r} "
             "(only spec primitive promotions supported)"
         )
-    value, pos = _read_value(buf, pos, writer_typ, names)
+    value, pos = _read_value(buf, pos, w, names)
     return (conv(value) if value is not None else None), pos
 
 
@@ -554,8 +609,9 @@ def encode_click_event(row: dict, schema_json: str | None = None) -> bytes:
     defaults to the ClickEvent contract; pass an older writer schema to
     produce historical wire bytes (schema-evolution tests)."""
     out = bytearray()
-    for f in _schema_fields(schema_json):
-        _write_value(out, f["type"], row[f["name"]])
+    names: dict = {}  # shared across fields so later "Name" references
+    for f in _schema_fields(schema_json):  # resolve (spec §Names, r16)
+        _write_value(out, f["type"], row[f["name"]], names)
     return bytes(out)
 
 
@@ -589,7 +645,17 @@ def decode_click_event(
         if writer_schema_json is None
         else _schema_fields(writer_schema_json)
     )
-    row, pos = _read_resolved_fields(payload, 0, writer, reader, {})
+    # separate writer/reader named-type registries (r16): a name defined
+    # in BOTH schemas must resolve each side to its own (possibly
+    # evolved) definition; reader defs pre-register because resolution
+    # may reference a reader name before visiting its definition
+    names: dict = {}
+    rnames: dict = {}
+    for f in writer:
+        _register_defs(f["type"], names)
+    for f in reader:
+        _register_defs(f["type"], rnames)
+    row, pos = _read_resolved_fields(payload, 0, writer, reader, names, rnames)
     if pos != len(payload):
         raise ValueError(
             f"trailing bytes: consumed {pos} of {len(payload)}"

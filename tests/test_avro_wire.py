@@ -1082,6 +1082,92 @@ def test_schema_resolution_aliases(spark):
         )
 
 
+def test_schema_resolution_named_references_evolve(spark):
+    """Named-type REFERENCES resolve each side against its OWN schema's
+    definition (r16, ADVICE r15 medium): when writer and reader both
+    spell a later occurrence as the bare name \"Inner\", the reader's
+    evolution (added-field defaults, promotions) must apply to EVERY
+    occurrence, not only the first inline definition — and a writer
+    reference against a reader INLINE definition resolves instead of
+    refusing. Parity-pinned against GenericDatumReader."""
+    w_inner = {
+        "type": "record", "name": "Inner",
+        "fields": [{"name": "a", "type": "int"}],
+    }
+    r_inner = {
+        "type": "record", "name": "Inner",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "extra", "type": "int", "default": 7},
+        ],
+    }
+    two = lambda inner: _json.dumps(  # noqa: E731
+        {
+            "type": "record", "name": "R",
+            "fields": [
+                {"name": "x", "type": inner},
+                {"name": "y", "type": "Inner"},  # reference, both sides
+            ],
+        }
+    )
+    writer, reader = two(w_inner), two(r_inner)
+    p = encode_click_event({"x": {"a": 1}, "y": {"a": 2}}, writer)
+    got = decode_click_event(p, writer_schema_json=writer, reader_schema_json=reader)
+    # pre-r16 the y-occurrence decoded with the WRITER's definition and
+    # silently dropped the reader evolution ({"a": 2} without "extra")
+    assert got == {"x": {"a": 1, "extra": 7}, "y": {"a": 2, "extra": 7}}
+    jvm = _jvm_resolved_decode(spark, p, writer, reader)
+    for k in ("x", "y"):
+        assert (jvm[k].get("a"), jvm[k].get("extra")) == (got[k]["a"], 7)
+
+    # writer REFERENCE vs reader INLINE definition (ADVICE r15 low):
+    # the reader drops field x, so its first (and only) Inner is the
+    # inline definition at field y while the writer's y is a bare name —
+    # pre-r16 this refused loudly on a valid schema pair
+    reader_inline_y = _json.dumps(
+        {
+            "type": "record", "name": "R",
+            "fields": [{"name": "y", "type": r_inner}],
+        }
+    )
+    got2 = decode_click_event(
+        p, writer_schema_json=writer, reader_schema_json=reader_inline_y
+    )
+    assert got2 == {"y": {"a": 2, "extra": 7}}
+    assert _jvm_resolved_decode(spark, p, writer, reader_inline_y)["y"].get(
+        "extra"
+    ) == 7
+
+    # deep-EQUAL wrapper dicts whose nested reference diverges: the
+    # Wrap definition is textually identical in both schemas, but the
+    # "Inner" it references evolved — a dict-equality fast path would
+    # decode with the writer's Inner and silently skip the evolution
+    wrap = {
+        "type": "record", "name": "Wrap",
+        "fields": [{"name": "inner", "type": "Inner"}],
+    }
+    deep = lambda inner: _json.dumps(  # noqa: E731
+        {
+            "type": "record", "name": "R",
+            "fields": [
+                {"name": "x", "type": inner},
+                {"name": "y", "type": wrap},
+            ],
+        }
+    )
+    w_deep, r_deep = deep(w_inner), deep(r_inner)
+    pd_ = encode_click_event({"x": {"a": 1}, "y": {"inner": {"a": 3}}}, w_deep)
+    got3 = decode_click_event(
+        pd_, writer_schema_json=w_deep, reader_schema_json=r_deep
+    )
+    assert got3 == {
+        "x": {"a": 1, "extra": 7},
+        "y": {"inner": {"a": 3, "extra": 7}},
+    }
+    jvm3 = _jvm_resolved_decode(spark, pd_, w_deep, r_deep)
+    assert jvm3["y"].get("inner").get("extra") == 7
+
+
 @given(
     arr=st.lists(st.integers(-(2**62), 2**62), max_size=8),
     mp=st.dictionaries(st.text(max_size=8), st.text(max_size=8), max_size=6),
