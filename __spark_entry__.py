@@ -386,7 +386,9 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _ANN_INDEX_CACHE.get(("minhash_pairs", sf_dir))
     if hit is not None and hit[0] is spark:
         return hit[1]
-    checked = _build_minhash_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    checked = dedup.checkpoint_backed(
+        _build_minhash_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    )
     # the signature scratch only served the build; the checkpoint holds
     # the materialized rows
     while _PAIRS_SCRATCH:

@@ -90,6 +90,17 @@ def _tracked(df: DataFrame, scratch: list | None) -> DataFrame:
     return df
 
 
+def checkpoint_backed(df: DataFrame) -> DataFrame:
+    """Tag a frame the caller just ``localCheckpoint()``ed so
+    :func:`ensure_persisted` leaves it untouched. An explicit repo-owned
+    marker (r16, VERDICT r15 #2) instead of probing the analyzed plan's
+    Java class name through py4j: the repo checkpoints exactly the
+    frames it tags, so the tag cannot drift with Spark internals, and a
+    broad exception fallback is no longer needed."""
+    df._spark_graft_checkpoint_backed = True
+    return df
+
+
 def ensure_persisted(df: DataFrame) -> DataFrame:
     """Re-mark a shared derived table for persist after an external
     ``spark.catalog.clearCache()``: index/pairs tables feed self-joins and
@@ -97,19 +108,12 @@ def ensure_persisted(df: DataFrame) -> DataFrame:
     pipeline per branch. Persisting an already-persisted frame at the same
     level is a no-op, so this is safe to call on every access.
 
-    A checkpoint-backed frame (its analyzed plan is a leaf
-    ``LogicalRDD`` — the r15 pairs artifact) is returned untouched: its
-    blocks already live in the block manager, the leaf plan CANNOT
-    recompute, and a persist mark would only materialize a second copy
-    of the same rows per clearCache cycle (r15 review #5)."""
-    try:
-        leaf = (
-            df._jdf.queryExecution().analyzed().getClass().getSimpleName()
-            == "LogicalRDD"
-        )
-    except Exception:  # pragma: no cover - defensive against py4j drift
-        leaf = False
-    if leaf:
+    A checkpoint-backed frame (tagged by :func:`checkpoint_backed` — the
+    r15 pairs artifact) is returned untouched: its blocks already live
+    in the block manager, the lineage-cut plan CANNOT recompute, and a
+    persist mark would only materialize a second copy of the same rows
+    per clearCache cycle (r15 review #5)."""
+    if getattr(df, "_spark_graft_checkpoint_backed", False):
         return df
     sl = df.storageLevel
     if not (sl.useMemory or sl.useDisk):
@@ -396,55 +400,61 @@ def _banded_frame(
     )
 
 
-def _write_ptmod_marker(spark, path: str, n_buckets: int) -> None:
+#: legacy (pre-r16) state-root dirs superseded by the generation layout —
+#: removed after an install upgrades an old state (dead by then: every
+#: resolver prefers the generation placement)
+_LEGACY_ROOT_DIRS = ("banded_delta", "banded_ptmod", "deleted_ids")
+
+
+def _write_ptmod_marker(spark, gen_dir: str, n_buckets: int) -> None:
     """Persist the modulus INDEPENDENTLY of row count: an empty corpus
     writes no partition files (the ptmod column then has no row to
     self-describe with), and before this marker existed the first
     append after an empty-corpus bootstrap silently fell back to the
-    default modulus, discarding a configured n_buckets (ADVICE r8)."""
+    default modulus, discarding a configured n_buckets (ADVICE r8).
+    Written INTO the (staged) generation dir (r16, ADVICE r15 low): the
+    marker installs atomically with the base it describes, so no crash
+    or concurrent read can pair a new modulus with an old base."""
     spark.createDataFrame([(n_buckets,)], "ptmod int").coalesce(
         1
-    ).write.mode("overwrite").parquet(f"{path}/banded_ptmod")
+    ).write.mode("overwrite").parquet(f"{gen_dir}/banded_ptmod")
 
 
-def _write_banded_state(
-    state: DataFrame, path: str, mode: str, n_bands: int, n_perms: int,
-    n_buckets: int,
+def _stage_banded_generation(
+    state: DataFrame, path: str, n_bands: int, n_perms: int, n_buckets: int
 ) -> None:
-    """Install a banded-base generation through the shared LSM core
-    (r15, VERDICT r14 #2): staged write (clustered
-    ``repartition(band_idx, pt)`` before ``partitionBy`` — the 5×
-    probe-read splinter lesson, now enforced in
-    :func:`lsm.write_base_staged`), ptmod marker BEFORE the swap (a live
-    banded base never exists without its modulus — the lsh_meta
-    ordering), then swap. Journal handling stays with the CALLERS
-    (save clears it, compact deletes the delta after its minhash steps —
-    the crash-window contract tests pin). ``mode`` is retained for
-    signature compatibility; a generation install is an overwrite."""
-    if mode != "overwrite":
-        raise ValueError("banded-state generations are overwrite-installed")
-    spark = state.sparkSession
+    """Build the staged banded generation: clustered data write
+    (``repartition(band_idx, pt)`` before ``partitionBy`` — the 5×
+    probe-read splinter lesson, enforced in
+    :func:`lsm.write_base_staged`) + the ptmod marker, both inside
+    ``banded_state_new``; the journal is empty by construction. The
+    caller installs it with ONE :func:`lsm.swap_base` rename."""
     lsm.write_base_staged(
         _banded_frame(state, n_bands, n_perms, n_buckets),
         path, "banded_state", ("band_idx", "pt"),
     )
-    _write_ptmod_marker(spark, path, n_buckets)
-    lsm.swap_base(spark, path, "banded_state")
+    _write_ptmod_marker(
+        state.sparkSession, lsm.staged_dir(path, "banded_state"), n_buckets
+    )
 
 
 def state_ptmod(spark, path: str) -> int | None:
     """The banded state's bucket modulus: the ``banded_ptmod`` marker
-    written alongside the base (row-count-independent — the empty-corpus
-    bootstrap keeps its configured modulus), falling back to the in-table
-    constant ``ptmod`` column for states written before the marker
-    existed. ``None`` only for a legacy empty state — callers then adopt
-    the default, exactly the legacy behavior. One tiny-file read; ingest
-    sinks resolve this ONCE and thread it through probe + append instead
-    of paying two footer-read jobs per micro-batch (VERDICT r8 wrong #3)."""
+    written inside the generation (row-count-independent — the
+    empty-corpus bootstrap keeps its configured modulus; pre-r16 states
+    keep it at the state root, resolved by :func:`lsm.sidecar_path`),
+    falling back to the in-table constant ``ptmod`` column for states
+    written before the marker existed. ``None`` only for a legacy empty
+    state — callers then adopt the default, exactly the legacy behavior.
+    One tiny-file read; ingest sinks resolve this ONCE and thread it
+    through probe + append instead of paying two footer-read jobs per
+    micro-batch (VERDICT r8 wrong #3)."""
     from pyspark.errors import AnalysisException
 
     try:
-        row = spark.read.parquet(f"{path}/banded_ptmod").first()
+        row = spark.read.parquet(
+            lsm.sidecar_path(spark, path, "banded_state", "banded_ptmod")
+        ).first()
         if row is not None:
             return row["ptmod"]
     except AnalysisException:
@@ -471,34 +481,32 @@ def save_dedup_state(
     the banded table stores shingles ``n_bands``× (space-for-time; the
     signature state remains the compact 1× copy).
 
-    r15 (shared LSM core): the install is STAGED — both expensive writes
-    land in staging dirs while the old generation stays fully live, the
-    journal (``banded_delta`` + ``deleted_ids``) is cleared, then the
-    two swaps run. The journal clear fixes a latent re-save hazard the
-    index side had already fixed in r13 and this side had NOT (the ×N
-    bug crop VERDICT r14 #2 predicted): a re-save over a live delta
-    previously left stale rows unioned into every read, and a re-save
-    over live tombstones silently suppressed freshly saved docs. A crash
-    between the journal clear and the swaps leaves the OLD bases live
-    with their journal gone (resurrected deletes / dropped appends until
-    the save is re-run — a few fs-ops-wide window, vs the old path's
-    unstaged overwrite that could crash mid-base); a crash between the
-    two swaps leaves new truth + old banded, which the next
-    :func:`compact_dedup_state` (or a save re-run) rebuilds."""
+    r16 (generation layout, VERDICT r15 #1): each table is a GENERATION
+    directory — data + sidecars + journal — installed by ONE rename, so
+    a re-save's journal reset (``delta`` + ``deleted_ids`` emptied) and
+    its ptmod marker land ATOMICALLY with the base they belong to; the
+    pre-r16 few-fs-ops windows (old base live with its tombstones
+    cleared; a new marker fronting an old base) no longer exist. Both
+    expensive writes land in staging dirs while the old generations stay
+    fully live; then the source of truth swaps first. The one remaining
+    cross-table window — a crash between the two swaps leaves the new
+    ``minhash_state`` (whose tombstones died with it) fronting the old
+    banded generation, whose stale rows and previously-deleted docs stay
+    probe-visible — heals at the next :func:`compact_dedup_state` (or a
+    save re-run), which rebuilds the banded table from the NEW truth;
+    truth-first ordering is what makes that healer converge to the
+    intended save rather than reverting it."""
     state = _materialized(
         _signatures_from_sets(shingle_hashes(documents), "shingles", n_perms)
     )
     spark = state.sparkSession
     try:
         lsm.write_base_staged(state, path, "minhash_state", ())
-        lsm.write_base_staged(
-            _banded_frame(state, n_bands, n_perms, n_buckets),
-            path, "banded_state", ("band_idx", "pt"),
-        )
-        _write_ptmod_marker(spark, path, n_buckets)
-        lsm.clear_journal(spark, path, "banded_delta")
+        _stage_banded_generation(state, path, n_bands, n_perms, n_buckets)
         lsm.swap_base(spark, path, "minhash_state")
         lsm.swap_base(spark, path, "banded_state")
+        for d in _LEGACY_ROOT_DIRS:
+            lsm.delete_path(spark, f"{path}/{d}")
     finally:
         state.unpersist()
 
@@ -539,22 +547,23 @@ def append_dedup_state(
     on an object store per-file opens dominate even harder. Coalescing a
     micro-batch-sized append is free: the banding explode of a ≤ few-k-doc
     batch is trivially single-partition work."""
+    spark = new_state.sparkSession
     # a live tombstone would silently suppress the re-added rows at
     # every read — refuse until compaction clears it (shared guard)
     lsm.refuse_tombstoned(
-        new_state, path, "doc_id", "compact_dedup_state", "documents"
+        new_state, path, "minhash_state", "doc_id",
+        "compact_dedup_state", "documents",
     )
-    # finish any interrupted save/compact swap BEFORE appending (r15
-    # review #2): a mode("append") parquet write into a missing live dir
-    # CREATES it, after which self_heal_swap no-ops forever — the staged
-    # corpus would be orphaned and the next compact (which rebuilds the
-    # banded base from minhash_state, the source of truth) would silently
-    # shrink the corpus to the appended batches. Reads already heal this
-    # window (load_dedup_state); appends must too.
-    lsm.self_heal_swap(new_state.sparkSession, path, "minhash_state")
+    # lsm.data_path self-heals any interrupted swap BEFORE the append
+    # (r15 review #2, now enforced inside the lsm resolvers): a
+    # mode("append") parquet write into a missing live dir CREATES it,
+    # after which self_heal_swap no-ops forever — the staged corpus would
+    # be orphaned and the next compact (which rebuilds the banded base
+    # from minhash_state, the source of truth) would silently shrink the
+    # corpus to the appended batches.
     new_state.select("doc_id", "shingles", "signature").coalesce(
         delta_files
-    ).write.mode("append").parquet(f"{path}/minhash_state")
+    ).write.mode("append").parquet(lsm.data_path(spark, path, "minhash_state"))
     recorded = (
         resolved_ptmod
         if resolved_ptmod is not None
@@ -574,33 +583,31 @@ def append_dedup_state(
         )
     lsm.append_delta(
         _banded_frame(new_state, n_bands, n_perms, n_buckets),
-        path, "banded_delta", delta_files,
+        path, "banded_state", "banded_delta", delta_files,
     )
 
 
 def load_dedup_state(spark, path: str) -> DataFrame:
-    """The signature state, minus tombstoned ids. Self-heals the one
-    compaction crash window that matters: if ``minhash_state`` is gone
-    but the rewrite staging dir ``minhash_state_new`` survived (crash
-    between compact's delete and rename), the rename is finished here
-    before reading."""
-    lsm.self_heal_swap(spark, path, "minhash_state")
+    """The signature state, minus tombstoned ids. The lsm resolver
+    self-heals an interrupted swap first: if the live generation is gone
+    but the staging dir ``minhash_state_new`` survived (crash between a
+    save/compact's delete and rename), the rename is finished before
+    reading."""
     return apply_tombstones(
-        spark, path, spark.read.parquet(f"{path}/minhash_state")
+        spark, path, spark.read.parquet(lsm.data_path(spark, path, "minhash_state"))
     )
 
 
-def _read_banded_or_empty(spark, path: str, sub: str) -> DataFrame:
-    """One leg of the banded state. A zero-row corpus writes no partition
-    directories (Spark emits no files under ``partitionBy`` for an empty
-    frame), so schema inference fails — degrade to an empty frame with
-    the contract schema."""
+def _banded_or_empty(spark, read) -> DataFrame:
+    """Degrade a banded-leg read to an empty contract-schema frame: a
+    zero-row corpus writes no partition directories (Spark emits no
+    files under ``partitionBy`` for an empty frame) and a fresh state
+    has no delta yet, so schema inference fails on either leg."""
     from pyspark.errors import AnalysisException
 
     cols = ("doc_id", "band_idx", "band_key", "shingles", "pt", "ptmod")
-    lsm.self_heal_swap(spark, path, sub)  # finish an interrupted install
     try:
-        return spark.read.parquet(f"{path}/{sub}").select(*cols)
+        return read().select(*cols)
     except AnalysisException:
         return spark.createDataFrame([], BANDED_STATE_SCHEMA).select(*cols)
 
@@ -610,14 +617,23 @@ def load_banded_base(spark, path: str) -> DataFrame:
     :func:`save_dedup_state` / :func:`compact_dedup_state`). Its file
     listing is pinned at read time, and the base only changes at
     compaction — so a long-running ingest sink reads it ONCE and re-reads
-    only the delta per batch (re-resolving after compaction)."""
-    return _read_banded_or_empty(spark, path, "banded_state")
+    only the delta per batch (re-resolving after compaction). The lsm
+    resolver self-heals an interrupted install first."""
+    return _banded_or_empty(
+        spark,
+        lambda: spark.read.parquet(lsm.data_path(spark, path, "banded_state")),
+    )
 
 
 def load_banded_delta(spark, path: str) -> DataFrame:
     """The flat append DELTA alone (:func:`append_dedup_state`) — the
     per-batch re-read: appends-sized, a small flat dir listing."""
-    return _read_banded_or_empty(spark, path, "banded_delta")
+    return _banded_or_empty(
+        spark,
+        lambda: spark.read.parquet(
+            lsm.delta_path(spark, path, "banded_state", "banded_delta")
+        ),
+    )
 
 
 def load_banded_state(spark, path: str) -> DataFrame:
@@ -665,22 +681,26 @@ def delete_from_dedup_state(spark, path: str, doc_ids) -> None:
 
     Re-adding a tombstoned id before a compaction has run is REFUSED by
     :func:`append_dedup_state` (the tombstone would silently suppress
-    the re-added rows — delete-then-readd requires a compact between)."""
-    lsm.write_tombstones(spark, path, doc_ids, "doc_id")
+    the re-added rows — delete-then-readd requires a compact between).
+
+    Tombstones live INSIDE the ``minhash_state`` generation (r16): the
+    source of truth owns its deletes, so a save/compact clears them
+    atomically with the corpus rewrite they became physical in."""
+    lsm.write_tombstones(spark, path, "minhash_state", doc_ids, "doc_id")
 
 
 def load_deleted_ids(spark, path: str) -> DataFrame | None:
     """The live tombstone set, or None when no deletes are pending
     (:func:`lsm.load_tombstones` — one filesystem stat in the no-delete
     common case)."""
-    return lsm.load_tombstones(spark, path)
+    return lsm.load_tombstones(spark, path, "minhash_state")
 
 
 def apply_tombstones(spark, path: str, df: DataFrame) -> DataFrame:
     """Filter a state read against the live tombstones
     (:func:`lsm.apply_tombstones` on doc_id: a broadcast LEFT ANTI join;
     no plan node at all when no deletes are pending)."""
-    return lsm.apply_tombstones(spark, path, df, "doc_id")
+    return lsm.apply_tombstones(spark, path, "minhash_state", df, "doc_id")
 
 
 def compact_dedup_state(
@@ -700,30 +720,43 @@ def compact_dedup_state(
 
     When tombstones are pending (:func:`delete_from_dedup_state`), the
     rebuild reads the FILTERED state, so the new base physically drops
-    deleted rows; ``minhash_state`` itself is then rewritten via a
-    staging dir (write → delete → rename; the one unrecoverable-looking
-    crash window, delete-before-rename, self-heals in
-    :func:`load_dedup_state`) and the tombstones are cleared — after
-    which the deleted ids may be re-ingested."""
+    deleted rows; ``minhash_state`` itself is rewritten as a fresh
+    generation whose empty journal IS the tombstone clear — atomic with
+    the corpus that made the deletes physical (r16) — after which the
+    deleted ids may be re-ingested.
+
+    Swap order (r16): banded FIRST, then minhash. A crash between the
+    two leaves the new (filtered) banded generation over the old
+    ``minhash_state``, whose tombstones are STILL LIVE inside it — every
+    read stays consistent (old data minus tombstones == the filtered
+    state just installed) and a compact re-run is a plain retry. The
+    reverse order would open a window where tombstoned rows resurface in
+    banded probes. Contrast :func:`save_dedup_state`, where truth-first
+    is what lets a later compact COMPLETE a crashed save instead of
+    reverting it — the orders differ because compact derives from the
+    old truth while save replaces it."""
     if n_buckets is None:
         recorded = state_ptmod(spark, path)
         n_buckets = recorded if recorded is not None else NUM_STATE_BUCKETS
     had_tombstones = load_deleted_ids(spark, path) is not None
     state = _materialized(load_dedup_state(spark, path))
     try:
-        _write_banded_state(state, path, "overwrite", n_bands, n_perms, n_buckets)
+        _stage_banded_generation(state, path, n_bands, n_perms, n_buckets)
         if had_tombstones:
-            # physical removal from the source of truth: stage, swap
+            # physical removal from the source of truth: a fresh
+            # generation (no tombstones) staged before either swap
             lsm.write_base_staged(
                 state.select("doc_id", "shingles", "signature"),
                 path, "minhash_state", (),
             )
+        lsm.swap_base(spark, path, "banded_state")
+        if had_tombstones:
             lsm.swap_base(spark, path, "minhash_state")
-            lsm.delete_path(spark, f"{path}/deleted_ids")
+        # dead legacy dirs (pre-r16 layouts only; no-ops on v2 states)
+        for d in _LEGACY_ROOT_DIRS:
+            lsm.delete_path(spark, f"{path}/{d}")
     finally:
         state.unpersist()
-    # portable recursive delete of the folded delta (local FS, HDFS, s3a)
-    lsm.delete_path(spark, f"{path}/banded_delta")
 
 
 def batch_dedup_state(new_docs: DataFrame, n_perms: int = N_PERMS) -> DataFrame:

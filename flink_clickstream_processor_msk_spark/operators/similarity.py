@@ -30,7 +30,6 @@ from flink_clickstream_processor_msk_spark.functions.hashing import h60
 from flink_clickstream_processor_msk_spark.operators import lsm
 from flink_clickstream_processor_msk_spark.operators.dedup import (
     N_PLANES,
-    _hadoop_fs,
     _materialized,
     build_lsh_index,
     cosine,
@@ -60,28 +59,61 @@ _INDEX_TABLES: dict[str, tuple[str, str | None]] = {
 }
 
 
+#: every sub an index data table can live under (one kind per path)
+_INDEX_SUBS = ("cells", "buckets", "codes")
+
+
+def _index_sub(spark, path: str) -> str | None:
+    """Which data-table generation lives at ``path`` (an index path hosts
+    exactly one kind) — probes live + staged dirs; ``None`` for a path
+    with no index yet (tombstones then use the legacy state-root
+    placement, see :func:`lsm.tombstones_path`)."""
+    for sub in _INDEX_SUBS:
+        if lsm.path_exists(spark, f"{path}/{sub}") or lsm.path_exists(
+            spark, lsm.staged_dir(path, sub)
+        ):
+            return sub
+    return None
+
+
+def _sidecar_path(spark, path: str, name: str) -> str:
+    """A sidecar's directory: inside the live generation for r16 layouts,
+    at the state root for pre-r16 ones (:func:`lsm.sidecar_path`)."""
+    sub = _index_sub(spark, path)
+    if sub is None:
+        return f"{path}/{name}"
+    return lsm.sidecar_path(spark, path, sub, name)
+
+
 def delete_from_index(spark, path: str, vec_ids) -> None:
     """Tombstone vectors out of a written index: subsequent loads (and
     therefore every probe over them) exclude the ids; the next
     :func:`compact_index` drops their rows physically. ``vec_ids``: an
     iterable of ids or a DataFrame with a ``vec_id`` column."""
-    lsm.write_tombstones(spark, path, vec_ids, "vec_id")
+    lsm.write_tombstones(spark, path, _index_sub(spark, path), vec_ids, "vec_id")
 
 
 def load_index_tombstones(spark, path: str) -> DataFrame | None:
     """The live tombstone set, or None when no deletes are pending (one
     filesystem stat — loads in the no-delete common case pay nothing)."""
-    return lsm.load_tombstones(spark, path)
+    return lsm.load_tombstones(spark, path, _index_sub(spark, path))
 
 
 def _apply_index_tombstones(spark, path: str, df: DataFrame) -> DataFrame:
-    return lsm.apply_tombstones(spark, path, df, "vec_id")
+    return lsm.apply_tombstones(
+        spark, path, _index_sub(spark, path), df, "vec_id"
+    )
 
 
 def _refuse_tombstoned(new_embeddings: DataFrame, path: str) -> None:
     """Append-side guard shared by every ``append_to_*_index``."""
     lsm.refuse_tombstoned(
-        new_embeddings, path, "vec_id", "compact_index", "vectors"
+        new_embeddings,
+        path,
+        _index_sub(new_embeddings.sparkSession, path),
+        "vec_id",
+        "compact_index",
+        "vectors",
     )
 
 
@@ -94,33 +126,18 @@ def _read_index_table(spark, path: str, sub: str) -> DataFrame:
 
 
 def _append_index_rows(rows: DataFrame, path: str, sub: str) -> None:
-    """Shared append write: ONE flat file per append into
-    ``{path}/{sub}_delta`` (:func:`lsm.append_delta` — the
+    """Shared append write: ONE flat file per append into the
+    generation's delta (:func:`lsm.append_delta` — the
     banded-dedup-state delta discipline; measured provenance in the lsm
     module docstring); :func:`compact_index` folds it back into the
     partition-pruned base on the caller's cadence."""
-    lsm.append_delta(rows, path, f"{sub}_delta")
+    lsm.append_delta(rows, path, sub, f"{sub}_delta")
 
 
-def _clear_index_journal(spark, path: str, sub: str) -> None:
-    """Drop the append delta AND tombstones when a generation is
-    replaced (:func:`lsm.clear_journal`; rationale there — r13 review:
-    a surviving journal silently duplicates or suppresses rows of the
-    fresh base)."""
-    lsm.clear_journal(spark, path, f"{sub}_delta")
-
-
-def _write_base_staged(rows: DataFrame, path: str, sub: str, part_col: str | None) -> None:
-    """Stage a data-table generation (:func:`lsm.write_base_staged`):
-    clustered repartition before partitionBy, plain write for EMPTY
-    partitioned frames (schema keeper), installed by :func:`_swap_base`."""
-    lsm.write_base_staged(rows, path, sub, (part_col,) if part_col else ())
-
-
-def _swap_base(spark, path: str, sub: str) -> None:
-    """Install the staged generation (:func:`lsm.swap_base`); the one
-    crash window self-heals in :func:`_read_index_table`."""
-    lsm.swap_base(spark, path, sub)
+#: legacy (pre-r16) state-root dirs superseded by the generation layout —
+#: removed after an install upgrades an old state (dead by then: every
+#: resolver prefers the generation placement)
+_LEGACY_ROOT_DIRS = ("deleted_ids", "centroids", "codebooks", "ood_ref", "lsh_meta")
 
 
 def _install_index_base(
@@ -129,35 +146,42 @@ def _install_index_base(
     kind: str,
     write_sidecars=None,
 ) -> None:
-    """Shared generation install for every ``save_*_index``: staged base
-    write → sidecars → clear delta + tombstones → swap
-    (:func:`lsm.install_base`; the full crash-window analysis — the r14
-    ADVICE r13 fix — lives on that function)."""
+    """Shared generation install for every ``save_*_index`` and
+    :func:`compact_index` (:func:`lsm.install_base`): the staged
+    generation carries the data table, the caller's sidecars
+    (``write_sidecars(staged_gen_dir)``) and an EMPTY journal, and ONE
+    rename installs all of it — sidecar-vs-base mismatch and
+    cleared-tombstone windows are structurally impossible (r16,
+    VERDICT r15 #1)."""
     sub, part_col = _INDEX_TABLES[kind]
     lsm.install_base(
         rows, path, sub, (part_col,) if part_col else (),
-        f"{sub}_delta", write_sidecars=write_sidecars,
+        write_sidecars=write_sidecars,
+        legacy_cleanup=(f"{sub}_delta", *_LEGACY_ROOT_DIRS),
     )
 
 
-def _write_centroids_sidecar(spark, path: str, cents) -> None:
+def _write_centroids_sidecar(spark, gen_dir: str, cents) -> None:
+    """Write the ``centroids`` sidecar into a (staged) generation dir."""
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cidx int, cvec array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{gen_dir}/centroids")
 
 
 def _load_centroids(spark, path: str) -> list[list[float]]:
     """The ``centroids`` sidecar as the in-memory list every probe /
     append / load shares; EMPTY is refused loudly — a build never writes
     zero centroids, so an empty read is a crashed or foreign layout."""
-    rows = spark.read.parquet(f"{path}/centroids").orderBy("cidx").collect()
+    p = _sidecar_path(spark, path, "centroids")
+    rows = spark.read.parquet(p).orderBy("cidx").collect()
     if not rows:
-        raise ValueError(f"no centroids sidecar at {path}/centroids")
+        raise ValueError(f"no centroids sidecar at {p}")
     return [[float(x) for x in r["cvec"]] for r in rows]
 
 
-def _write_codebooks_sidecar(spark, path: str, cbs) -> None:
+def _write_codebooks_sidecar(spark, gen_dir: str, cbs) -> None:
+    """Write the ``codebooks`` sidecar into a (staged) generation dir."""
     spark.createDataFrame(
         [
             (s, j, list(map(float, c)))
@@ -165,15 +189,16 @@ def _write_codebooks_sidecar(spark, path: str, cbs) -> None:
             for j, c in enumerate(cb)
         ],
         "s int, j int, cvec array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{gen_dir}/codebooks")
 
 
 def _load_codebooks(spark, path: str) -> list[list[list[float]]]:
     """The ``codebooks`` sidecar as the nested per-subspace list (same
     refuse-on-empty contract as :func:`_load_centroids`)."""
-    rows = spark.read.parquet(f"{path}/codebooks").orderBy("s", "j").collect()
+    p = _sidecar_path(spark, path, "codebooks")
+    rows = spark.read.parquet(p).orderBy("s", "j").collect()
     if not rows:
-        raise ValueError(f"no codebooks sidecar at {path}/codebooks")
+        raise ValueError(f"no codebooks sidecar at {p}")
     m = max(r["s"] for r in rows) + 1
     cbs: list[list[list[float]]] = [[] for _ in range(m)]
     for r in rows:
@@ -189,25 +214,39 @@ def _load_index_rows(spark, path: str, kind: str) -> DataFrame:
     return _apply_index_tombstones(spark, path, _read_index_table(spark, path, sub))
 
 
+#: sidecars each kind carries through compaction (structure, not rows —
+#: compaction rewrites the data table, never its routing structures)
+_KIND_SIDECARS = {
+    "ivf": ("centroids",),
+    "ivfpq": ("centroids", "codebooks", "ood_ref"),
+    "lsh": ("lsh_meta",),
+    "pq": ("codebooks", "ood_ref"),
+}
+
+
 def compact_index(spark, path: str, kind: str) -> None:
     """Fold the flat append delta back into the routing-partitioned base
     AND physically drop tombstoned vectors (``kind`` in ivf | ivfpq |
     lsh | pq) — the LSM compaction of the written-index lifecycle:
-    rewrite base ∪ delta, tombstone-filtered and vec_id-deduplicated,
-    through the shared staged write + swap (:func:`_write_base_staged` /
-    :func:`_swap_base`), then clear the journal; deleted ids may be
-    re-ingested afterwards. A crash between swap and delta delete leaves
-    delta rows duplicated in base + delta — probes stay top-k-correct
-    modulo a duplicated neighbor row, and RE-RUNNING compact heals it
-    (dropDuplicates makes the fold idempotent for byte-identical replay
-    rows ONLY; a live vec_id re-appended with a DIFFERENT payload is
-    refused loudly rather than collapsed to an arbitrary winner).
-    Sidecars (centroids/codebooks/ood_ref) are structure, not rows —
-    untouched; a large delete shifts occupancy/OOD shares, which the
-    monitors read post-delete by construction."""
+    rewrite base ∪ delta, tombstone-filtered and vec_id-deduplicated, as
+    a fresh generation (data + carried-over sidecars + empty journal)
+    installed by one rename (:func:`_install_index_base`); deleted ids
+    may be re-ingested afterwards. Since r16 the install is atomic:
+    there is no crash window with delta rows duplicated in base + delta,
+    or with tombstones cleared over an unrewritten base — a crash
+    anywhere during compaction leaves the OLD generation fully live and
+    a re-run is a plain retry. The dropDuplicates below still guards the
+    APPEND-side replay (a producer re-sending an acked append after its
+    own crash); a live vec_id re-appended with a DIFFERENT payload is
+    refused loudly rather than collapsed to an arbitrary winner.
+    Sidecars (centroids/codebooks/ood_ref/lsh_meta) are copied into the
+    staged generation unchanged; a large delete shifts occupancy/OOD
+    shares, which the monitors read post-delete by construction."""
     sub, part_col = _INDEX_TABLES[kind]
-    fs, dpath = _hadoop_fs(spark, f"{path}/{sub}_delta")
-    if load_index_tombstones(spark, path) is None and not fs.exists(dpath):
+    has_delta = lsm.path_exists(
+        spark, lsm.delta_path(spark, path, sub, f"{sub}_delta")
+    )
+    if load_index_tombstones(spark, path) is None and not has_delta:
         return
     live = _apply_index_tombstones(
         spark, path, _read_index_table(spark, path, sub)
@@ -251,17 +290,18 @@ def compact_index(spark, path: str, kind: str) -> None:
             "and compact before re-adding, or dedupe the producer"
         )
     filtered = live.dropDuplicates(["vec_id"])
-    # staged write → swap → clear journal (shared with the save core).
-    # Clearing AFTER the swap here (vs before it in _install_index_base)
-    # is deliberate: the tombstones were already applied to `filtered`,
-    # so a crash between swap and clear leaves them live over a base
-    # that physically dropped the rows — re-applied at read as no-ops,
-    # re-add refused until a re-run compact clears them, both loud-safe;
-    # delta rows surviving that crash are duplicated in base + delta and
-    # the dropDuplicates makes a re-run heal them.
-    _write_base_staged(filtered, path, sub, part_col)
-    _swap_base(spark, path, sub)
-    _clear_index_journal(spark, path, sub)
+    # the live generation's sidecars are still in place while the staged
+    # one is built (the swap comes last) — copy them across so the new
+    # generation stays self-contained
+    live_sidecars = [
+        (name, _sidecar_path(spark, path, name)) for name in _KIND_SIDECARS[kind]
+    ]
+
+    def carry_sidecars(gen_dir: str) -> None:
+        for name, src in live_sidecars:
+            lsm.copy_dir(spark, src, f"{gen_dir}/{name}")
+
+    _install_index_base(filtered, path, kind, carry_sidecars)
 
 
 def _query_vector(embeddings: DataFrame, query_vec_id: int) -> list[float]:
@@ -642,13 +682,13 @@ def kmeans_refine_centroids(
 def save_ivf_index(
     embeddings: DataFrame, path: str, n_centroids: int = N_CENTROIDS
 ) -> None:
-    """Build and write an IVF index: ``path/cells`` partitioned by ``cell``
-    + ``path/centroids`` sidecar."""
+    """Build and write an IVF index: the ``cells`` generation,
+    partitioned by ``cell``, carrying a ``centroids`` sidecar."""
     cents, index = build_ivf_index(embeddings, n_centroids)
     spark = embeddings.sparkSession
     _install_index_base(
         index, path, "ivf",
-        lambda: _write_centroids_sidecar(spark, path, cents),
+        lambda gen_dir: _write_centroids_sidecar(spark, gen_dir, cents),
     )
     index.unpersist()
 
@@ -671,11 +711,12 @@ def append_to_ivf_index(new_embeddings: DataFrame, path: str) -> None:
     append_to_index(new_embeddings, path, "ivf")
 
 
-def _encode_ivf_rows(new_embeddings: DataFrame, path: str) -> DataFrame:
+def _encode_ivf_rows(
+    new_embeddings: DataFrame, path: str, structure=None
+) -> DataFrame:
     spark = new_embeddings.sparkSession
-    cell_udf = _make_cell_udf(
-        spark.sparkContext.broadcast(_load_centroids(spark, path))
-    )
+    cents = structure if structure is not None else _load_centroids(spark, path)
+    cell_udf = _make_cell_udf(spark.sparkContext.broadcast(cents))
     return new_embeddings.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
@@ -746,28 +787,22 @@ def save_lsh_index(
     missed every appended vector), so it is recorded in an ``lsh_meta``
     sidecar that :func:`append_to_lsh_index` and
     :func:`saved_lsh_n_planes` resolve — the centroids/codebooks-sidecar
-    pattern. Unlike the loud-on-missing sidecars, lsh_meta is written
-    BEFORE the staged base: a meta-less live buckets table must stay
-    provably a pre-sidecar legacy index (the one case the N_PLANES
-    fallback is correct for), and that invariant has to hold through
-    EVERY crash window INCLUDING the self-heal path — a first save
-    crashing between the staged write and the meta write would
-    otherwise let the next read's :func:`lsm.self_heal_swap` install a
-    non-default base with no meta, silently resolving to the default
-    (r15 review: the sidecar-stage ordering briefly tried here had
-    exactly that hole). The deliberate trade (ADVICE r14, acknowledged):
-    during a RE-save, from this meta write until the swap — a window
-    spanning the staged base write — ``saved_lsh_n_planes`` / append /
-    probe SILENTLY hash with the NEW n_planes against the OLD-plane
-    live buckets; re-running the crashed save converges, and the
-    alternative (meta after base) converts that bounded mismatch window
-    into the unbounded silent-default hazard above."""
+    pattern. The sidecar is STAGED INSIDE the generation and installs
+    atomically with the buckets it describes (r16, closing the r14/r15
+    ordering trade): no crash or self-heal ordering can produce a
+    non-default base without its meta (the silent-default hazard) or a
+    new-plane meta fronting old-plane buckets (the re-save mismatch
+    window) — the two failure modes that forced a pick-your-poison
+    ordering when the meta lived outside the generation."""
     spark = embeddings.sparkSession
     index = build_lsh_index(embeddings, n_planes)
-    spark.createDataFrame([(int(n_planes),)], "n_planes int").coalesce(
-        1
-    ).write.mode("overwrite").parquet(f"{path}/lsh_meta")
-    _install_index_base(index, path, "lsh")
+
+    def sidecars(gen_dir: str) -> None:
+        spark.createDataFrame([(int(n_planes),)], "n_planes int").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{gen_dir}/lsh_meta")
+
+    _install_index_base(index, path, "lsh", sidecars)
     index.unpersist()
 
 
@@ -775,10 +810,10 @@ def saved_lsh_n_planes(spark, path: str) -> int:
     """The n_planes a written LSH index was SAVED with (``lsh_meta``
     sidecar; pre-sidecar legacy indexes resolve to the N_PLANES
     default — exactly what their save used)."""
-    fs, meta = _hadoop_fs(spark, f"{path}/lsh_meta")
-    if not fs.exists(meta):
+    meta_p = _sidecar_path(spark, path, "lsh_meta")
+    if not lsm.path_exists(spark, meta_p):
         return N_PLANES
-    return int(spark.read.parquet(f"{path}/lsh_meta").first()["n_planes"])
+    return int(spark.read.parquet(meta_p).first()["n_planes"])
 
 
 def load_lsh_index(spark, path: str) -> DataFrame:
@@ -1027,10 +1062,11 @@ def save_pq_index(
     k_cb: int = PQ_K,
     codebooks: list[list[list[float]]] | None = None,
 ) -> None:
-    """Build and write a PQ index: ``path/codes`` (the 16×-compressed
-    scan target — written plain: ADC scans it whole, there is no routing
-    column; IVFADC adds one via the IVF index) + ``path/codebooks``
-    sidecar + ``path/ood_ref`` (the base corpus's ``PQ_OOD_QUANTILE``
+    """Build and write a PQ index: the ``codes`` generation (the
+    16×-compressed scan target — written plain: ADC scans it whole,
+    there is no routing column; IVFADC adds one via the IVF index)
+    carrying a ``codebooks``
+    sidecar + ``ood_ref`` (the base corpus's ``PQ_OOD_QUANTILE``
     quantization-error quantile and size — the drift reference
     :func:`~...streaming.ingest.index_ingest_sink` monitors appended
     batches against). Pass ``codebooks=pq_refine_codebooks(...)`` to
@@ -1043,9 +1079,9 @@ def save_pq_index(
     threshold = qerr.approxQuantile("qerr", [PQ_OOD_QUANTILE], 0.0)[0]
     n_base = embeddings.count()
 
-    def sidecars():
-        _write_codebooks_sidecar(spark, path, cbs)
-        _write_pq_ood_ref(spark, path, threshold, n_base, PQ_OOD_QUANTILE)
+    def sidecars(gen_dir: str) -> None:
+        _write_codebooks_sidecar(spark, gen_dir, cbs)
+        _write_pq_ood_ref(spark, gen_dir, threshold, n_base, PQ_OOD_QUANTILE)
 
     _install_index_base(codes, path, "pq", sidecars)
     codes.unpersist()
@@ -1068,11 +1104,12 @@ def append_to_pq_index(new_embeddings: DataFrame, path: str) -> None:
     append_to_index(new_embeddings, path, "pq")
 
 
-def _encode_pq_rows(new_embeddings: DataFrame, path: str) -> DataFrame:
+def _encode_pq_rows(
+    new_embeddings: DataFrame, path: str, structure=None
+) -> DataFrame:
     spark = new_embeddings.sparkSession
-    codes_udf, _bc = _make_pq_codes_udf(
-        spark.sparkContext, _load_codebooks(spark, path)
-    )
+    cbs = structure if structure is not None else _load_codebooks(spark, path)
+    codes_udf, _bc = _make_pq_codes_udf(spark.sparkContext, cbs)
     return new_embeddings.select("vec_id", codes_udf("embedding").alias("codes"))
 
 
@@ -1108,10 +1145,10 @@ def save_ivfpq_index(
     threshold = qerr.approxQuantile("qerr", [PQ_OOD_QUANTILE], 0.0)[0]
     n_base = embeddings.count()
 
-    def sidecars():
-        _write_centroids_sidecar(spark, path, cents)
-        _write_codebooks_sidecar(spark, path, cbs)
-        _write_pq_ood_ref(spark, path, threshold, n_base, PQ_OOD_QUANTILE)
+    def sidecars(gen_dir: str) -> None:
+        _write_centroids_sidecar(spark, gen_dir, cents)
+        _write_codebooks_sidecar(spark, gen_dir, cbs)
+        _write_pq_ood_ref(spark, gen_dir, threshold, n_base, PQ_OOD_QUANTILE)
 
     _install_index_base(
         cells.join(codes, "vec_id"),  # one-time build-side join
@@ -1133,14 +1170,17 @@ def append_to_ivfpq_index(new_embeddings: DataFrame, path: str) -> None:
     append_to_index(new_embeddings, path, "ivfpq")
 
 
-def _encode_ivfpq_rows(new_embeddings: DataFrame, path: str) -> DataFrame:
+def _encode_ivfpq_rows(
+    new_embeddings: DataFrame, path: str, structure=None
+) -> DataFrame:
     spark = new_embeddings.sparkSession
-    cell_udf = _make_cell_udf(
-        spark.sparkContext.broadcast(_load_centroids(spark, path))
+    cents, cbs = (
+        structure
+        if structure is not None
+        else (_load_centroids(spark, path), _load_codebooks(spark, path))
     )
-    codes_udf, _bc = _make_pq_codes_udf(
-        spark.sparkContext, _load_codebooks(spark, path)
-    )
+    cell_udf = _make_cell_udf(spark.sparkContext.broadcast(cents))
+    codes_udf, _bc = _make_pq_codes_udf(spark.sparkContext, cbs)
     return new_embeddings.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
@@ -1215,12 +1255,13 @@ def pq_quantization_error(
 
 
 def _write_pq_ood_ref(
-    spark, path: str, qerr_threshold: float, base_n: int, quantile: float
+    spark, gen_dir: str, qerr_threshold: float, base_n: int, quantile: float
 ) -> None:
+    """Write the ``ood_ref`` sidecar into a (staged) generation dir."""
     spark.createDataFrame(
         [(float(qerr_threshold), int(base_n), float(quantile))],
         "qerr_threshold double, base_n long, quantile double",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/ood_ref")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{gen_dir}/ood_ref")
 
 
 def load_pq_ood_ref(spark, path: str):
@@ -1230,7 +1271,7 @@ def load_pq_ood_ref(spark, path: str):
     from pyspark.errors import AnalysisException
 
     try:
-        row = spark.read.parquet(f"{path}/ood_ref").first()
+        row = spark.read.parquet(_sidecar_path(spark, path, "ood_ref")).first()
     except AnalysisException:
         return None
     if row is None:
@@ -1247,11 +1288,15 @@ def append_to_lsh_index(new_embeddings: DataFrame, path: str) -> None:
     append_to_index(new_embeddings, path, "lsh")
 
 
-def _encode_lsh_rows(new_embeddings: DataFrame, path: str) -> DataFrame:
-    return build_lsh_index(
-        new_embeddings,
-        saved_lsh_n_planes(new_embeddings.sparkSession, path),
+def _encode_lsh_rows(
+    new_embeddings: DataFrame, path: str, structure=None
+) -> DataFrame:
+    n_planes = (
+        structure
+        if structure is not None
+        else saved_lsh_n_planes(new_embeddings.sparkSession, path)
     )
+    return build_lsh_index(new_embeddings, n_planes)
 
 
 #: per-kind append row encoder: resolve the saved structure sidecars and
@@ -1264,7 +1309,29 @@ _INDEX_ENCODERS = {
 }
 
 
-def append_to_index(new_embeddings: DataFrame, path: str, kind: str) -> None:
+def load_index_structure(spark, path: str, kind: str):
+    """The saved routing structure an append encodes new vectors under —
+    centroids (ivf), codebooks (pq), (centroids, codebooks) (ivfpq), or
+    n_planes (lsh). A long-running sink resolves this ONCE (the
+    ``_StateHandles`` discipline) and threads it through
+    ``append_to_index(structure=...)``, removing the per-epoch
+    sidecar-collect job from the append's fixed cost (VERDICT r15 #6);
+    re-resolve after a re-train (sidecars change only then — compaction
+    carries them verbatim)."""
+    if kind == "ivf":
+        return _load_centroids(spark, path)
+    if kind == "pq":
+        return _load_codebooks(spark, path)
+    if kind == "ivfpq":
+        return _load_centroids(spark, path), _load_codebooks(spark, path)
+    if kind == "lsh":
+        return saved_lsh_n_planes(spark, path)
+    raise ValueError(f"unknown index kind {kind!r}")
+
+
+def append_to_index(
+    new_embeddings: DataFrame, path: str, kind: str, structure=None
+) -> None:
     """The single LSM append core behind all four ``append_to_*_index``
     wrappers (r14 consolidation — r13's deep review fixed the same bug
     once per layout; the lifecycle now lives here once): refuse
@@ -1272,11 +1339,13 @@ def append_to_index(new_embeddings: DataFrame, path: str, kind: str) -> None:
     every read), encode ONLY the new vectors under the index's SAVED
     structure (centroids / codebooks / n_planes — resolved via the
     sidecar loaders, loud on absence), and write ONE flat file into
-    ``{sub}_delta`` (:func:`_append_index_rows`); reads union the delta,
-    :func:`compact_index` folds it back."""
+    the generation's delta (:func:`_append_index_rows`); reads union the
+    delta, :func:`compact_index` folds it back. ``structure``: a
+    pre-resolved :func:`load_index_structure` value — skips the
+    per-append sidecar jobs for amortizing callers."""
     _refuse_tombstoned(new_embeddings, path)
     sub, _ = _INDEX_TABLES[kind]
-    rows = _INDEX_ENCODERS[kind](new_embeddings, path)
+    rows = _INDEX_ENCODERS[kind](new_embeddings, path, structure)
     _append_index_rows(rows, path, sub)
     rows.unpersist()  # no-op unless the encoder persisted (lsh build)
 

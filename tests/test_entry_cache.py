@@ -70,3 +70,35 @@ def test_families_and_clean_corpus_share_pairs(spark):
     assert entry_mod._minhash_pairs(spark, SF_SMOKE) is pairs
     assert fam.count() > 0
     assert clean.count() > 0
+
+def test_checkpoint_backed_frame_not_repersisted_without_classname_probe(spark):
+    """r16 (VERDICT r15 #2): ensure_persisted must leave a
+    checkpoint-backed frame untouched via the repo-owned tag written by
+    dedup.checkpoint_backed — no py4j class-name probe, no broad
+    exception fallback — while an ordinary frame still gets the
+    MEMORY_AND_DISK mark, and an already-persisted frame is not
+    double-marked."""
+    from pyspark import StorageLevel
+
+    from flink_clickstream_processor_msk_spark.operators import dedup
+
+    pairs = entry_mod._minhash_pairs(spark, SF_SMOKE)  # tagged at build
+    assert getattr(pairs, "_spark_graft_checkpoint_backed", False)
+    out = dedup.ensure_persisted(pairs)
+    assert out is pairs
+    sl = pairs.storageLevel
+    assert not (sl.useMemory or sl.useDisk)  # no second copy materialized
+
+    plain = spark.range(10).toDF("id")
+    assert not getattr(plain, "_spark_graft_checkpoint_backed", False)
+    out2 = dedup.ensure_persisted(plain)
+    sl2 = out2.storageLevel
+    assert sl2.useMemory and sl2.useDisk
+    out2.unpersist()
+
+    pre = spark.range(5).toDF("id").persist(StorageLevel.MEMORY_ONLY)
+    try:
+        assert dedup.ensure_persisted(pre).storageLevel.useMemory
+        assert not dedup.ensure_persisted(pre).storageLevel.useDisk  # untouched
+    finally:
+        pre.unpersist()

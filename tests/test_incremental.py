@@ -715,7 +715,7 @@ def test_compact_folds_delta_into_partitioned_base(spark, tmp_path):
     path = str(tmp_path / "dedup_state_compact")
     dedup.save_dedup_state(corpus, path)
     dedup.append_dedup_state(dedup.batch_dedup_state(new), path)
-    assert os.path.isdir(f"{path}/banded_delta")
+    assert os.path.isdir(f"{path}/banded_state/delta")
 
     batch2 = spark.createDataFrame(
         [_doc(20, "a genuinely novel incoming document with fresh content words exactly")],
@@ -729,7 +729,7 @@ def test_compact_folds_delta_into_partitioned_base(spark, tmp_path):
         )
     )
     dedup.compact_dedup_state(spark, path)
-    assert not os.path.exists(f"{path}/banded_delta")
+    assert not os.path.exists(f"{path}/banded_state/delta")
     after_df = dedup.incremental_minhash_pairs(
         b2, dedup.load_dedup_state(spark, path), max_bucket_size=None,
         corpus_banded=dedup.load_banded_state(spark, path),
@@ -792,7 +792,7 @@ def test_ingest_sink_inline_compaction(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
 
-    assert not os.path.exists(f"{state_path}/banded_delta")
+    assert not os.path.exists(f"{state_path}/banded_state/delta")
     full = dedup.minhash_near_duplicates(
         corpus.unionByName(new), max_bucket_size=None
     )
@@ -800,36 +800,34 @@ def test_ingest_sink_inline_compaction(spark, tmp_path):
     spark.catalog.clearCache()
 
 
-def test_compact_crash_between_steps_stays_exact_and_recompact_restores(
+def test_duplicated_banded_rows_stay_exact_and_recompact_restores(
     spark, tmp_path
 ):
-    """The failure window compact_dedup_state's docstring documents:
-    crash AFTER the base is rebuilt from minhash_state but BEFORE the
-    delta is deleted → every delta row is duplicated in base ∪ delta.
-    In that state (a) UNCAPPED pair generation stays exact — duplicate
-    collision rows collapse in the probe's distinct — and (b) duplicated
-    rows each burn a skew-cap rank slot, so capped probes may diverge
-    until a RE-RUN of compact (idempotent) deletes the delta and
-    restores capped equality with the batch pipeline."""
+    """Duplicated banded rows (base ∪ delta carrying the same row twice).
+    Since the r16 atomic generation install a COMPACT crash can no longer
+    produce this (the delta dies with the swap), but an append REPLAY
+    still can: a producer whose append lands and whose ack is lost
+    retries the same batch into the delta. In that state (a) UNCAPPED
+    pair generation stays exact — duplicate collision rows collapse in
+    the probe's distinct — and (b) duplicated rows each burn a skew-cap
+    rank slot, so capped probes may diverge until a RE-RUN of compact
+    (idempotent: the base is rebuilt from minhash_state, where each doc
+    appears once) restores capped equality with the batch pipeline."""
+    import shutil
+
     corpus, new = _corpus_and_batch(spark)
     path = str(tmp_path / "dedup_state_crash")
     dedup.save_dedup_state(corpus, path)
     dedup.append_dedup_state(dedup.batch_dedup_state(new), path)
-
-    # crash-interrupted compaction: perform exactly compact's FIRST step
-    # (rebuild the partitioned base from the signature source of truth)
-    # and stop before the delta delete
     ptmod = dedup.state_ptmod(spark, path)
-    folded = dedup._materialized(dedup.load_dedup_state(spark, path))
-    try:
-        dedup._write_banded_state(
-            folded, path, "overwrite", dedup.N_BANDS, dedup.N_PERMS, ptmod
-        )
-    finally:
-        folded.unpersist()
-    import os
 
-    assert os.path.isdir(f"{path}/banded_delta")  # the crash artifact
+    # fold the delta into the base, then replay the SAME append delta
+    # (the lost-ack retry): every replayed row is now in base ∪ delta
+    delta_dir = f"{path}/banded_state/delta"
+    shutil.copytree(delta_dir, f"{path}/_replayed_delta")
+    dedup.compact_dedup_state(spark, path)
+    shutil.move(f"{path}/_replayed_delta", delta_dir)
+    import os
     dup_rows = (
         dedup.load_banded_state(spark, path)
         .groupBy("doc_id", "band_idx", "band_key")
@@ -869,7 +867,7 @@ def test_compact_crash_between_steps_stays_exact_and_recompact_restores(
 
         # re-compact (idempotent) → capped probe == capped batch pipeline
         dedup.compact_dedup_state(spark, path)
-        assert not os.path.exists(f"{path}/banded_delta")
+        assert not os.path.exists(f"{path}/banded_state/delta")
         cap = 2
         want_capped = {
             t
@@ -1138,10 +1136,10 @@ def test_delete_from_dedup_state_tombstones_and_compaction(spark, tmp_path):
 
         # compaction drops the rows physically and clears the tombstones
         dedup.compact_dedup_state(spark, path)
-        assert not os.path.exists(f"{path}/deleted_ids")
+        assert not os.path.exists(f"{path}/minhash_state/deleted_ids")
         raw_ids = {
             r["doc_id"]
-            for r in spark.read.parquet(f"{path}/minhash_state")
+            for r in spark.read.parquet(f"{path}/minhash_state/data")
             .select("doc_id").distinct().collect()
         }
         assert 2 not in raw_ids and 0 in raw_ids
@@ -1375,12 +1373,13 @@ def test_append_delta_is_one_file(spark, tmp_path):
     corpus, new = _corpus_and_batch(spark)
     path = str(tmp_path / "one_file_state")
     dedup.save_dedup_state(corpus, path)
-    state_before = pq_files("minhash_state")
+    state_before = pq_files("minhash_state/data")
     batch = dedup.batch_dedup_state(new.repartition(8))  # adversarial
     dedup.append_dedup_state(batch, path)
     batch.unpersist()
-    assert len(pq_files("banded_delta")) == 1, pq_files("banded_delta")
-    assert len(pq_files("minhash_state") - state_before) == 1
+    delta_files = pq_files("banded_state/delta")
+    assert len(delta_files) == 1, delta_files
+    assert len(pq_files("minhash_state/data") - state_before) == 1
 
 
 def test_pq_growth_trigger_refires_periodically(spark, tmp_path):
@@ -1680,8 +1679,10 @@ def test_dsir_ingest_sink_matches_batch_selection(spark, tmp_path):
 
 
 def _index_rows(spark, path, kind):
+    from flink_clickstream_processor_msk_spark.operators import lsm
+
     sub = similarity._INDEX_TABLES[kind][0]
-    return spark.read.parquet(f"{path}/{sub}").count()
+    return spark.read.parquet(lsm.data_path(spark, path, sub)).count()
 
 
 @pytest.mark.parametrize("kind", ["ivf", "pq", "lsh", "ivfpq"])
@@ -1786,7 +1787,7 @@ def test_index_compact_refuses_conflicting_duplicate_rows(spark, tmp_path):
     similarity.append_to_ivf_index(
         base.filter(F.col("vec_id") >= 90), path2
     )
-    for f in glob.glob(f"{path2}/cells_delta/part-*.parquet"):
+    for f in glob.glob(f"{path2}/cells/delta/part-*.parquet"):
         shutil.copy(f, f.replace("part-", "replay-part-"))
     similarity.compact_index(spark, path2, "ivf")
     _, cells = similarity.load_ivf_index(spark, path2)
@@ -2027,7 +2028,7 @@ def test_index_append_writes_one_flat_delta_file(spark, tmp_path, kind):
         return {r["vec_id"] for r in table.select("vec_id").collect()}
 
     def delta_files():
-        d = f"{path}/{sub}_delta"
+        d = f"{path}/{sub}/delta"
         if not os.path.isdir(d):
             return []
         return [f for f in os.listdir(d) if f.endswith(".parquet")]
@@ -2039,15 +2040,17 @@ def test_index_append_writes_one_flat_delta_file(spark, tmp_path, kind):
     assert len(delta_files()) == 2
     assert loaded_ids() == set(range(100))
     similarity.compact_index(spark, path, kind)
-    assert not os.path.isdir(f"{path}/{sub}_delta")
+    assert not os.path.isdir(f"{path}/{sub}/delta")
     assert loaded_ids() == set(range(100))
     assert _index_rows(spark, path, kind) == 100
 
 
 def test_index_compact_rerun_heals_duplicated_delta(spark, tmp_path):
-    """The documented crash window (swap done, delta delete lost): delta
-    rows appear twice at read; RE-RUNNING compact de-duplicates by
-    vec_id and removes the delta — the fold is idempotent."""
+    """Replayed delta rows (since r16 a compact crash cannot duplicate
+    rows — the install is one rename — but a producer re-sending an
+    acked append after its own crash still can): rows appear twice at
+    read; RE-RUNNING compact de-duplicates by vec_id and removes the
+    delta — the fold is idempotent."""
     import shutil as _sh
 
     base, _ = _base_and_drifted(spark)
@@ -2055,10 +2058,10 @@ def test_index_compact_rerun_heals_duplicated_delta(spark, tmp_path):
     similarity.save_ivf_index(base.filter(F.col("vec_id") < 90), path)
     new = base.filter(F.col("vec_id") >= 90)
     similarity.append_to_ivf_index(new, path)
-    _sh.copytree(f"{path}/cells_delta", f"{path}/cells_delta_bak")
+    _sh.copytree(f"{path}/cells/delta", f"{path}/cells_delta_bak")
     similarity.compact_index(spark, path, "ivf")
-    # crash simulation: the folded delta resurfaces
-    _sh.move(f"{path}/cells_delta_bak", f"{path}/cells_delta")
+    # replay simulation: the folded delta resurfaces
+    _sh.move(f"{path}/cells_delta_bak", f"{path}/cells/delta")
     _, cells = similarity.load_ivf_index(spark, path)
     assert cells.count() == 110  # 10 appended rows visible twice
     similarity.compact_index(spark, path, "ivf")
@@ -2106,7 +2109,7 @@ def test_dedup_sink_compact_every_defaults_to_recommended(
     write = dedup_ingest_sink(path, lambda df, e: df.count())
     write(docs.filter(F.col("doc_id") < 3), 0)
     # compacted after the epoch: the delta was folded into the base
-    assert not os.path.isdir(f"{path}/banded_delta")
+    assert not os.path.isdir(f"{path}/banded_state/delta")
 
     path0 = str(tmp_path / "explicit_off")
     init_dedup_state(spark, path0)
@@ -2114,7 +2117,7 @@ def test_dedup_sink_compact_every_defaults_to_recommended(
         path0, lambda df, e: df.count(), compact_every=0
     )
     write0(docs.filter(F.col("doc_id") >= 3), 0)
-    assert os.path.isdir(f"{path0}/banded_delta")
+    assert os.path.isdir(f"{path0}/banded_state/delta")
 
 
 def test_index_ingest_growth_trigger_misconfig_refused(spark, tmp_path):
@@ -2138,7 +2141,7 @@ def test_index_ingest_growth_trigger_misconfig_refused(spark, tmp_path):
     base, _ = _base_and_drifted(spark)
     path = str(tmp_path / "no_sidecar_pq")
     similarity.save_pq_index(base, path)
-    _sh.rmtree(f"{path}/ood_ref")
+    _sh.rmtree(f"{path}/codes/ood_ref")
     write = index_ingest_sink(
         path, kind="pq",
         retrain_hook=lambda s, e: None,
@@ -2377,7 +2380,7 @@ def test_semantic_sink_inline_compaction_folds_delta(spark, tmp_path):
         )
         write(base.filter((F.col("vec_id") >= 60) & (F.col("vec_id") < 80)), 0)
         write(base.filter(F.col("vec_id") >= 80), 1)
-        has_delta = os.path.isdir(f"{path}/cells_delta")
+        has_delta = os.path.isdir(f"{path}/cells/delta")
         assert has_delta == (label == "nocompact"), label
         n = similarity._read_index_table(spark, path, "cells").count()
         assert n == 100, (label, n)
@@ -2399,7 +2402,7 @@ def test_index_ingest_sink_inline_compaction(spark, tmp_path):
     similarity.save_ivf_index(base.filter(F.col("vec_id") < 80), path)
     write = index_ingest_sink(path, kind="ivf", compact_every=1)
     write(base.filter(F.col("vec_id") >= 80), 0)
-    assert not os.path.isdir(f"{path}/cells_delta")
+    assert not os.path.isdir(f"{path}/cells/delta")
     _, cells = similarity.load_ivf_index(spark, path)
     assert cells.count() == 100
 
@@ -2713,31 +2716,38 @@ def test_save_index_clears_stale_tombstones(spark, tmp_path):
     assert similarity.load_index_tombstones(spark, path) is None
 
 
-def test_lsh_first_save_crash_self_heal_keeps_n_planes(spark, tmp_path):
-    """r15 review #1: the meta-first ordering must survive the SELF-HEAL
-    path — a first save with non-default n_planes crashing after the
-    staged base write (meta already on disk, swap never ran) heals at
-    the next read into a base whose saved n_planes still resolves to the
-    non-default value. (The briefly-tried sidecar-stage ordering wrote
-    meta AFTER the staged base, so this exact crash self-healed into a
-    meta-less live index that silently resolved to the default.)"""
-    import os
-
+def _stage_lsh_generation(spark, base, path, n_planes):
+    """Replay save_lsh_index's staging (data + lsh_meta inside
+    ``buckets_new``) WITHOUT the installing swap — the crash-just-before-
+    rename simulation shared by the self-heal and atomicity tests."""
+    from flink_clickstream_processor_msk_spark.operators import lsm
     from flink_clickstream_processor_msk_spark.operators.similarity import (
-        _write_base_staged,
         build_lsh_index,
     )
 
+    idx = build_lsh_index(base, n_planes=n_planes)
+    lsm.write_base_staged(idx, path, "buckets", ("bucket",))
+    idx.unpersist()
+    spark.createDataFrame([(n_planes,)], "n_planes int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(
+        f"{lsm.staged_dir(path, 'buckets')}/lsh_meta"
+    )
+
+
+def test_lsh_first_save_crash_self_heal_keeps_n_planes(spark, tmp_path):
+    """r16 (generation install): the lsh_meta sidecar is staged INSIDE
+    the generation, so a first save with non-default n_planes crashing
+    just before the swap leaves a COMPLETE staged generation — the next
+    read self-heals it and the healed index resolves its saved n_planes,
+    never the default. (Pre-r16 the meta lived outside the generation
+    and a pick-your-poison write ordering decided which crash window
+    existed; neither ordering could protect both saves and self-heals.)"""
+    import os
+
     base, _ = _base_and_drifted(spark)
     path = str(tmp_path / "lsh_heal")
-    # replay save_lsh_index's stages in its committed order, crashing
-    # right after the staged write (before _install_index_base's swap)
-    spark.createDataFrame([(32,)], "n_planes int").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/lsh_meta")
-    idx = build_lsh_index(base, n_planes=32)
-    _write_base_staged(idx, path, "buckets", "bucket")
-    idx.unpersist()
+    _stage_lsh_generation(spark, base, path, n_planes=32)
     assert os.path.isdir(f"{path}/buckets_new") and not os.path.isdir(
         f"{path}/buckets"
     )
@@ -2745,6 +2755,36 @@ def test_lsh_first_save_crash_self_heal_keeps_n_planes(spark, tmp_path):
     assert os.path.isdir(f"{path}/buckets")
     assert healed.count() == base.count()
     assert similarity.saved_lsh_n_planes(spark, path) == 32  # NOT default
+
+
+def test_lsh_resave_crash_before_swap_keeps_old_generation_whole(
+    spark, tmp_path
+):
+    """r16 atomicity (closes the documented r15 trade): a RE-save with a
+    DIFFERENT n_planes crashing anywhere before the swap leaves the old
+    generation fully live — saved_lsh_n_planes still answers the OLD
+    planes and probes still route over the OLD buckets (pre-r16, the
+    meta-first ordering had a window spanning the whole staged base
+    write where the NEW meta silently fronted the OLD-plane buckets)."""
+    base, _ = _base_and_drifted(spark)
+    path = str(tmp_path / "lsh_resave")
+    similarity.save_lsh_index(base, path, n_planes=12)
+    assert similarity.saved_lsh_n_planes(spark, path) == 12
+    # crash-interrupted re-save: the new generation is fully staged
+    # (data + meta) but the swap never ran
+    _stage_lsh_generation(spark, base, path, n_planes=32)
+    assert similarity.saved_lsh_n_planes(spark, path) == 12  # OLD meta
+    idx = similarity.load_lsh_index(spark, path)
+    want = {
+        (r["vec_id"], r["bucket"])
+        for r in similarity.build_lsh_index(base, n_planes=12)
+        .select("vec_id", "bucket").collect()
+    }
+    got = {(r["vec_id"], r["bucket"]) for r in idx.collect()}
+    assert got == want  # OLD-plane buckets, consistent with the OLD meta
+    # re-running the crashed save converges to the new generation
+    similarity.save_lsh_index(base, path, n_planes=32)
+    assert similarity.saved_lsh_n_planes(spark, path) == 32
 
 
 def test_append_dedup_state_heals_interrupted_swap(spark, tmp_path):
@@ -2781,7 +2821,8 @@ def test_save_dedup_state_clears_stale_journal(spark, tmp_path):
     SAME latent re-save hazards the index side fixed in r13 — a re-save
     over a live banded_delta left stale rows unioned into every read,
     and a re-save over live tombstones silently suppressed freshly saved
-    docs. Both now die with the old generation via lsm.clear_journal."""
+    docs. Both die with the old generation — since r16 ATOMICALLY, the
+    journal living inside the directory the swap replaces."""
     import os
 
     corpus, new = _corpus_and_batch(spark)
@@ -2789,8 +2830,8 @@ def test_save_dedup_state_clears_stale_journal(spark, tmp_path):
     dedup.save_dedup_state(corpus, path)
     dedup.append_dedup_state(dedup.batch_dedup_state(new), path)
     dedup.delete_from_dedup_state(spark, path, [1])
-    assert os.path.isdir(f"{path}/banded_delta")
-    assert os.path.isdir(f"{path}/deleted_ids")
+    assert os.path.isdir(f"{path}/banded_state/delta")
+    assert os.path.isdir(f"{path}/minhash_state/deleted_ids")
     n_corpus_rows = (
         dedup._banded_frame(
             dedup._signatures_from_sets(
@@ -2801,8 +2842,8 @@ def test_save_dedup_state_clears_stale_journal(spark, tmp_path):
     )
 
     dedup.save_dedup_state(corpus, path)  # re-save: this is the corpus now
-    assert not os.path.exists(f"{path}/banded_delta")
-    assert not os.path.exists(f"{path}/deleted_ids")
+    assert not os.path.exists(f"{path}/banded_state/delta")
+    assert not os.path.exists(f"{path}/minhash_state/deleted_ids")
     banded = dedup.load_banded_state(spark, path)
     # no stale delta rows for `new`'s docs, no suppressed doc 1
     new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
@@ -2881,34 +2922,34 @@ def test_pq_codebooks_refuse_indivisible_dim(spark):
 
 
 def test_staged_save_crash_windows_self_heal(spark, tmp_path):
-    """r14 staged-install crash windows (ADVICE r13 orderings):
+    """r16 generation-install crash windows (the r14 staged-install
+    pinning, re-pinned on the atomic layout):
 
-    (a) FIRST save crashing between the staged base write and the swap
-        leaves {sub}_new only — the next read self-heals by renaming,
-        and because sidecars are written BEFORE the swap (lsh_meta even
-        before the staged write — the self-heal path must never install
-        a meta-less non-legacy base, r15 review), the healed index
-        loads complete;
-    (b) a RE-save crashing after the staged write but before the
-        journal clear leaves the OLD generation fully live — base,
-        sidecars, delta, tombstones all still consistent (the expensive
-        window carries no partial state);
+    (a) a FIRST save crashing between the completed staging (data +
+        sidecars inside {sub}_new) and the swap leaves {sub}_new only —
+        the next read self-heals by renaming, and the healed generation
+        is COMPLETE (sidecars travel inside it);
+    (b) a RE-save crashing anywhere before the swap leaves the OLD
+        generation fully live — base, sidecars, delta, tombstones all
+        still consistent (the expensive window carries no partial
+        state, and the journal cannot be cleared early: it dies only
+        WITH the swap);
     (c) re-running the crashed save converges to the new generation
         with an empty journal."""
     base, drifted = _base_and_drifted(spark)
     path = str(tmp_path / "heal")
 
-    # (a) simulate a first-save crash after staged write + sidecars:
-    # run the save's stages by hand, skipping the swap
+    # (a) simulate a first-save crash after staging completes but
+    # before the swap: run the save's stages by hand, skipping the swap
+    from flink_clickstream_processor_msk_spark.operators import lsm
     from flink_clickstream_processor_msk_spark.operators.similarity import (
-        _write_base_staged,
         _write_centroids_sidecar,
         build_ivf_index,
     )
 
     cents, cells = build_ivf_index(base)
-    _write_base_staged(cells, path, "cells", "cell")
-    _write_centroids_sidecar(spark, path, cents)
+    lsm.write_base_staged(cells, path, "cells", ("cell",))
+    _write_centroids_sidecar(spark, lsm.staged_dir(path, "cells"), cents)
     cells.unpersist()
     import os
 
@@ -2921,17 +2962,20 @@ def test_staged_save_crash_windows_self_heal(spark, tmp_path):
     )
     assert got_cents == cents and got_rows.count() == base.count()
 
-    # (b) re-save crash after staged write, before journal clear: the
-    # old generation (with a live delta + tombstone) must stay intact
+    # (b) re-save crash with staging complete, swap never run: the old
+    # generation (with a live delta + tombstone) must stay intact
     similarity.append_to_ivf_index(drifted, path)
     similarity.delete_from_index(spark, path, [3])
     n_old = similarity.load_ivf_index(spark, path)[1].count()
     cents2, cells2 = build_ivf_index(base.unionByName(drifted))
-    _write_base_staged(cells2, path, "cells", "cell")  # crash here
-    cells2.unpersist()
+    lsm.write_base_staged(cells2, path, "cells", ("cell",))
+    _write_centroids_sidecar(spark, lsm.staged_dir(path, "cells"), cents2)
+    cells2.unpersist()  # crash here: staged generation never installed
     healed = similarity.load_ivf_index(spark, path)[1]
     assert healed.count() == n_old  # old base ∪ delta, tombstone applied
     assert healed.filter(F.col("vec_id") == 3).count() == 0
+    # the OLD sidecar still fronts the OLD base (no mixed window)
+    assert similarity._load_centroids(spark, path) == cents
 
     # (c) re-running the full save converges: new generation, journal gone
     similarity.save_ivf_index(base.unionByName(drifted), path)
@@ -2939,7 +2983,7 @@ def test_staged_save_crash_windows_self_heal(spark, tmp_path):
     assert final.count() == base.count() + drifted.count()
     assert final.filter(F.col("vec_id") == 3).count() == 1  # deletes died with old gen
     assert similarity.load_index_tombstones(spark, path) is None
-    assert not os.path.isdir(f"{path}/cells_delta")
+    assert not os.path.isdir(f"{path}/cells/delta")
 
 
 def test_semantic_decon_sink_matches_batch_flags(spark, tmp_path):
@@ -3009,3 +3053,161 @@ def test_semantic_decon_sink_matches_batch_flags(spark, tmp_path):
 
     with pytest.raises(ValueError, match="max_test_rows"):
         pipeline.save_benchmark_embeddings(test, str(tmp_path / "b2"), max_test_rows=1)
+
+
+def test_banded_resave_crash_keeps_modulus_and_base_paired(spark, tmp_path):
+    """r16 (ADVICE r15 low): the banded_ptmod marker is staged INSIDE the
+    generation, so a re-save with a CHANGED n_buckets crashing before the
+    swap leaves the OLD marker paired with the OLD base — probes keep
+    routing correctly (pre-r16 the marker was overwritten at the state
+    root BEFORE the swap, exactly the silent probe-miss modulus mismatch
+    the module guards against). Re-running the save converges."""
+    from flink_clickstream_processor_msk_spark.operators import lsm
+
+    corpus, new = _corpus_and_batch(spark)
+    path = str(tmp_path / "modulus_atomic")
+    dedup.save_dedup_state(corpus, path, n_buckets=32)
+    assert dedup.state_ptmod(spark, path) == 32
+
+    # crash-interrupted re-save with a different modulus: both staging
+    # dirs complete (data + marker inside banded_state_new), no swap
+    state = dedup.batch_dedup_state(corpus)
+    try:
+        lsm.write_base_staged(
+            state.select("doc_id", "shingles", "signature"),
+            path, "minhash_state", (),
+        )
+        dedup._stage_banded_generation(
+            state, path, dedup.N_BANDS, dedup.N_PERMS, 64
+        )
+    finally:
+        state.unpersist()
+    assert dedup.state_ptmod(spark, path) == 32  # OLD marker, OLD base
+    # probes against the (old) state still resolve every corpus member
+    b = dedup.batch_dedup_state(new)
+    try:
+        got = {
+            t[:2]
+            for t in _pairs_set(
+                dedup.incremental_minhash_pairs(
+                    b, None, max_bucket_size=None,
+                    corpus_banded=dedup.load_banded_state(spark, path),
+                    corpus_ptmod=dedup.state_ptmod(spark, path),
+                )
+            )
+        }
+    finally:
+        b.unpersist()
+    assert len(got) > 0  # near-dup partners still found, no silent miss
+
+    dedup.save_dedup_state(corpus, path, n_buckets=64)  # re-run converges
+    assert dedup.state_ptmod(spark, path) == 64
+    spark.catalog.clearCache()
+
+
+def _downgrade_to_legacy_layout(path: str, subs_and_sidecars) -> None:
+    """Rewrite a v2 generation state into the PRE-r16 on-disk layout:
+    table files directly under {sub}/, sidecars at the state root —
+    the shape every state written before the generation layout has."""
+    import os
+    import shutil
+
+    for sub, sidecars in subs_and_sidecars:
+        gen = f"{path}/{sub}"
+        for name in sidecars:
+            if os.path.isdir(f"{gen}/{name}"):
+                shutil.move(f"{gen}/{name}", f"{path}/{name}")
+        data = f"{gen}/data"
+        for entry in os.listdir(data):
+            shutil.move(f"{data}/{entry}", f"{gen}/{entry}")
+        os.rmdir(data)
+
+
+def test_legacy_dedup_layout_reads_appends_and_upgrades(spark, tmp_path):
+    """Pre-r16 states keep working unchanged: reads resolve the legacy
+    placement (base files in {sub}/, marker + delta + tombstones at the
+    state root), appends land in the legacy flat delta, deletes tombstone
+    at the root — and the first COMPACT upgrades the state to the
+    generation layout, removing the dead legacy dirs, with the corpus
+    intact."""
+    import os
+
+    corpus, new = _corpus_and_batch(spark)
+    path = str(tmp_path / "legacy_dedup")
+    dedup.save_dedup_state(corpus, path)
+    _downgrade_to_legacy_layout(
+        path,
+        [("banded_state", ("banded_ptmod",)), ("minhash_state", ())],
+    )
+    assert not os.path.exists(f"{path}/banded_state/data")
+    assert os.path.isdir(f"{path}/banded_ptmod")
+
+    # reads resolve the legacy placement
+    assert dedup.state_ptmod(spark, path) == dedup.NUM_STATE_BUCKETS
+    assert (
+        dedup.load_banded_state(spark, path).select("doc_id").distinct().count()
+        == corpus.count()
+    )
+    # appends: legacy flat delta + in-place minhash files
+    dedup.append_dedup_state(dedup.batch_dedup_state(new), path)
+    assert os.path.isdir(f"{path}/banded_delta")
+    # deletes: legacy root tombstones, applied at read
+    dedup.delete_from_dedup_state(spark, path, [1])
+    assert os.path.isdir(f"{path}/deleted_ids")
+    assert (
+        dedup.load_dedup_state(spark, path).filter(F.col("doc_id") == 1).count()
+        == 0
+    )
+
+    dedup.compact_dedup_state(spark, path)  # upgrades to v2
+    assert os.path.isdir(f"{path}/banded_state/data")
+    assert os.path.isdir(f"{path}/minhash_state/data")
+    for legacy in ("banded_delta", "banded_ptmod", "deleted_ids"):
+        assert not os.path.exists(f"{path}/{legacy}"), legacy
+    ids = {
+        r["doc_id"]
+        for r in dedup.load_dedup_state(spark, path)
+        .select("doc_id").distinct().collect()
+    }
+    assert 1 not in ids  # the tombstone became physical in the upgrade
+    assert ids == ({r["doc_id"] for r in corpus.select("doc_id").collect()}
+                   | {r["doc_id"] for r in new.select("doc_id").collect()}) - {1}
+    spark.catalog.clearCache()
+
+
+def test_legacy_index_layout_reads_appends_and_upgrades(spark, tmp_path):
+    """The index-side legacy-compat twin: a pre-r16 IVF index (cells
+    files in cells/, centroids at the root) probes identically, takes
+    appends into the legacy flat delta, and upgrades to the generation
+    layout at its first compact — sidecars carried inside the new
+    generation, dead root dirs removed."""
+    import os
+
+    base, drifted = _base_and_drifted(spark)
+    path = str(tmp_path / "legacy_ivf")
+    similarity.save_ivf_index(base, path)
+    want_cents = similarity._load_centroids(spark, path)
+    _downgrade_to_legacy_layout(path, [("cells", ("centroids",))])
+    assert os.path.isdir(f"{path}/centroids")
+    assert not os.path.exists(f"{path}/cells/data")
+
+    assert similarity._load_centroids(spark, path) == want_cents
+    assert similarity.load_ivf_index(spark, path)[1].count() == base.count()
+    similarity.append_to_ivf_index(drifted, path)
+    assert os.path.isdir(f"{path}/cells_delta")  # legacy delta placement
+    assert (
+        similarity.load_ivf_index(spark, path)[1].count()
+        == base.count() + drifted.count()
+    )
+
+    similarity.compact_index(spark, path, "ivf")  # upgrades to v2
+    assert os.path.isdir(f"{path}/cells/data")
+    assert os.path.isdir(f"{path}/cells/centroids")
+    for legacy in ("cells_delta", "centroids"):
+        assert not os.path.exists(f"{path}/{legacy}"), legacy
+    assert similarity._load_centroids(spark, path) == want_cents
+    assert (
+        similarity.load_ivf_index(spark, path)[1].count()
+        == base.count() + drifted.count()
+    )
+    spark.catalog.clearCache()

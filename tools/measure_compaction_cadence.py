@@ -2,7 +2,7 @@
 derives the default compaction cadence (VERDICT r10 next#5; feeds the
 PLANS.md round-11 row and `streaming/ingest.recommended_compact_every`).
 
-The LSM trade: appends go to a flat `banded_delta` (cheap, 0.2 s/batch),
+The LSM trade: appends go to the generation's flat `delta` (cheap, 0.2 s/batch),
 but every probe reads base ∪ WHOLE delta — the delta term grows linearly
 with batches since the last compaction, while compaction itself is a
 fixed corpus-banded rewrite. With one probe per epoch and one batch of B
@@ -146,9 +146,9 @@ def main() -> None:
         depth = target
         n_files = sum(
             1
-            for f in os.listdir(f"{path}/banded_delta")
+            for f in os.listdir(f"{path}/banded_state/delta")
             if f.endswith(".parquet")
-        ) if os.path.isdir(f"{path}/banded_delta") else 0
+        ) if os.path.isdir(f"{path}/banded_state/delta") else 0
         curve.append((depth * BATCH_SIZE, probe_wall()))
         print(f"delta={depth * BATCH_SIZE} docs ({n_files} files) "
               f"probe={curve[-1][1]}s")

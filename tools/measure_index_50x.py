@@ -147,7 +147,7 @@ def main() -> None:
                 append[kind](batch, path)
                 append_walls.append(round(time.perf_counter() - t0, 3))
             depth = target
-            delta_dir = f"{path}/{sub}_delta"
+            delta_dir = f"{path}/{sub}/delta"
             files = (
                 len([f for f in os.listdir(delta_dir) if f.endswith(".parquet")])
                 if os.path.isdir(delta_dir)

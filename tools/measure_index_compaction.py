@@ -81,7 +81,7 @@ def main() -> None:
             files = len(
                 [
                     f
-                    for f in os.listdir(f"{path}/cells_delta")
+                    for f in os.listdir(f"{path}/cells/delta")
                     if f.endswith(".parquet")
                 ]
             )
