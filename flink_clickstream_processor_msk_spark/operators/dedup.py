@@ -141,7 +141,9 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
 
 # --- MinHash + LSH ---------------------------------------------------------
 
-def shingle_hashes(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+def shingle_hashes(
+    documents: DataFrame, k: int = SHINGLE_K, fenced: bool = False
+) -> DataFrame:
     """(doc_id, distinct word-k-gram hash array) — basis for MinHash &
     Jaccard; ``k`` defaults to the repo-wide SHINGLE_K (3, the
     oracle-checked config) and is tunable per caller (decontamination at
@@ -151,6 +153,19 @@ def shingle_hashes(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     ~150 shingles/doc inside `transform` lambdas runs interpreted (HOFs
     don't codegen) and parses hex through `conv` — measured 5× slower than
     hashlib's C md5 at sf0.1. Same formula as the SQL oracle either way.
+
+    ``fenced=True`` marks the kernel asNondeterministic — an optimizer
+    fence, not a semantics change (the kernel is pure). Callers that
+    EXPLODE the shingle array must pass it: Catalyst infers a size()>0
+    filter from Generate, pushes it below the parallelize exchange, and
+    DUPLICATES the ArrowEvalPython — the md5 kernel ran twice over the
+    full corpus (two ArrowEvalPython nodes in
+    plans/r16/decontaminate_before.txt, one feeding only the pushed
+    filter; guide §4.4, r16). It must stay OFF for the MinHash signature
+    path: a fence breaks ExtractPythonUDFs' chaining of
+    ``sig(sh28(text))`` into ONE eval node, adding a JVM↔Python round
+    trip of every shingle array (measured as a 1→2 eval-node plan
+    regression when the fence was briefly global, r16).
     """
     from flink_clickstream_processor_msk_spark.functions.grams import (
         ascii_words,
@@ -178,6 +193,9 @@ def shingle_hashes(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
             return sorted(out)
 
         return texts.map(go)
+
+    if fenced:
+        sh28 = sh28.asNondeterministic()
 
     return _parallelized(documents).select("doc_id", sh28("text").alias("shingles"))
 

@@ -111,7 +111,7 @@ def decontaminate(
     (the ``_materialized`` signature-table rule from the dedup suite)."""
     is_test = (h60(F.col("doc_id").cast("string")) % 100) < test_pct
     g = _tracked(
-        shingle_hashes(documents, k=k).select(
+        shingle_hashes(documents, k=k, fenced=True).select(
             "doc_id", is_test.alias("is_test"), F.explode("shingles").alias("gram")
         ),
         scratch,
@@ -151,7 +151,7 @@ def save_test_grams(
     the gram table is built once per (benchmark, k) and every ingest batch
     checks against it (:func:`decontaminate_incremental`); at 28-bit gram
     hashes it is at most 2^28 rows regardless of benchmark size."""
-    shingle_hashes(test_docs, k=k).select(
+    shingle_hashes(test_docs, k=k, fenced=True).select(
         F.explode("shingles").alias("gram")
     ).distinct().write.mode("overwrite").parquet(f"{path}/test_grams_k{k}")
 
@@ -175,7 +175,7 @@ def decontaminate_incremental(
     worst it is a bounded shuffled semi-join), one LEFT join back onto
     the batch ids. Same flag-don't-drop contract as :func:`decontaminate`."""
     g = _tracked(
-        shingle_hashes(new_train_docs, k=k).select(
+        shingle_hashes(new_train_docs, k=k, fenced=True).select(
             "doc_id", F.explode("shingles").alias("gram")
         ),
         scratch,
@@ -277,7 +277,7 @@ def build_gram_bloom(
 
     coeffs = perm_coefficients(n_hashes)
     grams = (
-        shingle_hashes(test_docs, k=k)
+        shingle_hashes(test_docs, k=k, fenced=True)
         .select(F.explode("shingles").alias("gram"))
         .distinct()
     )

@@ -391,6 +391,12 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
             out["dup_3gram_frac"].append(f3)
         return pd.DataFrame(out)
 
+    # optimizer fence (pure kernel, identical results): repetition_filter's
+    # threshold predicate was pushed below the parallelize exchange, which
+    # duplicated the ArrowEvalPython — the gram kernel ran twice over every
+    # row (plans/r16/repetition_filter_before.txt). Guide §4.4; r16.
+    rep = rep.asNondeterministic()
+
     return parallelized(documents).select(
         "doc_id", rep("text").alias("r")
     ).select("doc_id", "r.n_2grams", "r.dup_2gram_frac", "r.dup_3gram_frac")
