@@ -505,11 +505,25 @@ def _dsir_ratio_table(
     F.floor/floor."""
     import math
 
-    cr = {r["b"]: r["c_r"] for r in
-          raw_b.groupBy("b").agg(F.count(F.lit(1)).alias("c_r")).collect()}
-    ct = {r["b"]: r["c_t"] for r in
-          _dsir_buckets(target, n_buckets)
-          .groupBy("b").agg(F.count(F.lit(1)).alias("c_t")).collect()}
+    # ONE collect job for both bounded count tables (was two sequential
+    # collects — at every scale the corpus and target count scans are
+    # independent, so a side-tagged union lets one job schedule both and
+    # halves the fixed per-job cost of building the selector; guide §1.2
+    # fewer passes / §2.6 overlap independent work; r16). Values are the
+    # same exact integers the separate aggregations produced.
+    counts = (
+        raw_b.select(F.lit(0).alias("side"), "b")
+        .unionByName(
+            _dsir_buckets(target, n_buckets).select(
+                F.lit(1).alias("side"), "b"
+            )
+        )
+        .groupBy("side", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    cr = {r["b"]: r["c"] for r in counts if r["side"] == 0}
+    ct = {r["b"]: r["c"] for r in counts if r["side"] == 1}
     n_r, n_t = sum(cr.values()), sum(ct.values())
     # ALL n_buckets rows, not just train-seen ones: add-1 smoothing
     # defines the ratio at c_r = 0 too, so a later batch with novel

@@ -263,11 +263,23 @@ def sessionize_two_phase(
     )
 
 
+_GAP_MICROS_MEMO: dict[str, int] = {}
+
+
 def _gap_micros(df: DataFrame, gap: str) -> int:
     """Resolve a Spark interval string ('1 second', '30 minutes') to
     microseconds via the engine's own interval parser, so the two-phase
-    merge uses EXACTLY the gap session_window applies."""
-    row = df.sparkSession.sql(
-        f"SELECT unix_micros(timestamp'1970-01-01 00:00:00Z' + interval '{gap}') AS us"
-    ).first()
-    return int(row["us"])
+    merge uses EXACTLY the gap session_window applies.
+
+    Memoized per gap string (r16): the parse is session-independent (a
+    literal-interval evaluation), and the un-memoized form ran one
+    single-row Spark job inside EVERY sessionize_two_phase construction
+    — pure fixed overhead on the query path (guide §1.2: don't recompute
+    what cannot change)."""
+    hit = _GAP_MICROS_MEMO.get(gap)
+    if hit is None:
+        row = df.sparkSession.sql(
+            f"SELECT unix_micros(timestamp'1970-01-01 00:00:00Z' + interval '{gap}') AS us"
+        ).first()
+        hit = _GAP_MICROS_MEMO[gap] = int(row["us"])
+    return hit

@@ -1174,14 +1174,24 @@ def tfidf_top_terms(
     driver action); the per-doc rank cut gets WindowGroupLimit like
     ngram_topk_per_lang.
 
+    df and N are derived FROM tf, not from the occurrence table (the
+    ``_lm_tables`` c1-from-c2 identity, applied here in r16): tf's rows
+    are exactly the distinct (doc, token) pairs, so ``df(token) =
+    count(*) per token over tf`` — identical values, but the separate
+    ``tok.distinct()`` aggregation (a full extra shuffle of every token
+    OCCURRENCE, the largest intermediate in the plan) is gone, and the
+    occurrence explode drops to ONE consumer. Plan diff (guide §2.3
+    aggregate-before-shuffle / §2.4): 6 Exchange → 5, and the
+    ``scratch`` persist now caches the far smaller tf table instead of
+    the occurrence table.
+
     Persist policy is the LM scorers' ``scratch`` contract (VERDICT r11
-    wrong #1 — the r10 LM fix swept here): the exploded token table feeds
-    tf AND dfreq (two aggregate branches with no exchange to reuse), so it
-    is persisted ONLY when the caller passes ``scratch`` (a list the
-    persisted frame is appended to; unpersist after consuming the
-    result). Without ``scratch`` nothing is cached — the explode
-    recomputes once per branch — and a long-running app can no longer
-    leak one cached plan per call."""
+    wrong #1 — the r10 LM fix swept here): tf feeds dfreq AND N AND the
+    scoring join, so it is persisted ONLY when the caller passes
+    ``scratch`` (a list the persisted frame is appended to; unpersist
+    after consuming the result). Without ``scratch`` nothing is cached —
+    tf recomputes once per branch — and a long-running app can no
+    longer leak one cached plan per call."""
     from pyspark.sql import Window
 
     from pyspark.storagelevel import StorageLevel
@@ -1189,13 +1199,11 @@ def tfidf_top_terms(
     tok = documents.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
     )
-    if scratch is not None:
-        tok = tok.persist(StorageLevel.MEMORY_AND_DISK)
-        scratch.append(tok)
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = (
-        tok.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
-    )
+    if scratch is not None:
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+        scratch.append(tf)
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
     n = tf.select("doc_id").distinct().agg(
         F.count(F.lit(1)).alias("n_docs")
     )
