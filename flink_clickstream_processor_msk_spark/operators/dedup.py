@@ -1905,7 +1905,19 @@ def remove_dup_spans(
 
         return texts.map(go)
 
-    docs = _parallelized(documents.filter(F.col("text").isNotNull()))
+    # docs feeds TWO payload consumers — the span-hash kernel and the
+    # final rebuild join — and the exchange inside a cached subplan is
+    # invisible to reuse from the outer plan, so without its own persist
+    # the corpus text was scanned AND round-robin-shuffled twice per run
+    # (both legs visible in plans/r16/remove_dup_spans_before.txt; guide
+    # §2.4 remove shuffles / §8 move heavy bytes once). Projecting to
+    # (doc_id, text) first keeps the cached bytes minimal (guide §2.3).
+    docs = _tracked(
+        _parallelized(documents.filter(F.col("text").isNotNull())).select(
+            "doc_id", "text"
+        ),
+        scratch,
+    )
     g = _tracked(
         docs.select(
             "doc_id", F.posexplode(span_hashes("text")).alias("i", "h")
