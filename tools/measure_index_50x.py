@@ -107,9 +107,11 @@ def main() -> None:
 
         if part_col:
             # each kind's own routing values, resolved from the live base
+            # via the lsm resolver — since r16 the live {sub}/ is a
+            # GENERATION directory (data/ + sidecars), not a bare table
             probe_vals = [
                 r[part_col]
-                for r in spark.read.parquet(f"{SCRATCH}/idx_{kind}/{sub}")
+                for r in similarity._read_index_table(spark, path, sub)
                 .select(part_col).distinct().orderBy(part_col).limit(4).collect()
             ]
 
