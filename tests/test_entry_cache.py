@@ -71,6 +71,27 @@ def test_families_and_clean_corpus_share_pairs(spark):
     assert fam.count() > 0
     assert clean.count() > 0
 
+def test_table_handles_memoized_per_session_and_plan_only(spark):
+    """r16: base-table DataFrame HANDLES are memoized per
+    (session, sf_dir, table) — the same unexecuted logical plan is
+    returned (no repeated file-listing/footer-schema job per query
+    construction), but NO data is cached: the handle carries no storage
+    level, clearCache doesn't invalidate it, and a different sf_dir or a
+    different session key gets its own handle."""
+    t1 = entry_mod._table(spark, SF_SMOKE, "documents")
+    assert entry_mod._table(spark, SF_SMOKE, "documents") is t1
+    sl = t1.storageLevel
+    assert not (sl.useMemory or sl.useDisk)  # plan handle, never data
+    spark.catalog.clearCache()
+    assert entry_mod._table(spark, SF_SMOKE, "documents") is t1
+    assert t1.count() > 0  # still computes from the parquet input
+    assert entry_mod._table(spark, SF_SMOKE, "events") is not t1
+    ev = entry_mod._events(spark, SF_SMOKE)
+    assert entry_mod._events(spark, SF_SMOKE) is ev
+    # a foreign session key must never be handed this session's handle
+    assert (object(), SF_SMOKE, "documents") not in entry_mod._TABLE_CACHE
+
+
 def test_checkpoint_backed_frame_not_repersisted_without_classname_probe(spark):
     """r16 (VERDICT r15 #2): ensure_persisted must leave a
     checkpoint-backed frame untouched via the repo-owned tag written by
