@@ -85,7 +85,10 @@ def test_table_handles_memoized_per_session_and_plan_only(spark):
     spark.catalog.clearCache()
     assert entry_mod._table(spark, SF_SMOKE, "documents") is t1
     assert t1.count() > 0  # still computes from the parquet input
-    assert entry_mod._table(spark, SF_SMOKE, "events") is not t1
+    # embeddings, not events: a bare _table("events") read would throw at
+    # plan time under a legacy TIMESTAMP(NANOS) data regeneration (the ts
+    # shim in _events exists exactly for that shape)
+    assert entry_mod._table(spark, SF_SMOKE, "embeddings") is not t1
     ev = entry_mod._events(spark, SF_SMOKE)
     assert entry_mod._events(spark, SF_SMOKE) is ev
     # a foreign session key must never be handed this session's handle
