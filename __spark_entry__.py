@@ -71,15 +71,31 @@ _GAP_30M_MS, _WIN_6H_MS = 1_800_000, 21_600_000
 # (the noop sink forces the full compute), and spark.catalog.clearCache()
 # between bench runs is unaffected because nothing here is persisted.
 # Keyed by the session OBJECT so a new session never sees a dead handle.
+# Shape: {session: {(sf_dir, table_key): DataFrame}} — on lookup, entries
+# of OTHER sessions are dropped (ADVICE r16 low: a long-lived multi-session
+# process, e.g. pytest, would otherwise accumulate dead py4j-backed handles
+# forever; the driver's one-session runs see exactly the old behavior).
 _TABLE_CACHE: dict = {}
+
+#: sentinel key for the shimmed events handle — a non-string object so no
+#: base table named like it can ever alias the memo (ADVICE r16 low)
+_EVENTS_KEY = object()
+
+
+def _session_cache(spark: SparkSession) -> dict:
+    cache = _TABLE_CACHE.get(spark)
+    if cache is None:
+        _TABLE_CACHE.clear()  # previous sessions' handles are dead weight
+        cache = _TABLE_CACHE[spark] = {}
+    return cache
 
 
 def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (spark, sf_dir, name)
-    df = _TABLE_CACHE.get(key)
+    cache = _session_cache(spark)
+    key = (sf_dir, name)
+    df = cache.get(key)
     if df is None:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        _TABLE_CACHE[key] = df
+        df = cache[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     return df
 
 
@@ -88,11 +104,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet footer once per call — once per session is enough; the shim's
     runtime conf, when the legacy shape needs it, stays set on the
     session after the first call exactly as before)."""
-    key = (spark, sf_dir, "__clickevents__")
-    df = _TABLE_CACHE.get(key)
+    cache = _session_cache(spark)
+    key = (sf_dir, _EVENTS_KEY)
+    df = cache.get(key)
     if df is None:
-        df = read_clickevents(spark, sf_dir)
-        _TABLE_CACHE[key] = df
+        df = cache[key] = read_clickevents(spark, sf_dir)
     return df
 
 

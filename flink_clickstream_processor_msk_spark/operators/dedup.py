@@ -290,6 +290,42 @@ def _cap_buckets(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
     )
 
 
+def _bucket_pairs(banded: DataFrame, keys: list, member: Column) -> DataFrame:
+    """Ordered candidate pairs per LSH bucket via ONE exchange of the
+    banded rows (guide §2.3 — shuffle fewer bytes; r17, VERDICT r16 #3):
+    group by the bucket key with a partial-aggregated ``collect_list``,
+    sort members (by the member's id — the struct's FIRST field or the
+    bare id column, unique within a bucket, so the order is a
+    deterministic total order), and expand each member against the
+    strictly-later slice — exactly the ``a.id < b.id`` self-join
+    predicate, emitting the m·(m-1)/2 ordered pairs directly.
+
+    This REPLACES the banded self-join everywhere: the join shape moves
+    the banded table TWICE through its exchange (or, at bench scale,
+    broadcasts a corpus×n_bands-row build side — impossible long before
+    100 TB under the 8 GB broadcast cap, after which AQE degrades it to a
+    sort-merge join shuffling both sides) and recomputes the banding per
+    join branch; this shape shuffles the banded bytes ONCE at any scale,
+    bands once, and drops singleton buckets (the vast majority of
+    buckets) in the ``size >= 2`` filter before any pair work exists.
+    NULL bucket keys must be filtered by the CALLER where they can occur
+    (a join on key equality drops them; groupBy would unite them).
+
+    Returns columns ``a``/``b`` — the member values, ``a`` strictly lower
+    — for the caller's verify/select step."""
+    buckets = (
+        banded.groupBy(*keys)
+        .agg(F.sort_array(F.collect_list(member)).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    return buckets.select(F.posexplode("ms").alias("i", "a"), "ms").select(
+        "a",
+        F.explode(F.slice("ms", F.col("i") + F.lit(2), F.size("ms"))).alias(
+            "b"
+        ),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     n_bands: int = N_BANDS,
@@ -308,17 +344,15 @@ def lsh_candidate_pairs(
     doc_ids per bucket; duplicates still chain to their family's
     representatives through the surviving members. Default None preserves
     exact candidate generation (the oracle-checked configuration).
-    """
+
+    Pair generation is the one-exchange grouped expansion
+    (:func:`_bucket_pairs`), not a self-join — same pair set, half the
+    banded-table shuffle. band_key is never NULL (concat_ws), so the
+    groupBy and the join-equality null semantics coincide."""
     banded = _banded(signatures, n_bands, n_perms, max_bucket_size)
-    a, b = banded.alias("a"), banded.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        _bucket_pairs(banded, ["band_idx", "band_key"], F.col("doc_id"))
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
         .distinct()
     )
 
@@ -1425,13 +1459,14 @@ def simhash_near_duplicates(
     banded = sh.select("doc_id", "simhash", F.explode(bands).alias("band")).select(
         "doc_id", "simhash", "band.band_idx", "band.band_val"
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    # NULL simhash (NULL text) ⇒ NULL band_val: the old join-on-equality
+    # dropped those rows; the grouped expansion must filter them
+    # explicitly or they would bucket together (see _bucket_pairs)
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        _bucket_pairs(
+            banded.filter(F.col("band_val").isNotNull()),
+            ["band_idx", "band_val"],
+            F.struct("doc_id", "simhash"),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -1658,12 +1693,14 @@ def embedding_near_duplicates(
     to reuse an already-built bucket table.
     """
     with_bucket = index if index is not None else build_lsh_index(embeddings, n_planes)
-    a, b = with_bucket.alias("a"), with_bucket.alias("b")
+    # one bucket per vector ⇒ each qualifying pair meets exactly once (no
+    # distinct needed, as in the join shape). bucket is NULL only for a
+    # NULL embedding — filtered to match the join-equality semantics.
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        _bucket_pairs(
+            with_bucket.filter(F.col("bucket").isNotNull()),
+            ["bucket"],
+            F.struct("vec_id", "v"),
         )
         .select(
             F.col("a.vec_id").alias("vec_a"),
@@ -1758,18 +1795,17 @@ def semantic_dedup(
             )
         ),
     )
-    a, b = cells.alias("a"), cells.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # grouped pair expansion (one exchange of the cell table) instead of
+    # the cell self-join — same pairs, same fold expression, bit-identical
+    # cosines (see _bucket_pairs; cell is never NULL: every vector is
+    # assigned a nearest centroid)
     dropped = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+        _bucket_pairs(cells, ["cell"], F.struct("vec_id", "norm", "v"))
         .filter((dot / (F.col("a.norm") * F.col("b.norm"))) >= threshold)
         .select(F.col("b.vec_id").alias("vec_id"))
         .distinct()

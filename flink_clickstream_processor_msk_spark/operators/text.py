@@ -1341,9 +1341,14 @@ def lm_bigram_score_by_lang(
             lm_bg = bigrams_with_lang(lm_documents)
         # c1/vocab derived FROM c2 (the _lm_tables identity, lang-keyed):
         # the bigram explode has one aggregation consumer, and the
-        # derivation scans the small distinct-bigram table
-        c2 = _managed(
-            lm_bg.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+        # derivation scans the small distinct-bigram table. c2 is
+        # checkpointed, not merely persisted, to cut the 3×-re-analyzed
+        # subtree (see _checkpointed_counts; r17)
+        c2 = _checkpointed_counts(
+            lm_bg.groupBy("lang", "w1", "w2").agg(
+                F.count(F.lit(1)).alias("c2")
+            ),
+            scratch,
         )
         c1 = c2.groupBy("lang", "w1").agg(F.sum("c2").alias("c1"))
         vocab = (
@@ -1378,6 +1383,33 @@ def lm_bigram_score_by_lang(
 #: double F.sum would be shuffle-order-dependent and break hash checks).
 #: p <= 1 so a term <= 1e9; even 1e6-bigram documents sum < 2^63.
 LM_PROB_SCALE = 1_000_000_000
+
+
+def _checkpointed_counts(df: DataFrame, scratch: list | None) -> DataFrame:
+    """Materialize a self-train count table AND CUT ITS LINEAGE
+    (``localCheckpoint(eager=True)`` — guide §3.3/§1.2, the CLAUDE.md
+    iterative-loop lesson applied to a diamond plan): the c2 bigram-count
+    table feeds THREE consumers (scoring join, c1 derivation, vocab
+    derivation), so the final plan embeds its corpus-sized subtree three
+    times and Catalyst re-ANALYZES every copy on each downstream
+    DataFrame op — measured 1–2 s of pure construction per self-train
+    scorer call at sf0.1 (the r16 decompose; caching prevents recompute,
+    not re-analysis). After the checkpoint each consumer hangs off a
+    LogicalRDD leaf. Values are unchanged (same rows, same aggregation);
+    the checkpoint job itself runs inside the timed construction, so
+    nothing is precomputed across runs.
+
+    Gated on the ``scratch`` contract like the persists it replaces: a
+    caller that passes no scratch keeps the plain lazy plan (no hidden
+    block-manager residency). The checkpointed frame is appended to
+    scratch for lifecycle symmetry — ``unpersist()`` is a no-op on a
+    checkpoint-backed frame and the blocks are GC-reclaimed when the
+    last reference drops."""
+    if scratch is None:
+        return df
+    df = df.localCheckpoint(eager=True)
+    scratch.append(df)
+    return df
 
 
 def doc_bigrams(documents: DataFrame) -> DataFrame:
@@ -1446,13 +1478,22 @@ def _lm_tables(lm_bg: DataFrame):
     c1/vocab scans run over the far smaller distinct-bigram table
     (sublinear in corpus size, Heaps' law)."""
     c2 = lm_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1, vocab = _lm_tables_from(c2)
+    return c2, c1, vocab
+
+
+def _lm_tables_from(c2: DataFrame):
+    """(c1, vocab) derived from a c2 count table — split out of
+    :func:`_lm_tables` so the self-train scorers can derive them from the
+    CHECKPOINTED c2 (a LogicalRDD leaf) rather than the raw aggregation
+    subtree (see :func:`_checkpointed_counts`)."""
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = (
         c2.select(F.col("w1").alias("t"))
         .unionByName(c2.select(F.col("w2").alias("t")))
         .agg(F.count_distinct("t").alias("v"))
     )
-    return c2, c1, vocab
+    return c1, vocab
 
 
 def save_lm(documents: DataFrame, path: str, by_lang: bool = False) -> None:
@@ -1571,13 +1612,17 @@ def lm_bigram_score(
         # self-train: doc_bg feeds the c2 build AND the scoring probe
         doc_bg = _managed(doc_bigrams(documents))
         c2, c1, vocab = _lm_tables(doc_bg)
-        c2 = _managed(c2)  # feeds the scoring join AND c1 AND vocab
+        # feeds the scoring join AND c1 AND vocab — checkpointed, not
+        # merely persisted, to cut the 3×-re-analyzed subtree (r17)
+        c2 = _checkpointed_counts(c2, scratch)
+        c1, vocab = _lm_tables_from(c2)
     else:
         # external LM corpus: doc_bg and lm_bg each have ONE consumer
         # (probe / c2 build) — only the shared c2 table is persisted
         doc_bg = doc_bigrams(documents)
         c2, c1, vocab = _lm_tables(doc_bigrams(lm_documents))
-        c2 = _managed(c2)
+        c2 = _checkpointed_counts(c2, scratch)
+        c1, vocab = _lm_tables_from(c2)
     p = (F.coalesce(F.col("c2"), F.lit(0)) + 1) / (
         F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")
     )

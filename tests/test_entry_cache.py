@@ -92,7 +92,26 @@ def test_table_handles_memoized_per_session_and_plan_only(spark):
     ev = entry_mod._events(spark, SF_SMOKE)
     assert entry_mod._events(spark, SF_SMOKE) is ev
     # a foreign session key must never be handed this session's handle
-    assert (object(), SF_SMOKE, "documents") not in entry_mod._TABLE_CACHE
+    assert list(entry_mod._TABLE_CACHE) == [spark]
+    # the events memo uses a sentinel OBJECT, not a table-name string, so
+    # no base table can alias it (ADVICE r16 low)
+    assert (SF_SMOKE, "__clickevents__") not in entry_mod._TABLE_CACHE[spark]
+    assert (SF_SMOKE, entry_mod._EVENTS_KEY) in entry_mod._TABLE_CACHE[spark]
+
+
+def test_table_cache_evicts_dead_sessions(spark):
+    """ADVICE r16 low: handles keyed by a stopped/replaced session must
+    not accumulate — a lookup from a different session key drops the old
+    session's entries (the driver's one-session runs are unaffected)."""
+    t1 = entry_mod._table(spark, SF_SMOKE, "documents")
+    fake_session = object()
+    entry_mod._session_cache(fake_session)
+    assert spark not in entry_mod._TABLE_CACHE  # old session swept
+    # the real session repopulates (fresh handle) and sweeps the fake one
+    t2 = entry_mod._table(spark, SF_SMOKE, "documents")
+    assert fake_session not in entry_mod._TABLE_CACHE
+    assert t2 is entry_mod._table(spark, SF_SMOKE, "documents")
+    assert t2 is not t1 and t2.count() == t1.count()
 
 
 def test_checkpoint_backed_frame_not_repersisted_without_classname_probe(spark):
