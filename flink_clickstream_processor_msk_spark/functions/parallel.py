@@ -45,6 +45,23 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
     return max(1, math.ceil(total / max_bytes))
 
 
+def one_slice_rows(spark, rows, schema) -> DataFrame:
+    """Driver-local rows as a ONE-slice DataFrame — for sidecars, markers
+    and selector tables (bounded, driver-built by construction).
+
+    ``spark.createDataFrame(local_list)`` slices the list into
+    ``defaultParallelism`` pickled partitions; a downstream
+    ``coalesce(1)`` write then drains all of them SEQUENTIALLY in one
+    task at ~0.15 s of Python-runner round trip EACH — measured 4.6 s
+    for a ONE-ROW sidecar write on local[32] vs 0.25 s with one slice
+    (r17; this fixed cost was ~90 % of the r16 "append floor" and is
+    pure slicing artifact, not data). One slice is the honest shape for
+    driver-local bounded rows at any scale (guide §1.2/§4)."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(list(rows), 1), schema
+    )
+
+
 def parallelized(df: DataFrame) -> DataFrame:
     """Ensure at least default-parallelism partitions before Python-heavy
     per-row compute (batch only).

@@ -64,6 +64,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from flink_clickstream_processor_msk_spark.functions.parallel import (
+    one_slice_rows,
+)
+
 #: table subdir inside a generation directory
 DATA_SUB = "data"
 #: journal subdirs inside a generation directory
@@ -318,7 +322,9 @@ def write_tombstones(spark, path: str, sub: str, ids, id_col: str) -> None:
     tomb = (
         ids
         if isinstance(ids, DataFrame)
-        else spark.createDataFrame([(int(i),) for i in ids], f"{id_col} long")
+        else one_slice_rows(
+            spark, [(int(i),) for i in ids], f"{id_col} long"
+        )
     )
     if sub is not None:
         self_heal_swap(spark, path, sub)

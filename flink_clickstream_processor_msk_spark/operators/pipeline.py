@@ -27,6 +27,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flink_clickstream_processor_msk_spark.functions.hashing import h60
+from flink_clickstream_processor_msk_spark.functions.parallel import (
+    one_slice_rows,
+)
 from flink_clickstream_processor_msk_spark.operators.dedup import (
     _tracked,
     exact_duplicates,
@@ -530,7 +533,8 @@ def _dsir_ratio_table(
     # grams (the streaming gate) still hits the scoring join — the
     # extra rows are unreachable when scoring the training corpus
     # itself, leaving the oracle untouched
-    return raw_b.sparkSession.createDataFrame(
+    return one_slice_rows(
+        raw_b.sparkSession,
         [
             (
                 b,
@@ -618,10 +622,11 @@ def save_dsir(
             )
             cutoff = float(kth["s"])
         spark = documents.sparkSession
-        spark.createDataFrame(
+        one_slice_rows(
+            spark,
             [(n_buckets, float(keep_fraction), cutoff, n_train)],
             "n_buckets int, keep_fraction double, cutoff double, n_train long",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+        ).write.mode("overwrite").parquet(f"{path}/meta")
     finally:
         for df in scratch:
             df.unpersist()

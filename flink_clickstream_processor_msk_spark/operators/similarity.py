@@ -27,6 +27,9 @@ from pyspark.sql import functions as F
 import pandas as pd
 
 from flink_clickstream_processor_msk_spark.functions.hashing import h60
+from flink_clickstream_processor_msk_spark.functions.parallel import (
+    one_slice_rows,
+)
 from flink_clickstream_processor_msk_spark.operators import lsm
 from flink_clickstream_processor_msk_spark.operators.dedup import (
     N_PLANES,
@@ -163,10 +166,11 @@ def _install_index_base(
 
 def _write_centroids_sidecar(spark, gen_dir: str, cents) -> None:
     """Write the ``centroids`` sidecar into a (staged) generation dir."""
-    spark.createDataFrame(
+    one_slice_rows(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cidx int, cvec array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{gen_dir}/centroids")
+    ).write.mode("overwrite").parquet(f"{gen_dir}/centroids")
 
 
 def _load_centroids(spark, path: str) -> list[list[float]]:
@@ -182,14 +186,15 @@ def _load_centroids(spark, path: str) -> list[list[float]]:
 
 def _write_codebooks_sidecar(spark, gen_dir: str, cbs) -> None:
     """Write the ``codebooks`` sidecar into a (staged) generation dir."""
-    spark.createDataFrame(
+    one_slice_rows(
+        spark,
         [
             (s, j, list(map(float, c)))
             for s, cb in enumerate(cbs)
             for j, c in enumerate(cb)
         ],
         "s int, j int, cvec array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{gen_dir}/codebooks")
+    ).write.mode("overwrite").parquet(f"{gen_dir}/codebooks")
 
 
 def _load_codebooks(spark, path: str) -> list[list[list[float]]]:
@@ -798,9 +803,9 @@ def save_lsh_index(
     index = build_lsh_index(embeddings, n_planes)
 
     def sidecars(gen_dir: str) -> None:
-        spark.createDataFrame([(int(n_planes),)], "n_planes int").coalesce(
-            1
-        ).write.mode("overwrite").parquet(f"{gen_dir}/lsh_meta")
+        one_slice_rows(spark, [(int(n_planes),)], "n_planes int").write.mode(
+            "overwrite"
+        ).parquet(f"{gen_dir}/lsh_meta")
 
     _install_index_base(index, path, "lsh", sidecars)
     index.unpersist()
@@ -1258,10 +1263,11 @@ def _write_pq_ood_ref(
     spark, gen_dir: str, qerr_threshold: float, base_n: int, quantile: float
 ) -> None:
     """Write the ``ood_ref`` sidecar into a (staged) generation dir."""
-    spark.createDataFrame(
+    one_slice_rows(
+        spark,
         [(float(qerr_threshold), int(base_n), float(quantile))],
         "qerr_threshold double, base_n long, quantile double",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{gen_dir}/ood_ref")
+    ).write.mode("overwrite").parquet(f"{gen_dir}/ood_ref")
 
 
 def load_pq_ood_ref(spark, path: str):

@@ -17,7 +17,10 @@ from pyspark.sql import functions as F
 
 from flink_clickstream_processor_msk_spark.functions.grams import WS_CLASS
 from flink_clickstream_processor_msk_spark.functions.hashing import h60
-from flink_clickstream_processor_msk_spark.functions.parallel import parallelized
+from flink_clickstream_processor_msk_spark.functions.parallel import (
+    one_slice_rows,
+    parallelized,
+)
 
 #: whitespace tokenizer shared by every operator (empty tokens filtered so
 #: leading/trailing whitespace can't fabricate tokens)
@@ -868,13 +871,15 @@ def save_bpe_merges(
     inflates on embedding drift — the sidecar is the base reference
     :func:`~...streaming.ingest.tokenizer_ingest_sink` monitors batches
     against (the ``save_pq_index``/``ood_ref`` pattern)."""
-    spark.createDataFrame(
+    one_slice_rows(
+        spark,
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, a string, b string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/merges")
+    ).write.mode("overwrite").parquet(f"{path}/merges")
     if ref_docs is not None:
         row = corpus_fertility(ref_docs, merges).first()
-        spark.createDataFrame(
+        one_slice_rows(
+            spark,
             [
                 (
                     float(row["fertility"]),
@@ -883,9 +888,7 @@ def save_bpe_merges(
                 )
             ],
             "fertility double, n_words long, n_docs long",
-        ).coalesce(1).write.mode("overwrite").parquet(
-            f"{path}/fertility_ref"
-        )
+        ).write.mode("overwrite").parquet(f"{path}/fertility_ref")
 
 
 def load_bpe_merges(spark, path: str) -> list[tuple[str, str]]:
@@ -1401,15 +1404,39 @@ def _checkpointed_counts(df: DataFrame, scratch: list | None) -> DataFrame:
 
     Gated on the ``scratch`` contract like the persists it replaces: a
     caller that passes no scratch keeps the plain lazy plan (no hidden
-    block-manager residency). The checkpointed frame is appended to
-    scratch for lifecycle symmetry — ``unpersist()`` is a no-op on a
-    checkpoint-backed frame and the blocks are GC-reclaimed when the
-    last reference drops."""
+    block-manager residency). The scratch receives a
+    :class:`_CheckpointScratch` release handle, because
+    ``DataFrame.unpersist()`` is a NO-OP on a checkpoint-backed frame
+    (its blocks live outside the CacheManager) — without the handle the
+    scratch contract's release path would silently become
+    "wait for GC", which tests/test_beyond.py pins against."""
     if scratch is None:
         return df
     df = df.localCheckpoint(eager=True)
-    scratch.append(df)
+    scratch.append(_CheckpointScratch(df))
     return df
+
+
+class _CheckpointScratch:
+    """Release handle for an eagerly localCheckpointed scratch table:
+    frees the checkpoint RDD itself (``LogicalRDD.rdd().unpersist()`` —
+    verified to remove the entry from ``getPersistentRDDs``), which
+    ``DataFrame.unpersist()`` cannot. After release the frame is
+    UNREADABLE (lineage is cut and the blocks are gone) — exactly the
+    scratch contract: release only after the result is consumed."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def unpersist(self):
+        try:
+            self._df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            # accessor shape drift (non-LogicalRDD plan) degrades to the
+            # GC/ContextCleaner path — deferred reclamation, never a leak
+            # that survives the references being dropped
+            pass
+        return self._df
 
 
 def doc_bigrams(documents: DataFrame) -> DataFrame:
@@ -1941,8 +1968,8 @@ def difficulty_buckets(
                 accuracy,
             ).alias("_cuts")
         )
-        cuts = documents.sparkSession.createDataFrame(
-            cuts_agg.collect(), cuts_agg.schema
+        cuts = one_slice_rows(
+            documents.sparkSession, cuts_agg.collect(), cuts_agg.schema
         )
         bucket = F.lit(1)
         for i in range(n_buckets - 1):

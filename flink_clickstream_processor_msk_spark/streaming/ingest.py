@@ -30,6 +30,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_clickstream_processor_msk_spark.functions.parallel import (
+    one_slice_rows,
+)
 from flink_clickstream_processor_msk_spark.operators.dedup import (
     JACCARD_THRESHOLD,
     MAX_BUCKET_SIZE_DEFAULT,
@@ -83,8 +86,10 @@ def init_dedup_state(
     docs = (
         corpus
         if corpus is not None
-        else spark.createDataFrame(
-            [], "doc_id long, text string, lang string, source string, n_chars long"
+        else one_slice_rows(
+            spark,
+            [],
+            "doc_id long, text string, lang string, source string, n_chars long",
         )
     )
     save_dedup_state(docs, path, n_buckets=n_buckets)
