@@ -1203,9 +1203,14 @@ def tfidf_top_terms(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
     )
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    if scratch is not None:
-        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
-        scratch.append(tf)
+    # tf feeds THREE consumers (dfreq, N, the scoring join) — the same
+    # diamond as the LM scorers' c2 table, so it gets the same treatment
+    # (r17): an eager localCheckpoint instead of a persist cuts the
+    # 3×-re-analyzed subtree AND removes the persist-serialization
+    # ordering VERDICT r16 #5 suspected (dfreq no longer waits behind a
+    # CacheManager materialization of tf's plan — all three consumers
+    # read the already-materialized LogicalRDD).
+    tf = _checkpointed_counts(tf, scratch)
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
     n = tf.select("doc_id").distinct().agg(
         F.count(F.lit(1)).alias("n_docs")
