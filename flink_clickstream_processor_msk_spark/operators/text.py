@@ -1197,8 +1197,6 @@ def tfidf_top_terms(
     longer leak one cached plan per call."""
     from pyspark.sql import Window
 
-    from pyspark.storagelevel import StorageLevel
-
     tok = documents.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
     )

@@ -26,7 +26,7 @@ def spark():
     # (pinned where it matters, e.g. kmeans partition independence).
     s = get_spark(
         app_name="tests",
-        shuffle_partitions=8,
+        shuffle_partitions=4,
         extra_conf={"spark.default.parallelism": "4"},
     )
     yield s
